@@ -1,0 +1,108 @@
+"""Post-load aggregation (A1-A17 + O6/O8) — the reference's stored proc.
+
+Reference: ``[airbnb].[BookingAggregation]``
+(``sql_queries/synapse_table_creation.sql:79-107``): inner join
+``fact_booking b JOIN dim_customer c ON b.customer_id = c.customer_id``,
+``GROUP BY c.country``, 17 measures, written truncate-and-reload into
+``BookingCustomerAggregation``.
+
+Numeric determinism: money measures are summed as DECIMAL(18,2) (exact,
+order-independent) and only then cast to DOUBLE; averages are
+exact-decimal-sum / count in IEEE double. This makes the result bitwise
+reproducible across engines and shuffle orders — double summation order
+varies run-to-run under AQE, decimal summation doesn't. The ELSE-less
+conditional AVGs (A11/A12: ``AVG(CASE WHEN ... THEN x END)``) average
+over the matching subset only — Spark/DuckDB/T-SQL all skip NULLs, so a
+conditional SUM / conditional COUNT pair reproduces it exactly.
+
+Scale: single hash aggregation — partial (map-side) aggregation then one
+shuffle on the group key; the fact×dim join broadcasts the dimension
+(AQE auto-broadcast; dims are small by definition). The group key
+cardinality (#countries) is tiny, so the reduce side is trivial at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AGG_COLUMNS: tuple[str, ...] = (
+    "country",
+    "total_bookings",
+    "confirmed_bookings",
+    "cancelled_bookings",
+    "total_amount",
+    "confirmed_amount",
+    "cancelled_amount",
+    "cancellation_rate",
+    "last_booking_date",
+    "first_booking_date",
+    "avg_amount",
+    "confirmed_avg_amount",
+    "cancelled_avg_amount",
+    "min_amount",
+    "max_amount",
+    "distinct_customers",
+    "avg_stay_duration",
+)
+
+
+def booking_customer_aggregation(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    customer_key: str = "customer_id",
+    group_col: str = "country",
+    status_col: str = "status",
+    confirmed: str = "Confirmed",
+    cancelled: str = "Cancelled",
+    amount_col: str = "total_amount",
+    created_col: str = "booking_created_at",
+    nights_col: str = "nights",
+) -> DataFrame:
+    """O6 join + the 17-measure groupBy (A1-A17)."""
+    joined = fact.join(dim.select(customer_key, group_col), on=customer_key, how="inner")
+
+    amt = F.coalesce(F.col(amount_col), F.lit(0)).cast("decimal(18,2)")
+    is_conf = F.col(status_col) == F.lit(confirmed)
+    is_canc = F.col(status_col) == F.lit(cancelled)
+
+    def dsum(c: Column) -> Column:
+        return F.coalesce(F.sum(c), F.lit(0).cast("decimal(28,2)"))
+
+    total_n = F.count(F.lit(1))
+    conf_n = F.sum(F.when(is_conf, 1).otherwise(0))
+    canc_n = F.sum(F.when(is_canc, 1).otherwise(0))
+    conf_amt_sum = dsum(F.when(is_conf, amt).otherwise(F.lit(0).cast("decimal(18,2)")))
+    canc_amt_sum = dsum(F.when(is_canc, amt).otherwise(F.lit(0).cast("decimal(18,2)")))
+
+    out = joined.groupBy(F.col(group_col).alias("country")).agg(
+        total_n.alias("total_bookings"),
+        conf_n.alias("confirmed_bookings"),
+        canc_n.alias("cancelled_bookings"),
+        dsum(amt).cast("double").alias("total_amount"),
+        conf_amt_sum.cast("double").alias("confirmed_amount"),
+        canc_amt_sum.cast("double").alias("cancelled_amount"),
+        F.when(total_n == 0, F.lit(0.0))
+        .otherwise(canc_n.cast("double") / total_n.cast("double"))
+        .alias("cancellation_rate"),
+        F.max(created_col).alias("last_booking_date"),
+        F.min(created_col).alias("first_booking_date"),
+        (dsum(amt).cast("double") / total_n.cast("double")).alias("avg_amount"),
+        (
+            dsum(F.when(is_conf, amt)).cast("double")
+            / F.nullif(F.sum(F.when(is_conf, 1)), F.lit(0)).cast("double")
+        ).alias("confirmed_avg_amount"),
+        (
+            dsum(F.when(is_canc, amt)).cast("double")
+            / F.nullif(F.sum(F.when(is_canc, 1)), F.lit(0)).cast("double")
+        ).alias("cancelled_avg_amount"),
+        F.min(amt).cast("double").alias("min_amount"),
+        F.max(amt).cast("double").alias("max_amount"),
+        F.count_distinct(F.col(customer_key)).alias("distinct_customers"),
+        (
+            F.sum(F.coalesce(F.col(nights_col), F.lit(0)).cast("long")).cast("double")
+            / total_n.cast("double")
+        ).alias("avg_stay_duration"),
+    )
+    return out.select(*AGG_COLUMNS)

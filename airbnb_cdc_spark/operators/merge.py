@@ -1,0 +1,154 @@
+"""MERGE / upsert executor over bucket-partitioned parquet tables.
+
+This is the one reference capability with no direct Spark built-in
+(SURVEY.md §4 "Upsert write paths"): the Copy activity's
+``writeBehavior: 'Upsert'`` keyed on ``customer_id``
+(``pipeline/New_LoadCustomerDim.json:83-92``) and the dataflow sink's
+``insertable/updateable`` keyed on ``booking_id``
+(``dataflow/New_BookingTransformation.json:169-173``). With Delta/Iceberg
+on the cluster you'd call ``MERGE INTO``; this shim provides the same
+keyed-upsert semantics on plain parquet.
+
+Design for 100 TB:
+- The table is hash-bucketed on the merge key
+  (``_bucket = pmod(xxhash64(key), n)``) and stored as one partition
+  directory per bucket. A merge touching K distinct keys reads and
+  rewrites ONLY the buckets those keys hash to — partition pruning makes
+  merge cost proportional to the update set, not the table size, which is
+  the same file-skipping idea Delta's MERGE uses.
+- The anti-join inside a bucket joins two sides that are both already
+  bucket-local; with AQE the small update side broadcasts.
+- Writes go to a temp directory first and are swapped in per-bucket
+  (write-temp-then-rename), so a reader never sees a half-written bucket
+  and the merge never reads its own output (SURVEY.md §7 "what's hard"
+  (a)). Renames use the Hadoop FileSystem API so the same code runs on
+  HDFS; on S3 you'd back this with Delta/Iceberg instead (rename is not
+  atomic there).
+
+Semantics: MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+INSERT * — update rows win over existing rows on key equality. Within a
+batch, ``version_col`` picks the last writer per key (the reference's
+``desc(updated_at)`` lookup tie-break).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.lookup import latest_per_key
+
+BUCKET_COL = "_bucket"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+class ParquetMergeTable:
+    """A keyed, hash-bucketed parquet table supporting MERGE-style upsert."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        version_col: str | None = None,
+        num_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = list(keys)
+        self.version_col = version_col
+        self.num_buckets = num_buckets
+
+    # -- storage helpers ---------------------------------------------------
+
+    def _bucket_expr(self):
+        key_cols = [F.col(k) for k in self.keys]
+        return F.pmod(F.xxhash64(*key_cols), F.lit(self.num_buckets)).cast("int")
+
+    def exists(self) -> bool:
+        fs, jpath = _fs(self.spark, self.path)
+        return bool(fs.exists(jpath))
+
+    def read(self) -> DataFrame:
+        """Current table contents (bucket column stripped)."""
+        return (
+            self.spark.read.option("basePath", self.path)
+            .parquet(self.path)
+            .drop(BUCKET_COL)
+        )
+
+    def _write_bucketed(self, df: DataFrame, dest: str) -> None:
+        (
+            df.withColumn(BUCKET_COL, self._bucket_expr())
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(dest)
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full truncate-and-reload (O8) via temp-dir + swap."""
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        self._write_bucketed(df, tmp)
+        fs, jpath = _fs(self.spark, self.path)
+        _, jtmp = _fs(self.spark, tmp)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.rename(jtmp, jpath)
+
+    # -- merge -------------------------------------------------------------
+
+    def merge(self, updates: DataFrame) -> None:
+        """Upsert ``updates`` by key: matched rows replaced, new rows
+        inserted. Only buckets containing update keys are rewritten."""
+        if self.version_col is not None:
+            updates = latest_per_key(updates, self.keys, self.version_col)
+        else:
+            updates = updates.dropDuplicates(self.keys)
+
+        if not self.exists():
+            self.overwrite(updates)
+            return
+
+        updates = updates.withColumn(BUCKET_COL, self._bucket_expr())
+        # Tiny collect: at most num_buckets ints — drives partition pruning.
+        touched = sorted(
+            r[0] for r in updates.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return
+
+        current = self.spark.read.option("basePath", self.path).parquet(self.path)
+        current_touched = current.filter(F.col(BUCKET_COL).isin(touched))
+
+        kept = current_touched.join(
+            updates.select(*self.keys), on=self.keys, how="left_anti"
+        )
+        merged = kept.unionByName(updates.select(kept.columns))
+
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+
+        fs, _ = _fs(self.spark, self.path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        for b in touched:
+            src = Path(f"{tmp}/{BUCKET_COL}={b}")
+            dst = Path(f"{self.path}/{BUCKET_COL}={b}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if fs.exists(src):
+                fs.rename(src, dst)
+        fs.delete(Path(tmp), True)

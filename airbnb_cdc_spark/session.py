@@ -1,0 +1,71 @@
+"""SparkSession builder + parquet-dir catalog.
+
+The driver contract (``__spark_entry__.py``) hands every query a
+``(spark, sf_dir)`` pair; ``load_table`` is the single entry point for
+reading one of the driver's parquet tables so filter pushdown / column
+pruning always start from a plain parquet scan (Catalyst sees
+``PushedFilters`` / ``ReadSchema`` directly — no caching layer in the way).
+
+Scale notes (100 TB design stance):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion cover the reference's ``broadcast:
+  'auto'`` hint (dataflow/New_BookingTransformation.json:112) without
+  hand-tuning per query.
+- ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a real
+  cluster AQE coalesces from a high initial count, so we set the initial
+  partition count rather than a final one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def get_spark(app_name: str = "airbnb_cdc_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session with scale-appropriate defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 32)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain parquet scan of one driver table — keep it bare so Catalyst
+    pushes filters/projections into the scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
