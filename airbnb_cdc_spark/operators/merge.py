@@ -44,6 +44,21 @@ from airbnb_cdc_spark.operators.lookup import latest_per_key
 BUCKET_COL = "_bucket"
 
 
+def merge_dataframes(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str | None = None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE semantics (no write): updates win on key,
+    unmatched existing rows kept — the anti-join + union rewrite of
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT."""
+    if version_col is not None:
+        updates = latest_per_key(updates, keys, version_col)
+    kept = existing.join(updates.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(updates.select(kept.columns))
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)

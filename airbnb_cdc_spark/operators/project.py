@@ -38,7 +38,9 @@ def cast_to_contract(df: DataFrame, contract: Mapping[str, str]) -> DataFrame:
     exprs = []
     for field in df.schema.fields:
         if field.name in contract:
-            exprs.append(F.try_cast(F.col(field.name), contract[field.name]).alias(field.name))
+            exprs.append(
+                F.col(field.name).try_cast(contract[field.name]).alias(field.name)
+            )
         else:
             exprs.append(F.col(field.name))
     return df.select(exprs)

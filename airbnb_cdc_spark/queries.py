@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airbnb_cdc_spark.operators.aggregate import booking_customer_aggregation
+from airbnb_cdc_spark.operators.alter_row import with_action_flags
+from airbnb_cdc_spark.operators.lookup import latest_per_key, lookup_latest
+from airbnb_cdc_spark.operators.merge import merge_dataframes
+from airbnb_cdc_spark.operators.project import cast_to_contract, select_columns
+from airbnb_cdc_spark.operators.split import conditional_split
 from airbnb_cdc_spark.session import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -113,3 +118,200 @@ def q_booking_customer_aggregation(spark: SparkSession, sf_dir: str) -> DataFram
     fact = _orders_as_bookings(spark, sf_dir)
     dim = _customer_dim(spark, sf_dir)
     return booking_customer_aggregation(fact, dim, confirmed="F", cancelled="O")
+
+
+# --------------------------------------------------------------------------
+# O1 — conditional split (disjoint), dataflow:106-107
+# --------------------------------------------------------------------------
+
+
+@query(
+    "conditional_split_bad",
+    "SELECT * FROM lineitem WHERE l_discount > l_tax",
+)
+def q_split_bad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bad, _ = conditional_split(li, F.col("l_discount") > F.col("l_tax"))
+    return bad
+
+
+@query(
+    "conditional_split_accepted",
+    "SELECT * FROM lineitem WHERE NOT COALESCE(l_discount > l_tax, FALSE)",
+)
+def q_split_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    _, accepted = conditional_split(li, F.col("l_discount") > F.col("l_tax"))
+    return accepted
+
+
+# --------------------------------------------------------------------------
+# O2/O3 — projection + sink-contract casts, dataflow:115-141 / :144-168
+# --------------------------------------------------------------------------
+
+
+@query(
+    "project_cast",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS booking_id,
+           CAST(o_custkey AS INTEGER) AS customer_id,
+           o_orderstatus AS status,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS total_amount,
+           CAST(o_orderdate AS DATE) AS booking_created_at
+    FROM orders
+    """,
+)
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    projected = select_columns(
+        orders,
+        {
+            "o_orderkey": "booking_id",
+            "o_custkey": "customer_id",
+            "o_orderstatus": "status",
+            "o_totalprice": "total_amount",
+            "o_orderdate": "booking_created_at",
+        },
+    )
+    return cast_to_contract(
+        projected,
+        {
+            "booking_id": "string",
+            "customer_id": "int",
+            "total_amount": "decimal(14,2)",
+            "booking_created_at": "date",
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# O4 — parameterized filter (mock_data_in_cosmosdb.py:179-189)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_by_status",
+    "SELECT event_id, user_id FROM events WHERE event_type = 'purchase'",
+)
+def q_filter_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == F.lit("purchase")).select(
+        "event_id", "user_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# O5 — lookup: left join against latest-per-key right side, dataflow:108-112
+# --------------------------------------------------------------------------
+
+_LOOKUP_ORACLE = """
+WITH latest AS (
+    SELECT user_id AS customer_id, ts AS t_ts, event_type AS t_event_type,
+           value AS t_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT c.c_custkey AS customer_id, c.c_name AS name, c.c_mktsegment AS segment,
+       l.t_ts AS t_ts, l.t_event_type AS t_event_type, l.t_value AS t_value
+FROM customer c
+LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l ON c.c_custkey = l.customer_id
+"""
+
+
+@query("lookup_latest_event", _LOOKUP_ORACLE)
+def q_lookup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("customer_id"), "ts", "event_type", "value", "event_id"
+    )
+    joined = lookup_latest(
+        customer, events, keys=["customer_id"], version_col="ts", tie_breaks=["event_id"]
+    )
+    return joined.select(
+        "customer_id", "name", "segment", "t_ts", "t_event_type", "t_value"
+    )
+
+
+# --------------------------------------------------------------------------
+# O7 — alter-row insert/update flags, dataflow:113-114
+# --------------------------------------------------------------------------
+
+_FLAGS_ORACLE = """
+WITH incoming AS (
+    SELECT user_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), target AS (
+    SELECT c_custkey FROM customer WHERE c_custkey < 100
+)
+SELECT i.user_id AS user_id, i.ts AS ts, i.event_type AS event_type,
+       i.value AS value,
+       CASE WHEN t.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
+FROM (SELECT * FROM incoming WHERE rn = 1) i
+LEFT JOIN target t ON i.user_id = t.c_custkey
+"""
+
+
+@query("alter_row_flags", _FLAGS_ORACLE)
+def q_alter_row_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    incoming = latest_per_key(
+        load_table(spark, sf_dir, "events"),
+        keys=["user_id"],
+        version_col="ts",
+        tie_breaks=["event_id"],
+    )
+    target = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_custkey").alias("t_key"))
+    )
+    flagged = with_action_flags(
+        incoming.join(target, on="user_id", how="left"), target_probe_col="t_key"
+    )
+    return flagged.select(
+        "user_id", "ts", "event_type", "value", F.col("_action").alias("action")
+    )
+
+
+# --------------------------------------------------------------------------
+# S4/S5 — MERGE upsert semantics (anti-join + union), as a pure query:
+# base state (events before the cutoff) merged with an update wave
+# --------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH base AS (
+    SELECT user_id, ts, event_type, value FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+), upd AS (
+    SELECT user_id, ts, event_type, value FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+)
+SELECT b.user_id, b.ts, b.event_type, b.value FROM base b
+WHERE b.user_id NOT IN (SELECT user_id FROM upd)
+UNION ALL
+SELECT u.user_id, u.ts, u.event_type, u.value FROM upd u
+"""
+
+
+@query("cdc_merge_upsert", _MERGE_ORACLE)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    events = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "ts", "event_type", "value"]
+    base = latest_per_key(
+        events.filter(F.col("ts") < cutoff), ["user_id"], "ts", ["event_id"]
+    ).select(cols)
+    upd = latest_per_key(
+        events.filter(F.col("ts") >= cutoff), ["user_id"], "ts", ["event_id"]
+    ).select(cols)
+    return merge_dataframes(base, upd, keys=["user_id"])

@@ -59,8 +59,18 @@ def get_spark(app_name: str = "airbnb_cdc_spark", cpus: int | None = None) -> Sp
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Plain parquet scan of one driver table — keep it bare so Catalyst
-    pushes filters/projections into the scan."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushes filters/projections into the scan.
+
+    The driver's ``events`` table stores TIMESTAMP(NANOS) which Spark
+    rejects natively; we read nanos as long and truncate to microseconds
+    (matching DuckDB's read of the same file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
