@@ -1,0 +1,90 @@
+"""Customer CSV feed source (S1) + archive sink (S6) + file ops (S7/S8).
+
+Reference: ``dataset/New_CustomerDataSource.json:9-19`` — delimited text,
+``columnDelimiter: ","``, ``quoteChar: '"'``, ``escapeChar: "\\"``,
+``firstRowAsHeader: true``; read settings (wildcard folder, recursive)
+``pipeline/New_LoadCustomerDim.json:66-81``. The reference declares no
+schema (``"schema": []``) and converts types at copy time
+(``typeConversion: true, allowDataTruncation: true`` :94-101); we pin an
+explicit StructType instead (inference is a correctness and perf hazard —
+it scans the file twice and can flip types between files).
+
+Schema per FIXTURES.md F1 / ``sql_queries/synapse_table_creation.sql:5-23``.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.IntegerType(), False),
+        T.StructField("first_name", T.StringType(), True),
+        T.StructField("last_name", T.StringType(), True),
+        T.StructField("email", T.StringType(), True),
+        T.StructField("phone_number", T.StringType(), True),
+        T.StructField("address", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("state", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("zip_code", T.StringType(), True),
+        T.StructField("signup_date", T.DateType(), True),
+        T.StructField("last_login", T.TimestampType(), True),
+        T.StructField("total_bookings", T.IntegerType(), True),
+        T.StructField("total_spent", T.DecimalType(14, 2), True),
+        T.StructField("preferred_language", T.StringType(), True),
+        T.StructField("referral_code", T.StringType(), True),
+        T.StructField("account_status", T.StringType(), True),
+    ]
+)
+
+
+def read_customer_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: one customer feed file with the reference's CSV dialect."""
+    return (
+        spark.read.schema(CUSTOMER_SCHEMA)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def list_files(spark: SparkSession, folder: str, suffix: str = ".csv") -> list[str]:
+    """S8 (GetMetadata childItems): enumerate feed files, sorted for a
+    deterministic replay order. Driver-side control flow — the listing is
+    metadata-sized, never data-sized."""
+    fs, jpath = _fs(spark, folder)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(suffix):
+            out.append(name)
+    return sorted(out)
+
+
+def archive_file(spark: SparkSession, raw_dir: str, archive_dir: str, name: str) -> None:
+    """S6+S7: move the consumed file to the archive folder (archive copy
+    then delete of the raw file, collapsed into one rename)."""
+    fs, _ = _fs(spark, raw_dir)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    dst_dir = Path(archive_dir)
+    if not fs.exists(dst_dir):
+        fs.mkdirs(dst_dir)
+    src = Path(posixpath.join(raw_dir, name))
+    dst = Path(posixpath.join(archive_dir, name))
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(src, dst)

@@ -1,0 +1,131 @@
+"""Change-feed CDC ingestion (E3): readStream → foreachBatch → MERGE.
+
+Reference: ``New_LoadBookingFact`` executes the
+``New_BookingTransformation`` dataflow (SURVEY.md §3 E3) over the Cosmos
+change feed (``enableChangeFeed: true, changeFeedStartFromTheBeginning:
+true`` — dataflow:73-74), resuming from a checkpoint key
+(``pipeline/New_LoadBookingFact.json:34-36``), and upserts into
+``fact_booking`` keyed on ``booking_id`` (sink :169-173).
+
+Spark shape: a file-based Structured Streaming source (each change-feed
+document is a JSON line; new files = new feed entries) with
+``foreachBatch`` running the exact batch transform body — split → cast →
+lookup → flags → MERGE. Batch and streaming share one transform function,
+so the semantics are testable without a stream.
+
+There are NO watermarks/windows in the reference (SURVEY.md §2.8):
+out-of-order arrivals are absorbed by last-writer-wins on
+``updated_at`` per ``booking_id`` — within a batch via the merge's
+version dedup, across batches because a later batch's merge overwrites.
+
+Scale notes:
+- ``maxFilesPerTrigger`` bounds micro-batch size so a backlog replay
+  can't build one giant batch.
+- The per-batch lookup reads only the fact-table buckets the batch's
+  keys hash to (ParquetMergeTable pruning); the batch side is small, so
+  AQE broadcasts it into the join.
+- The checkpoint directory is the ADF ``customizedCheckpointKey``: a new
+  checkpoint = ``changeFeedStartFromTheBeginning``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbnb_cdc_spark.operators.alter_row import ACTION_COL, with_action_flags
+from airbnb_cdc_spark.operators.lookup import lookup_latest
+from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+from airbnb_cdc_spark.operators.project import BOOKING_SINK_CONTRACT, cast_to_contract
+from airbnb_cdc_spark.operators.split import quality_split
+
+# Raw change-feed document schema (FIXTURES.md F2): everything stringly
+# except the generator's native ints/doubles — matching the Cosmos source
+# projection dataflow/New_BookingTransformation.json:46-70.
+BOOKING_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("booking_id", T.StringType(), False),
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("listing_id", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("booking_created_at", T.StringType(), True),
+        T.StructField("checkin_date", T.StringType(), True),
+        T.StructField("checkout_date", T.StringType(), True),
+        T.StructField("nights", T.IntegerType(), True),
+        T.StructField("lead_time_days", T.IntegerType(), True),
+        T.StructField("guests_adults", T.IntegerType(), True),
+        T.StructField("guests_children", T.IntegerType(), True),
+        T.StructField("guests_infants", T.IntegerType(), True),
+        T.StructField("price_nightly", T.DoubleType(), True),
+        T.StructField("cleaning_fee", T.DoubleType(), True),
+        T.StructField("total_amount", T.DoubleType(), True),
+        T.StructField("currency", T.StringType(), True),
+        T.StructField("country_code", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("channel", T.StringType(), True),
+        T.StructField("device_type", T.StringType(), True),
+        T.StructField("cancellation_ts", T.StringType(), True),
+        T.StructField("cancellation_reason", T.StringType(), True),
+        T.StructField("updated_at", T.StringType(), True),
+    ]
+)
+
+FINAL_COLUMNS = list(BOOKING_SINK_CONTRACT)
+
+
+def transform_booking_batch(raw: DataFrame, current_fact: DataFrame | None) -> DataFrame:
+    """The dataflow body: O3 cast → O1 quality split → O5 lookup → O7
+    flags → O2 final projection (plus the action marker)."""
+    typed = cast_to_contract(raw, BOOKING_SINK_CONTRACT)
+    _bad, accepted = quality_split(typed)
+
+    if current_fact is not None:
+        probe = current_fact.select(
+            F.col("booking_id"), F.col("updated_at").alias("t_updated_at")
+        )
+        looked_up = lookup_latest(
+            accepted,
+            probe.withColumnRenamed("t_updated_at", "updated_at"),
+            keys=["booking_id"],
+            version_col="updated_at",
+        )
+        flagged = with_action_flags(looked_up, target_probe_col="t_updated_at")
+    else:
+        flagged = accepted.withColumn(ACTION_COL, F.lit("insert"))
+
+    return flagged.select(*FINAL_COLUMNS, ACTION_COL)
+
+
+def read_booking_stream(
+    spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(BOOKING_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(feed_dir)
+
+
+def run_booking_fact_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    fact_table: ParquetMergeTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Process everything currently in the feed (Trigger.AvailableNow),
+    checkpointed so a re-run resumes where it left off (C4)."""
+
+    def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        current = fact_table.read() if fact_table.exists() else None
+        out = transform_booking_batch(batch_df, current).drop(ACTION_COL)
+        fact_table.merge(out)
+
+    stream = read_booking_stream(spark, feed_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,67 @@
+"""ParquetMergeTable: keyed upsert semantics + bucket-pruned rewrites."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Row
+
+from airbnb_cdc_spark.operators.merge import BUCKET_COL, ParquetMergeTable
+
+
+def _table(spark, tmp_path, **kw):
+    return ParquetMergeTable(
+        spark, str(tmp_path / "t"), keys=["k"], num_buckets=8, **kw
+    )
+
+
+def test_merge_insert_then_update(spark, tmp_path):
+    t = _table(spark, tmp_path, version_col="ver")
+    t.merge(spark.createDataFrame([Row(k="a", v=1, ver=1), Row(k="b", v=2, ver=1)]))
+    assert {r.k: r.v for r in t.read().collect()} == {"a": 1, "b": 2}
+
+    t.merge(spark.createDataFrame([Row(k="b", v=20, ver=2), Row(k="c", v=3, ver=1)]))
+    assert {r.k: r.v for r in t.read().collect()} == {"a": 1, "b": 20, "c": 3}
+
+
+def test_merge_within_batch_last_writer_wins(spark, tmp_path):
+    t = _table(spark, tmp_path, version_col="ver")
+    t.merge(
+        spark.createDataFrame(
+            [Row(k="a", v=1, ver=1), Row(k="a", v=9, ver=5), Row(k="a", v=2, ver=3)]
+        )
+    )
+    assert [r.v for r in t.read().collect()] == [9]
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([Row(k=f"k{i}", v=i) for i in range(100)]))
+    before = {
+        p.name: max(f.stat().st_mtime_ns for f in p.glob("*.parquet"))
+        for p in Path(t.path).glob(f"{BUCKET_COL}=*")
+    }
+    t.merge(spark.createDataFrame([Row(k="k0", v=-1)]))
+    after = {
+        p.name: max(f.stat().st_mtime_ns for f in p.glob("*.parquet"))
+        for p in Path(t.path).glob(f"{BUCKET_COL}=*")
+    }
+    changed = [b for b in before if after[b] != before[b]]
+    assert len(changed) == 1  # only k0's bucket rewritten
+    assert {r.v for r in t.read().filter("k = 'k0'").collect()} == {-1}
+    assert t.read().count() == 100
+
+
+def test_overwrite_replaces_all(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([Row(k="a", v=1)]))
+    t.overwrite(spark.createDataFrame([Row(k="z", v=9)]))
+    assert [(r.k, r.v) for r in t.read().collect()] == [("z", 9)]
+
+
+def test_merge_idempotent(spark, tmp_path):
+    t = _table(spark, tmp_path, version_col="ver")
+    batch = spark.createDataFrame([Row(k="a", v=1, ver=1), Row(k="b", v=2, ver=1)])
+    t.merge(batch)
+    t.merge(batch)  # replay = no change (exactly-once-by-key)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [("a", 1), ("b", 2)]

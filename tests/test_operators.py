@@ -1,0 +1,133 @@
+"""Unit tests for the row-level operators (SURVEY.md §2.2-2.5) on tiny
+in-memory frames — including the reference's null/cast edge cases."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.aggregate import AGG_COLUMNS, booking_customer_aggregation
+from airbnb_cdc_spark.operators.alter_row import with_action_flags
+from airbnb_cdc_spark.operators.lookup import latest_per_key, lookup_latest
+from airbnb_cdc_spark.operators.project import cast_to_contract, select_columns
+from airbnb_cdc_spark.operators.split import conditional_split
+
+D = datetime.date
+
+
+def test_conditional_split_null_goes_to_rest(spark):
+    """ADF 2-way disjoint split: NULL condition rows fall to the else
+    branch (dataflow:106-107) — a naive ~cond filter would drop them."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, checkin=D(2025, 1, 10), checkout=D(2025, 1, 5)),   # bad
+            Row(id=2, checkin=D(2025, 1, 10), checkout=D(2025, 1, 12)),  # ok
+            Row(id=3, checkin=D(2025, 1, 10), checkout=None),            # NULL → ok
+        ]
+    )
+    bad, ok = conditional_split(df, F.col("checkout") < F.col("checkin"))
+    assert [r.id for r in bad.collect()] == [1]
+    assert sorted(r.id for r in ok.collect()) == [2, 3]
+    assert bad.count() + ok.count() == df.count()  # disjoint + complete
+
+
+def test_cast_to_contract_lenient(spark):
+    """allowDataTruncation: unparseable values become NULL, not errors
+    (pipeline/New_LoadCustomerDim.json:94-101)."""
+    df = spark.createDataFrame(
+        [Row(cid="12", amt="99.955", day="2025-01-05", junk="xx"),
+         Row(cid="not-a-number", amt=None, day="nope", junk="yy")]
+    )
+    out = cast_to_contract(
+        df, {"cid": "int", "amt": "decimal(12,2)", "day": "date"}
+    ).collect()
+    assert out[0].cid == 12 and out[0].day == D(2025, 1, 5)
+    assert out[0].amt == Decimal("99.96")
+    assert out[1].cid is None and out[1].day is None and out[1].junk == "yy"
+
+
+def test_select_columns_rename(spark):
+    df = spark.createDataFrame([Row(a=1, b="x", c=2.0)])
+    out = select_columns(df, {"b": "name", "a": "id"})
+    assert out.columns == ["name", "id"]
+
+
+def test_latest_per_key_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", v=1, ver=10, tb=1),
+            Row(k="a", v=2, ver=20, tb=1),
+            Row(k="a", v=3, ver=20, tb=2),  # tie on ver → tb wins
+            Row(k="b", v=4, ver=5, tb=1),
+        ]
+    )
+    out = {r.k: r.v for r in latest_per_key(df, ["k"], "ver", ["tb"]).collect()}
+    assert out == {"a": 3, "b": 4}
+
+
+def test_lookup_latest_left_join_prefix(spark):
+    left = spark.createDataFrame([Row(k="a", x=1), Row(k="z", x=2)])
+    right = spark.createDataFrame(
+        [Row(k="a", ver=1, payload="old"), Row(k="a", ver=2, payload="new")]
+    )
+    out = {r.k: r for r in lookup_latest(left, right, ["k"], "ver").collect()}
+    assert out["a"].t_payload == "new"
+    assert out["z"].t_payload is None
+
+
+def test_alter_row_flags(spark):
+    df = spark.createDataFrame([Row(k="a", t_key="a"), Row(k="b", t_key=None)])
+    out = {r.k: r._action for r in with_action_flags(df, "t_key").collect()}
+    assert out == {"a": "update", "b": "insert"}
+
+
+def test_aggregation_measures_tiny(spark):
+    """Hand-checked 17-measure aggregation incl. the ELSE-less AVG edge
+    (A11/A12: average over the matching subset only) and NULL amounts."""
+    fact = spark.createDataFrame(
+        [
+            Row(customer_id=1, status="Confirmed", total_amount=100.0,
+                booking_created_at=D(2025, 1, 1), nights=2),
+            Row(customer_id=1, status="Cancelled", total_amount=50.0,
+                booking_created_at=D(2025, 1, 5), nights=4),
+            Row(customer_id=2, status="Confirmed", total_amount=None,
+                booking_created_at=D(2025, 1, 3), nights=None),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [Row(customer_id=1, country="FR"), Row(customer_id=2, country="FR"),
+         Row(customer_id=3, country="JP")]
+    )
+    rows = booking_customer_aggregation(fact, dim).collect()
+    assert len(rows) == 1  # inner join: JP has no bookings
+    r = rows[0]
+    assert list(rows[0].asDict()) == list(AGG_COLUMNS)
+    assert r.country == "FR"
+    assert r.total_bookings == 3
+    assert r.confirmed_bookings == 2 and r.cancelled_bookings == 1
+    assert r.total_amount == 150.0
+    assert r.confirmed_amount == 100.0 and r.cancelled_amount == 50.0
+    assert abs(r.cancellation_rate - 1 / 3) < 1e-12
+    assert r.last_booking_date == D(2025, 1, 5)
+    assert r.first_booking_date == D(2025, 1, 1)
+    assert r.avg_amount == 50.0
+    assert r.confirmed_avg_amount == 50.0  # (100+0)/2 — NULL coalesced to 0
+    assert r.cancelled_avg_amount == 50.0
+    assert r.min_amount == 0.0 and r.max_amount == 100.0
+    assert r.distinct_customers == 2
+    assert r.avg_stay_duration == 2.0
+
+
+def test_aggregation_empty_group_avgs_null(spark):
+    """No cancelled rows → cancelled_avg_amount NULL (AVG over empty)."""
+    fact = spark.createDataFrame(
+        [Row(customer_id=1, status="Confirmed", total_amount=10.0,
+             booking_created_at=D(2025, 1, 1), nights=1)]
+    )
+    dim = spark.createDataFrame([Row(customer_id=1, country="FR")])
+    r = booking_customer_aggregation(fact, dim).collect()[0]
+    assert r.cancelled_avg_amount is None
+    assert r.cancelled_bookings == 0 and r.cancelled_amount == 0.0

@@ -1,0 +1,118 @@
+"""End-to-end CDC scenario (SURVEY.md §5): customer base→delta1→delta2
+upsert replay, booking insert→cancel change feed with bad-record split,
+aggregation refresh, and checkpointed streaming restart (C4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+from airbnb_cdc_spark.plans.pipelines import (
+    refresh_booking_aggregation,
+    run_customer_dim,
+)
+from airbnb_cdc_spark.streaming.cdc import run_booking_fact_stream
+from tests.fixtures import write_booking_feed, write_customer_csvs
+
+
+def test_customer_dim_upsert_replay(spark, tmp_path):
+    raw, archive = tmp_path / "raw", tmp_path / "archive"
+    waves = write_customer_csvs(raw, n_base=100)
+    dim = ParquetMergeTable(spark, str(tmp_path / "dim"), keys=["customer_id"])
+
+    processed = run_customer_dim(spark, str(raw), str(archive), dim)
+    assert processed == sorted(waves)
+
+    out = dim.read()
+    assert out.count() == 100  # deltas update, never grow
+
+    rows = {r.customer_id: r for r in out.collect()}
+    # delta2 wins over delta1 wins over base (id 5 is in both deltas)
+    assert rows[5].last_name == "Last5_d2"
+    assert rows[4].last_name == "Last4_d1"
+    assert rows[2].last_name == "Last2_base"
+
+    # raw consumed, archive populated (reference's storage-state check)
+    assert sorted(p.name for p in archive.iterdir()) == sorted(waves)
+    assert not raw.exists() or list(raw.iterdir()) == []
+
+    # idempotency: replaying the archive produces no changes
+    before = sorted(map(tuple, out.collect()))
+    run_customer_dim(spark, str(archive), str(tmp_path / "archive2"), dim)
+    assert sorted(map(tuple, dim.read().collect())) == before
+
+
+def test_booking_cdc_stream_and_aggregation(spark, tmp_path):
+    feed = tmp_path / "feed"
+    facts = write_booking_feed(feed, n_bookings=120, cancel_pct=0.1, n_bad=4)
+
+    fact = ParquetMergeTable(
+        spark, str(tmp_path / "fact"), keys=["booking_id"], version_col="updated_at"
+    )
+    run_booking_fact_stream(spark, str(feed), fact, str(tmp_path / "ckpt"))
+
+    out = fact.read()
+    # bad rows split out; each booking_id exactly once (update in place)
+    assert out.count() == facts["n_inserted"]
+    cancelled = out.filter(F.col("status") == "Cancelled")
+    assert sorted(r.booking_id for r in cancelled.collect()) == facts["cancelled_ids"]
+    # cancellation fields populated only on the cancelled rows
+    assert cancelled.filter(F.col("cancellation_ts").isNull()).count() == 0
+    assert out.filter(
+        (F.col("status") == "Confirmed") & F.col("cancellation_ts").isNotNull()
+    ).count() == 0
+    # typed contract applied (string feed → typed fact)
+    dt = dict(out.dtypes)
+    assert dt["customer_id"] == "int"
+    assert dt["checkin_date"] == "date"
+    assert dt["updated_at"] == "timestamp"
+    assert dt["total_amount"] == "decimal(14,2)"
+
+    # aggregation refresh over the merged fact (C5/O8)
+    raw = tmp_path / "raw"
+    write_customer_csvs(raw, n_base=100)
+    dim = ParquetMergeTable(spark, str(tmp_path / "dim"), keys=["customer_id"])
+    run_customer_dim(spark, str(raw), str(tmp_path / "arch"), dim)
+    agg = ParquetMergeTable(spark, str(tmp_path / "agg"), keys=["country"])
+    refresh_booking_aggregation(spark, fact, dim, agg)
+    a = agg.read()
+    assert a.count() == dim.read().select("country").distinct().count()
+    tot = a.agg(F.sum("total_bookings")).collect()[0][0]
+    assert tot == facts["n_inserted"]
+    canc = a.agg(F.sum("cancelled_bookings")).collect()[0][0]
+    assert canc == len(facts["cancelled_ids"])
+
+
+def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """C4: a second run with the same checkpoint skips consumed files and
+    picks up only new ones."""
+    feed = tmp_path / "feed"
+    write_booking_feed(feed, n_bookings=50, cancel_pct=0.05, n_bad=0)
+    fact = ParquetMergeTable(
+        spark, str(tmp_path / "fact"), keys=["booking_id"], version_col="updated_at"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_booking_fact_stream(spark, str(feed), fact, ckpt)
+    n1 = fact.read().count()
+    assert n1 == 50
+
+    # restart with nothing new: state unchanged
+    run_booking_fact_stream(spark, str(feed), fact, ckpt)
+    assert fact.read().count() == n1
+
+    # add a new feed file with brand-new bookings → only they are added
+    import json
+    import random
+
+    from tests.fixtures import booking_doc
+
+    rng = random.Random(99)
+    from datetime import datetime
+
+    with open(feed / "feed_002_more.json", "w") as f:
+        for _ in range(7):
+            f.write(
+                json.dumps(booking_doc(rng, [1, 2, 3], datetime(2025, 11, 1))) + "\n"
+            )
+    run_booking_fact_stream(spark, str(feed), fact, ckpt)
+    assert fact.read().count() == n1 + 7
