@@ -1,0 +1,67 @@
+"""Text expression helpers — all Catalyst higher-order functions.
+
+Whole-stage-codegen friendly: tokenization, shingling, hashing and the
+quality ratios are built-in expressions (split/filter/transform/md5),
+so they run JVM-side at full scan speed — the right shape for a 100 TB
+text pipeline (no Python in the hot path, SURVEY.md §2.9 stance).
+
+Determinism: ratios are derived from exact integer counts, and hashes
+are md5 hex strings, so results are bitwise reproducible across engines
+(the DuckDB oracles compute the same formulas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Distinctive stopwords per language for the n-gram/stopword language-ID
+# heuristic. Small on purpose: the heuristic is argmax of exact counts.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans"),
+    "es": ("el", "los", "las", "una", "es", "para", "como"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "zh": ("de5", "shi4", "zai4", "he2", "le5", "you3", "wo3"),
+}
+
+LANG_PRIORITY: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def stopword_hits(toks_col_name: str, lang: str) -> Column:
+    """Occurrences (not distinct) of the language's stopwords."""
+    lst = _in_list(LANG_STOPWORDS[lang])
+    return F.expr(
+        f"size(filter({toks_col_name}, t -> t IN ({lst})))"
+    ).cast("long")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); empty if fewer than n tokens."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text (the rolling-hash fingerprint's exact-match core)."""
+    return F.md5(F.concat_ws(" ", tokens(text)))

@@ -1,0 +1,209 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These are the training-data-pipeline operators layered on top of the
+reference's surface (BASELINE.json north star). Design notes per 100 TB:
+
+- **Exact**: hash-groupBy on a normalized fingerprint — one shuffle on
+  the hash, minimal row (id, fingerprint) shuffled, winner = min id.
+- **N-gram Jaccard**: intersection via an *inverted index* self-join
+  (explode distinct shingles → join on shingle → count per pair), NOT an
+  all-pairs cross join — pair candidates are generated only where they
+  share a shingle. ``max_doc_freq`` drops stop-shingles (a shingle in
+  half the corpus creates O(n²) candidate pairs — frequency-capping is
+  what keeps the join linear-ish at scale).
+- **MinHash+LSH**: k md5-min signatures per doc (one explode +
+  groupBy), banded into b buckets; only docs sharing a band bucket are
+  paired, then verified with exact Jaccard. This is the classic
+  shingle→minhash→band→bucket-join pipeline; cost scales with bucket
+  collision counts, not n².
+- **SimHash**: 16-bit signed bit-vote fingerprint over distinct tokens;
+  pure projection (no shuffle), near-dup candidates = equal simhash.
+
+md5 (hex string) is the hash everywhere — deterministic and available
+in every engine, so DuckDB oracles reproduce results bit-for-bit.
+min() over md5 strings is a valid permutation surrogate for MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.functions.textfns import normalized_fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per normalized-text fingerprint."""
+    fp = df.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "fingerprint")
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """(id, shingle) inverted index over distinct shingles per doc."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="sh", how="inner")
+            .select("id", "sh")
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with n-gram Jaccard >= threshold."""
+    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+) -> DataFrame:
+    """k MinHash values per doc: min over shingles of md5(j ':' shingle).
+    One explode + one groupBy; signature row stays tiny (k hex strings)."""
+    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq=None)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(F.col("id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash buckets, verified with exact
+    Jaccard: shingle → minhash → band → bucket-join → verify."""
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    n_bands = k // band_size
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on="bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (join back to the inverted index).
+    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq=None)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Signed bit-vote SimHash over distinct tokens. Bit i's vote for a
+    token is the parity of hex digit i of md5(token) (>= '8' → +1).
+    Pure projection — fingerprints then group/join however the caller
+    wants (equal simhash = near-dup candidate)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    def vote_fn(i: int):
+        # NB: the lambda must take exactly one arg — a second arg would be
+        # interpreted by PySpark as the array-index parameter.
+        def fn(t):
+            return F.when(
+                F.substring(F.md5(t), i + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return fn
+
+    bit_votes = []
+    for i in range(bits):
+        # vote_i = sum over tokens of +-1; bit set iff vote > 0
+        vote = F.aggregate(
+            F.transform(F.col("__toks"), vote_fn(i)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        bit_votes.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    total = bit_votes[0]
+    for b in bit_votes[1:]:
+        total = total + b
+    return base.select(id_col, total.cast("long").alias("simhash"))

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- ``brute_force_topk`` — exact top-k by cosine for a (small) query set:
+  broadcast the queries, scan the corpus once, window top-k. The
+  correctness baseline at any scale where queries are few.
+- ``lsh_topk`` — sign-random-projection LSH: integer hyperplanes bucket
+  vectors; candidates = same bucket; exact re-rank inside the bucket.
+  At 100 TB the bucket-join replaces the corpus×queries cross product;
+  recall is tuned by bits/tables. (An IVF variant would k-means the
+  corpus; LSH keeps everything deterministic for the oracle.)
+
+Numeric determinism (the "quantized dot product" trick): components are
+quantized to integers (round(x * 1e6)), so dot products and norms are
+exact BIGINTs and the derived cosine is a deterministic IEEE double —
+bitwise identical across Spark and the DuckDB oracle. Hyperplanes are
+integer-valued pseudo-random projections, so bucket ids are exact too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<long>, component-wise round(x * 1e6)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qnorm2(a: Column) -> Column:
+    return qdot(a, a)
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine from exact integer dot/norms (deterministic double)."""
+    return qdot(a, b).cast("double") / (
+        F.sqrt(qnorm2(a).cast("double")) * F.sqrt(qnorm2(b).cast("double"))
+    )
+
+
+def _with_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(F.col(id_col), quantize(F.col(vec_col)).alias("__q"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+    Queries broadcast; self-matches excluded; ties broken by neighbor id."""
+    c = _with_quant(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__q").alias("__qc")
+    )
+    q = _with_quant(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__q").alias("__qq")
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_q(F.col("__qq"), F.col("__qc")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane(j: int, dim: int) -> list[int]:
+    """Deterministic integer pseudo-random hyperplane component:
+    h_j[d] = ((1009*(j+1)*(d+7) + 30011*(j+3)) % 2003) - 1001."""
+    return [((1009 * (j + 1) * (d + 7) + 30011 * (j + 3)) % 2003) - 1001 for d in range(dim)]
+
+
+def lsh_bucket(qvec: Column, planes: list[list[int]]) -> Column:
+    """Signed-projection bucket id: bit j = sign(dot(q, h_j))."""
+    total = F.lit(0)
+    for j, plane in enumerate(planes):
+        h = F.array(*[F.lit(v) for v in plane])
+        proj = qdot(qvec, h.cast("array<long>"))
+        total = total + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: bucket by sign-LSH, exact cosine re-rank in-bucket.
+    Same output shape as brute_force_topk (approximate contents)."""
+    planes = [hyperplane(j, dim) for j in range(bits)]
+    c = _with_quant(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__q").alias("__qc"),
+        lsh_bucket(F.col("__q"), planes).alias("bucket"),
+    )
+    q = _with_quant(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("__qq"),
+        lsh_bucket(F.col("__q"), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_q(F.col("__qq"), F.col("__qc")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    verify (id_a < id_b, cosine >= threshold). At scale the bucket join
+    replaces the n² cross product; near-identical vectors land in the
+    same bucket with high probability (raise tables/bits for recall)."""
+    planes = [hyperplane(j, dim) for j in range(bits)]
+    base = _with_quant(df, id_col, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("__q"),
+        lsh_bucket(F.col("__q"), planes).alias("bucket"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("__q").alias("__qa"), "bucket")
+    b = base.select(F.col("id").alias("id_b"), F.col("__q").alias("__qb"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_q(F.col("__qa"), F.col("__qb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

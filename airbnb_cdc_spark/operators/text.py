@@ -1,0 +1,87 @@
+"""Text analysis over the documents table: stats/quality, language ID,
+fingerprinting. All Catalyst-native (no UDFs).
+
+Scale: each operator is a single projection over the scan (no shuffle
+except the final groupBys callers may add); at 100 TB these run at
+parquet-scan speed with column pruning down to (id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.functions.textfns import (
+    LANG_PRIORITY,
+    normalized_fingerprint,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats + quality ratios (length / punctuation /
+    stopword signals — the standard pretraining quality features),
+    derived from exact integer counts so ratios are reproducible."""
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    # total characters across tokens (excludes whitespace)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = stopword_hits("__toks", "en")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        toks.alias("__toks"),
+        tok_chars.alias("__tok_chars"),
+        n_distinct.alias("n_distinct_tokens"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.when(F.col("n_tokens") > 0, F.col("__tok_chars").cast("double") / F.col("n_tokens").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(F.col("n_tokens") > 0, F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+        F.when(F.col("n_tokens") > 0, n_stop.cast("double") / F.col("n_tokens").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+    return out
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-count argmax language ID. Ties resolved by LANG_PRIORITY
+    order; zero hits everywhere → 'und'."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hit_cols = {lang: stopword_hits("__toks", lang) for lang in LANG_PRIORITY}
+    with_hits = base.select(
+        id_col, *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()]
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return with_hits.select(
+        id_col,
+        *[f"hits_{lang}" for lang in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """md5-of-normalized-text document fingerprint."""
+    return df.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    )

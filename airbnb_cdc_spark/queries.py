@@ -315,3 +315,309 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("ts") >= cutoff), ["user_id"], "ts", ["event_id"]
     ).select(cols)
     return merge_dataframes(base, upd, keys=["user_id"])
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (BASELINE.json north star): text
+# analysis, dedup family, similarity search. Shared SQL fragments keep the
+# DuckDB oracles in lockstep with the Catalyst expressions.
+# --------------------------------------------------------------------------
+
+from airbnb_cdc_spark.operators import dedup as _dedup  # noqa: E402
+from airbnb_cdc_spark.operators import similarity as _sim  # noqa: E402
+from airbnb_cdc_spark.operators import text as _text  # noqa: E402
+from airbnb_cdc_spark.functions.textfns import LANG_PRIORITY, LANG_STOPWORDS  # noqa: E402
+
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id, length(text) AS n_chars,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+    FROM documents
+)
+"""
+
+_SH_CTE = """
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sh
+    FROM toks WHERE len(t) >= 3
+)
+"""
+
+
+def _stop_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+    CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+    CASE WHEN len(t) > 0
+         THEN CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN len(t) > 0
+         THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(t) > 0
+         THEN CAST(len(list_filter(t, x -> x IN ({_stop_list('en')}))) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         ELSE 0.0 END AS stopword_ratio
+FROM toks
+"""
+
+
+@query("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    hits = ",\n    ".join(
+        f"CAST(len(list_filter(t, x -> x IN ({_stop_list(lang)}))) AS BIGINT) AS hits_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    greatest = ", ".join(f"hits_{lang}" for lang in LANG_PRIORITY)
+    case = " ".join(
+        f"WHEN hits_{lang} = __best THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return f"""
+WITH {_TOKS_CTE}, hits AS (
+    SELECT doc_id, {hits} FROM toks
+)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in LANG_PRIORITY)},
+       CASE WHEN __best = 0 THEN 'und' {case} END AS predicted_lang
+FROM (SELECT *, GREATEST({greatest}) AS __best FROM hits)
+"""
+
+
+@query("language_id", _lang_oracle())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
+"""
+
+
+@query("doc_fingerprint", _FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH {_TOKS_CTE}, fp AS (
+    SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
+)
+SELECT doc_id, fingerprint FROM (
+    SELECT doc_id, fingerprint,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+) WHERE rn = 1
+"""
+
+
+@query("dedup_exact", _DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_VERIFY = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_JACCARD_VERIFY}
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _minhash_bands_sql(k: int = 8, band_size: int = 2) -> str:
+    mins = ", ".join(
+        f"min(md5('{j}:' || sh)) AS mh{j}" for j in range(k)
+    )
+    bands = ", ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
+        for b in range(k // band_size)
+    )
+    return f"""
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
+cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y USING (bucket) WHERE x.doc_id < y.doc_id
+)
+"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_minhash_bands_sql()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN COALESCE(list_sum(list_transform(dt, "
+        f"tok -> CASE WHEN substring(md5(tok), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH {_TOKS_CTE}, dtoks AS (SELECT doc_id, list_distinct(t) AS dt FROM toks)
+SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM dtoks
+"""
+
+
+@query("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# -- similarity search ------------------------------------------------------
+
+_QUANT_CTE = """
+q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+    FROM embeddings
+)
+"""
+
+_COS = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS DOUBLE)))"
+)
+
+_ANN_BF_ORACLE = f"""
+WITH {_QUANT_CTE}, scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+    FROM q a, q b
+    WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_topk_bruteforce", _ANN_BF_ORACLE)
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.brute_force_topk(emb, queries_df, k=5)
+
+
+def _bucket_sql(alias: str, bits: int = 4) -> str:
+    parts = []
+    for j in range(bits):
+        plane = f"list_transform(range(1, 65), i -> ((1009 * {j + 1} * (i + 6) + 30011 * {j + 3}) % 2003) - 1001)"
+        proj = f"list_sum(list_transform(range(1, 65), i -> {alias}.qe[i] * ({plane})[i]))"
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+_ANN_LSH_ORACLE = f"""
+WITH {_QUANT_CTE},
+qb AS (SELECT vec_id, qe, CAST({_bucket_sql('q')} AS INTEGER) AS bucket FROM q),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+    FROM qb a JOIN qb b USING (bucket)
+    WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+""".replace("{_bucket_sql('q')}", _bucket_sql("q"))
+
+
+@query("ann_topk_lsh", _ANN_LSH_ORACLE)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.lsh_topk(emb, queries_df, k=5, bits=4)
+
+
+_NEARDUP_ORACLE = f"""
+WITH {_QUANT_CTE},
+qb AS (SELECT vec_id, qe, CAST({_bucket_sql('q')} AS INTEGER) AS bucket FROM q),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+    FROM qb a JOIN qb b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", _NEARDUP_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, bits=4
+    )
+
+
+# -- multimodal plumbing ------------------------------------------------------
+
+from airbnb_cdc_spark.operators import multimodal as _mm  # noqa: E402
+
+_MM_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       CAST(CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) % 1920 + 1 AS INTEGER) AS fake_width,
+       CAST(CAST(concat('0x', substring(md5(text), 5, 4)) AS INTEGER) % 1080 + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+@query("multimodal_features", _MM_ORACLE)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mm.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return _mm.extract_features(docs)
