@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airbnb_cdc_spark.functions.textfns import normalized_fingerprint, shingles, tokens
+from airbnb_cdc_spark.session import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,7 +50,7 @@ def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) inverted index over distinct shingles per doc."""
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
     )
@@ -71,7 +72,10 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with n-gram Jaccard >= threshold."""
-    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq)
+    # The inverted index feeds both self-join sides AND the size lookup —
+    # persist it so tokenize/shingle/explode runs once, not 4x (at scale:
+    # MEMORY_AND_DISK, the index is ~distinct-shingles-per-doc rows).
+    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("id").alias("id_a"), "sh")
@@ -124,7 +128,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard: shingle → minhash → band → bucket-join → verify."""
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    # One shared inverted index for signature build, candidate verify,
+    # and size lookup (see ngram_jaccard_pairs on why persist).
+    sh_all = _doc_shingles(df, id_col, text_col, n, max_doc_freq=None).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    sig = sh_all.groupBy(F.col("id").alias(id_col)).agg(*aggs)
     n_bands = k // band_size
     bands = sig.select(
         F.col(id_col).alias("id"),
@@ -149,7 +160,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify candidates with exact Jaccard (join back to the inverted index).
-    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq=None)
+    sh = sh_all
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
@@ -179,7 +190,7 @@ def simhash(
     Pure projection — fingerprints then group/join however the caller
     wants (equal simhash = near-dup candidate)."""
     toks = F.array_distinct(tokens(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    base = ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
 
     def vote_fn(i: int):
         # NB: the lambda must take exactly one arg — a second arg would be

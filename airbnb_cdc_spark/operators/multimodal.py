@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from airbnb_cdc_spark.session import ensure_parallelism
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -75,7 +77,9 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        featurize, FEATURE_SCHEMA
+    )
 
 
 def documents_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:

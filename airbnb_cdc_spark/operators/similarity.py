@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airbnb_cdc_spark.session import ensure_parallelism
+
 QUANT = 1_000_000
 
 
@@ -53,7 +55,17 @@ def cosine_q(a: Column, b: Column) -> Column:
 
 
 def _with_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(F.col(id_col), quantize(F.col(vec_col)).alias("__q"))
+    """Quantize once and precompute the norm — pair-wise scoring then
+    does ONE dot product per pair instead of three (the norms would
+    otherwise be recomputed for every candidate pair)."""
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        quantize(F.col(vec_col)).alias("__q"),
+    ).withColumn("__norm", F.sqrt(qnorm2(F.col("__q")).cast("double")))
+
+
+def _pair_cosine(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    return qdot(qa, qb).cast("double") / (na * nb)
 
 
 def brute_force_topk(
@@ -66,14 +78,23 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
     Queries broadcast; self-matches excluded; ties broken by neighbor id."""
     c = _with_quant(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__q").alias("__qc")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
     )
-    q = _with_quant(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("__q").alias("__qq")
+    q = F.broadcast(
+        _with_quant(queries, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("__q").alias("__qq"),
+            F.col("__norm").alias("__nq"),
+        )
     )
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_q(F.col("__qq"), F.col("__qc")))
+        .withColumn(
+            "cosine",
+            _pair_cosine(F.col("__qq"), F.col("__qc"), F.col("__nq"), F.col("__nc")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     from pyspark.sql import Window
@@ -119,17 +140,24 @@ def lsh_topk(
     c = _with_quant(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
         lsh_bucket(F.col("__q"), planes).alias("bucket"),
     )
-    q = _with_quant(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__q").alias("__qq"),
-        lsh_bucket(F.col("__q"), planes).alias("bucket"),
+    q = F.broadcast(
+        _with_quant(queries, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("__q").alias("__qq"),
+            F.col("__norm").alias("__nq"),
+            lsh_bucket(F.col("__q"), planes).alias("bucket"),
+        )
     )
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_q(F.col("__qq"), F.col("__qc")))
+        .withColumn(
+            "cosine",
+            _pair_cosine(F.col("__qq"), F.col("__qc"), F.col("__nq"), F.col("__nc")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     from pyspark.sql import Window
@@ -160,14 +188,24 @@ def cosine_neardup_pairs(
     base = _with_quant(df, id_col, vec_col).select(
         F.col(id_col).alias("id"),
         F.col("__q"),
+        F.col("__norm"),
         lsh_bucket(F.col("__q"), planes).alias("bucket"),
+    ).persist()  # quantize + bucket once; feeds both self-join sides
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("__q").alias("__qa"),
+        F.col("__norm").alias("__na"), "bucket",
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("__q").alias("__qa"), "bucket")
-    b = base.select(F.col("id").alias("id_b"), F.col("__q").alias("__qb"), "bucket")
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("__q").alias("__qb"),
+        F.col("__norm").alias("__nb"), "bucket",
+    )
     return (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_q(F.col("__qa"), F.col("__qb")))
+        .withColumn(
+            "cosine",
+            _pair_cosine(F.col("__qa"), F.col("__qb"), F.col("__na"), F.col("__nb")),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
         .distinct()

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from airbnb_cdc_spark.session import ensure_parallelism
 from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
     normalized_fingerprint,
@@ -36,7 +37,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     n_stop = stopword_hits("__toks", "en")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
 
-    out = df.select(
+    out = ensure_parallelism(df).select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
@@ -64,7 +65,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-count argmax language ID. Ties resolved by LANG_PRIORITY
     order; zero hits everywhere → 'und'."""
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    base = ensure_parallelism(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     hit_cols = {lang: stopword_hits("__toks", lang) for lang in LANG_PRIORITY}
     with_hits = base.select(
         id_col, *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()]

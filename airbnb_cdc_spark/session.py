@@ -73,6 +73,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Fan a narrow input out to the cluster's parallelism before
+    compute-heavy per-row work (shingling, hashing, Python batches).
+
+    A small/single-file parquet scan yields 1-2 partitions; that's right
+    for scan-bound plans but serializes expression-heavy operators onto
+    one core. The repartition shuffles only the (small) input rows and
+    buys full-width execution of everything downstream. At 100 TB inputs
+    arrive in thousands of files and this is a no-op."""
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for spark.sql queries."""
     for name in TABLES:
