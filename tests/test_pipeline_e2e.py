@@ -116,3 +116,26 @@ def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
             )
     run_booking_fact_stream(spark, str(feed), fact, ckpt)
     assert fact.read().count() == n1 + 7
+
+
+def test_run_all_orchestrator(spark, tmp_path):
+    """E1: the final pipeline end-to-end — dim load then fact load then
+    aggregation, strictly sequential (C1-C3)."""
+    from airbnb_cdc_spark.plans.pipelines import run_all
+
+    write_customer_csvs(tmp_path / "raw", n_base=60)
+    write_booking_feed(tmp_path / "feed", n_bookings=80, cancel_pct=0.05, n_bad=2)
+    tables = run_all(
+        spark,
+        raw_dir=str(tmp_path / "raw"),
+        archive_dir=str(tmp_path / "archive"),
+        feed_dir=str(tmp_path / "feed"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    assert tables["dim_customer"].read().count() == 60
+    assert tables["fact_booking"].read().count() == 80
+    agg = tables["booking_customer_aggregation"].read()
+    total = agg.agg(F.sum("total_bookings")).collect()[0][0]
+    # fact rows with customer_id > 60 fall out of the inner join
+    assert 0 < total <= 80
