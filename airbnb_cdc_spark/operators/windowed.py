@@ -1,0 +1,59 @@
+"""Event-time windowed aggregation (beyond-reference streaming surface).
+
+The reference achieves "near-realtime" purely by change-feed replay —
+no watermarks or windows (SURVEY.md §2.8). A production event pipeline
+needs event-time windowing too, so this operator provides tumbling-window
+aggregation usable identically in batch (over the events table) and in
+Structured Streaming (with a watermark for late data).
+
+Scale: one shuffle on (window, group key); partial aggregation runs
+map-side. In streaming mode the watermark bounds state: windows older
+than the watermark are finalized and evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_event_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts + exact-decimal value sums per key.
+
+    ``watermark`` (e.g. "2 hours") enables streaming use: late events
+    beyond it are dropped and window state is evicted after emission.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration)
+    # Streaming state cannot hold exact distinct sets — use the HLL
+    # sketch there (the standard scale answer too); batch stays exact.
+    distinct_users = (
+        F.approx_count_distinct("user_id")
+        if events.isStreaming
+        else F.count_distinct(F.col("user_id"))
+    )
+    return (
+        events.groupBy(win.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            distinct_users.alias("distinct_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "total_value",
+            "distinct_users",
+        )
+    )

@@ -621,3 +621,51 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _mm.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return _mm.extract_features(docs)
+
+
+# -- event-time windowed aggregation (streaming-capable, batch-checked) -----
+
+from airbnb_cdc_spark.operators.windowed import tumbling_event_agg  # noqa: E402
+
+_WINDOW_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_windowed_agg", _WINDOW_ORACLE)
+def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_event_agg(load_table(spark, sf_dir, "events"))
+
+
+# -- BPE-ish token counting (regex word/punct segmentation) -----------------
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_token_count,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_token_count
+FROM documents
+"""
+
+
+@query("token_counts", _BPE_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    return docs.select(
+        "doc_id", ws.alias("ws_token_count"), bpe.alias("bpe_token_count")
+    )

@@ -1,0 +1,92 @@
+"""Streaming windowed aggregation with watermark (beyond-reference
+streaming surface) + skew utilities."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbnb_cdc_spark.operators.skew import salted_agg, salted_join
+from airbnb_cdc_spark.operators.windowed import tumbling_event_agg
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2025, 1, 1, 0, 30)
+    rows = []
+    for i in range(48):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (t0 + timedelta(hours=i)).isoformat(sep=" "),
+                "user_id": i % 5,
+                "event_type": "click" if i % 2 == 0 else "view",
+                "value": 10.0,
+            }
+        )
+    with open(feed / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(feed))
+    agg = tumbling_event_agg(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("win_agg")
+    # append mode emits only watermark-closed windows: day 1 (24 events,
+    # 12 click + 12 view), day 2 still open at end of input
+    rows_out = {(r.window_start.day, r.event_type): r for r in out.collect()}
+    assert (1, "click") in rows_out and (1, "view") in rows_out
+    assert rows_out[(1, "click")].n_events == 12
+    assert rows_out[(1, "click")].total_value == 120.0
+    assert rows_out[(1, "view")].distinct_users == 5
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [Row(k="hot", v=float(i)) for i in range(1000)]
+        + [Row(k="cold", v=1.0), Row(k="cold", v=2.0)]
+    )
+    out = {
+        r.k: r
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"total": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")},
+            n_salts=8,
+        ).collect()
+    }
+    assert out["hot"].total == sum(range(1000)) and out["hot"].n == 1000
+    assert out["cold"].total == 3.0 and out["cold"].mx == 2.0
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [Row(k="a", v=i) for i in range(500)] + [Row(k="b", v=i) for i in range(3)]
+    )
+    small = spark.createDataFrame([Row(k="a", name="alpha"), Row(k="b", name="beta")])
+    plain = big.join(small, "k").groupBy("k", "name").count()
+    salted = salted_join(big, small, ["k"], n_salts=4).groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
