@@ -669,3 +669,33 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", ws.alias("ws_token_count"), bpe.alias("bpe_token_count")
     )
+
+
+# -- sessionization (batch; streaming variant in operators/sessionize) ------
+
+from airbnb_cdc_spark.operators.sessionize import sessionize_batch  # noqa: E402
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session
+"""
+
+
+@query("user_sessions", _SESSION_ORACLE)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)

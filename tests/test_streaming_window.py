@@ -90,3 +90,51 @@ def test_salted_join_matches_plain(spark):
     plain = big.join(small, "k").groupBy("k", "name").count()
     salted = salted_join(big, small, ["k"], n_salts=4).groupBy("k", "name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by a later
+    batch's events (gap exceeded) are emitted with correct bounds."""
+    from airbnb_cdc_spark.operators.sessionize import sessionize_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2025, 3, 1, 10, 0)
+    # user 1: two bursts 2h apart (gap 30m → two sessions); user 2: one burst
+    batch = []
+    for m in (0, 5, 10):
+        batch.append({"event_id": m, "ts": (t0 + timedelta(minutes=m)).isoformat(sep=" "),
+                      "user_id": 1, "event_type": "click", "value": 1.0})
+    for m in (120, 125):
+        batch.append({"event_id": 100 + m, "ts": (t0 + timedelta(minutes=m)).isoformat(sep=" "),
+                      "user_id": 1, "event_type": "click", "value": 1.0})
+    batch.append({"event_id": 999, "ts": (t0 + timedelta(minutes=1)).isoformat(sep=" "),
+                  "user_id": 2, "event_type": "view", "value": 1.0})
+    with open(feed / "b0.json", "w") as f:
+        for r in batch:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(feed))
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # Processing-time timeouts keep the query alive waiting for future
+    # gap expirations — bound the wait, then stop.
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline and spark.table("sessions_out").count() == 0:
+        time.sleep(1)
+    q.stop()
+    out = spark.table("sessions_out").collect()
+    # user 1's first burst was closed by the second burst within the batch
+    assert len(out) == 1
+    s = out[0]
+    assert s.user_id == 1 and s.n_events == 3
+    assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
