@@ -75,13 +75,20 @@ def ngram_jaccard_pairs(
     # The inverted index feeds both self-join sides AND the size lookup —
     # persist it so tokenize/shingle/explode runs once, not 4x (at scale:
     # MEMORY_AND_DISK, the index is ~distinct-shingles-per-doc rows).
-    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    # Join on the 64-bit hash of the shingle, not the string: same
+    # intersection counts (collisions are ~n²/2⁶⁴), a fraction of the
+    # shuffle bytes — the join key is what gets shuffled twice.
+    sh = (
+        _doc_shingles(df, id_col, text_col, n, max_doc_freq)
+        .select("id", F.xxhash64("sh").alias("shk"))
+        .persist()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    a = sh.select(F.col("id").alias("id_a"), "shk")
+    b = sh.select(F.col("id").alias("id_b"), "shk")
     inter = (
-        a.join(b, on="sh")
+        a.join(b, on="shk")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
