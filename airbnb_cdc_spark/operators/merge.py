@@ -92,8 +92,51 @@ class ParquetMergeTable:
         fs, jpath = _fs(self.spark, self.path)
         return bool(fs.exists(jpath))
 
+    # Schema sidecar: lets read() return a typed empty frame when every
+    # row (hence every bucket dir) has been deleted. Spark ignores
+    # underscore-prefixed files in the table dir.
+    def _schema_path(self) -> str:
+        return f"{self.path}/_schema.json"
+
+    def _save_schema(self, df: DataFrame) -> None:
+        fs, _ = _fs(self.spark, self.path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        out = fs.create(Path(self._schema_path()), True)
+        out.write(bytearray(df.schema.json(), "utf-8"))
+        out.close()
+
+    def _load_schema(self):
+        from pyspark.sql import types as T
+
+        fs, _ = _fs(self.spark, self.path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        p = Path(self._schema_path())
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return T.StructType.fromJson(__import__("json").loads(data.decode("utf-8")))
+
+    def _has_buckets(self) -> bool:
+        fs, jpath = _fs(self.spark, self.path)
+        if not fs.exists(jpath):
+            return False
+        for status in fs.listStatus(jpath):
+            if status.getPath().getName().startswith(f"{BUCKET_COL}="):
+                return True
+        return False
+
     def read(self) -> DataFrame:
         """Current table contents (bucket column stripped)."""
+        if not self._has_buckets():
+            schema = self._load_schema()
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("basePath", self.path)
             .parquet(self.path)
@@ -118,6 +161,7 @@ class ParquetMergeTable:
         if fs.exists(jpath):
             fs.delete(jpath, True)
         fs.rename(jtmp, jpath)
+        self._save_schema(df)
 
     # -- merge -------------------------------------------------------------
 
@@ -157,6 +201,9 @@ class ParquetMergeTable:
             .parquet(tmp)
         )
 
+        self._swap_buckets(tmp, touched)
+
+    def _swap_buckets(self, tmp: str, touched: list[int]) -> None:
         fs, _ = _fs(self.spark, self.path)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
         for b in touched:
@@ -167,3 +214,38 @@ class ParquetMergeTable:
             if fs.exists(src):
                 fs.rename(src, dst)
         fs.delete(Path(tmp), True)
+
+    def delete(self, keys_df: DataFrame) -> None:
+        """CDC delete: remove rows whose key appears in ``keys_df``.
+        (Beyond the reference — its sink declares ``deletable: false`` —
+        but a complete CDC engine needs the tombstone path.) Same
+        bucket-pruned rewrite as merge."""
+        if not self.exists():
+            return
+        keyed = keys_df.select(*self.keys).dropDuplicates(self.keys)
+        keyed = keyed.withColumn(BUCKET_COL, self._bucket_expr())
+        touched = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        current = self.spark.read.option("basePath", self.path).parquet(self.path)
+        kept = current.filter(F.col(BUCKET_COL).isin(touched)).join(
+            keyed.select(*self.keys), on=self.keys, how="left_anti"
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        (
+            kept.repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        # A bucket whose every row was deleted produces no tmp dir; swap
+        # still removes the old dir so the deletion takes effect.
+        self._swap_buckets(tmp, touched)
+
+    def compact(self) -> None:
+        """Full rewrite into fresh single-file buckets (Delta OPTIMIZE
+        analog). Merges already replace whole bucket dirs, so files don't
+        accumulate per merge; compact matters after changing
+        ``num_buckets`` or to re-sort/re-encode cold data."""
+        if self.exists():
+            self.overwrite(self.read())

@@ -65,3 +65,28 @@ def test_merge_idempotent(spark, tmp_path):
     t.merge(batch)
     t.merge(batch)  # replay = no change (exactly-once-by-key)
     assert sorted((r.k, r.v) for r in t.read().collect()) == [("a", 1), ("b", 2)]
+
+
+def test_delete_keys(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([Row(k=f"k{i}", v=i) for i in range(20)]))
+    t.delete(spark.createDataFrame([Row(k="k3"), Row(k="k7"), Row(k="nope")]))
+    remaining = sorted(r.k for r in t.read().collect())
+    assert "k3" not in remaining and "k7" not in remaining
+    assert len(remaining) == 18
+
+
+def test_delete_entire_bucket(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "t1"), keys=["k"], num_buckets=2)
+    t.merge(spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))
+    t.delete(spark.createDataFrame([Row(k="a"), Row(k="b")]))
+    assert t.read().count() == 0
+
+
+def test_compact_preserves_rows(spark, tmp_path):
+    t = _table(spark, tmp_path, version_col="ver")
+    t.merge(spark.createDataFrame([Row(k=f"k{i}", v=i, ver=1) for i in range(50)]))
+    t.merge(spark.createDataFrame([Row(k="k1", v=-1, ver=2)]))
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact()
+    assert sorted(map(tuple, t.read().collect())) == before
