@@ -63,13 +63,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The driver's ``events`` table stores TIMESTAMP(NANOS) which Spark
     rejects natively; we read nanos as long and truncate to microseconds
-    (matching DuckDB's read of the same file)."""
+    (matching DuckDB's read of the same file). Session TZ is pinned to
+    UTC here too — the driver may run these queries in its own session,
+    and window/date_trunc boundaries must line up with the (TZ-naive)
+    DuckDB oracles."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # timestamp_ntz: collection to Python is wall-clock-exact
+        # regardless of the driver process's TZ (plain TIMESTAMP collects
+        # through the local zone), matching DuckDB's naive timestamps.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 
