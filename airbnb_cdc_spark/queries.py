@@ -699,3 +699,114 @@ FROM numbered GROUP BY user_id, session
 @query("user_sessions", _SESSION_ORACLE)
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# --------------------------------------------------------------------------
+# Engine-breadth queries beyond the reference's surface: rollup, top-N,
+# semi/anti joins — standard warehouse capabilities a switching user
+# expects, each oracle-checked.
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(n_name, '<all>') AS country,
+       COALESCE(o_orderstatus, '<all>') AS status,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+"""
+
+
+@query("rollup_country_status", _ROLLUP_ORACLE)
+def q_rollup_country_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("country"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+_TOPN_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT customer_id, total_spend, n_orders, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY total_spend DESC, customer_id) AS rnk
+    FROM spend
+) WHERE rnk <= 20
+"""
+
+
+@query("top_spenders", _TOPN_ORACLE)
+def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("customer_id").asc())
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("customer_id", "total_spend", "n_orders", "rnk")
+    )
+
+
+@query(
+    "semi_join_buyers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q_semi_join_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    confirmed = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return customer.join(
+        confirmed, customer.c_custkey == confirmed.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_never_bought",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def q_anti_join_never_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
