@@ -42,6 +42,8 @@ HEADLINE = [
     "events_windowed_agg",
     "user_sessions",
     "token_counts",
+    "rollup_country_status",
+    "top_spenders",
 ]
 
 
