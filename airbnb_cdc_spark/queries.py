@@ -810,3 +810,34 @@ def q_anti_join_never_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         pending, customer.c_custkey == pending.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+# -- skew-safe aggregation, oracle-checked against the plain GROUP BY -------
+
+from airbnb_cdc_spark.operators.skew import salted_agg  # noqa: E402
+
+
+@query(
+    "salted_status_totals",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(o_orderkey) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+        "o_orderkey",
+    )
+    out = salted_agg(
+        orders,
+        ["status"],
+        {"total_value": ("amt", "sum"), "n_orders": ("o_orderkey", "count")},
+        n_salts=16,
+    )
+    return out.select(
+        "status", F.col("total_value").cast("double").alias("total_value"), "n_orders"
+    )
