@@ -139,6 +139,7 @@ class ParquetMergeTable:
                 return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")  # tolerate evolved buckets
             .parquet(self.path)
             .drop(BUCKET_COL)
         )
@@ -165,9 +166,15 @@ class ParquetMergeTable:
 
     # -- merge -------------------------------------------------------------
 
-    def merge(self, updates: DataFrame) -> None:
+    def merge(self, updates: DataFrame, allow_schema_evolution: bool = False) -> None:
         """Upsert ``updates`` by key: matched rows replaced, new rows
-        inserted. Only buckets containing update keys are rewritten."""
+        inserted. Only buckets containing update keys are rewritten.
+
+        ``allow_schema_evolution`` is the reference's ``allowSchemaDrift``
+        / Delta ``mergeSchema``: new columns in ``updates`` widen the
+        table schema (existing rows get NULL); untouched buckets keep the
+        old files — parquet's per-file schema plus ``mergeSchema`` on
+        read reconciles them, exactly how Delta evolves in place."""
         if self.version_col is not None:
             updates = latest_per_key(updates, self.keys, self.version_col)
         else:
@@ -185,13 +192,20 @@ class ParquetMergeTable:
         if not touched:
             return
 
-        current = self.spark.read.option("basePath", self.path).parquet(self.path)
+        reader = self.spark.read.option("basePath", self.path)
+        if allow_schema_evolution:
+            reader = reader.option("mergeSchema", "true")
+        current = reader.parquet(self.path)
         current_touched = current.filter(F.col(BUCKET_COL).isin(touched))
 
         kept = current_touched.join(
             updates.select(*self.keys), on=self.keys, how="left_anti"
         )
-        merged = kept.unionByName(updates.select(kept.columns))
+        if allow_schema_evolution:
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+            self._save_schema(merged.drop(BUCKET_COL))
+        else:
+            merged = kept.unionByName(updates.select(kept.columns))
 
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         (

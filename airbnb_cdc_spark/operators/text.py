@@ -16,7 +16,6 @@ from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
     normalized_fingerprint,
     stopword_hits,
-    token_count,
     tokens,
 )
 

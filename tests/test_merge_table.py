@@ -90,3 +90,16 @@ def test_compact_preserves_rows(spark, tmp_path):
     before = sorted(map(tuple, t.read().collect()))
     t.compact()
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))
+    t.merge(
+        spark.createDataFrame([Row(k="b", v=20, extra="x"), Row(k="c", v=3, extra="y")]),
+        allow_schema_evolution=True,
+    )
+    out = {r.k: r for r in t.read().collect()}
+    assert out["b"].extra == "x" and out["c"].extra == "y"
+    assert out["a"].extra is None  # old rows widened with NULL
+    assert out["a"].v == 1 and out["b"].v == 20
