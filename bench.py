@@ -44,6 +44,9 @@ HEADLINE = [
     "token_counts",
     "rollup_country_status",
     "top_spenders",
+    "semi_join_buyers",
+    "anti_join_never_bought",
+    "salted_status_totals",
 ]
 
 
