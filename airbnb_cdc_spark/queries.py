@@ -841,3 +841,48 @@ def q_salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "status", F.col("total_value").cast("double").alias("total_value"), "n_orders"
     )
+
+
+# -- rolling-hash document fingerprint --------------------------------------
+# Polynomial (Horner) rolling hash over token hashes, entirely in exact
+# int64 arithmetic: h = (h*313 + tok_hash) mod 2^53. Order-sensitive
+# (unlike the md5 set fingerprint) — the classic streaming fingerprint.
+
+_ROLLING_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+    FROM documents
+), hashes AS (
+    SELECT doc_id,
+           list_transform(t, tok -> CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT)) AS h
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(h) = 0 THEN 0
+            ELSE list_reduce(h, (a, b) -> (a * 313 + b) % 9007199254740992)
+       END AS rolling_hash
+FROM hashes
+"""
+
+
+@query("rolling_fingerprint", _ROLLING_ORACLE)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.functions.textfns import tokens
+    from airbnb_cdc_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    M = 9007199254740992  # 2^53: keeps a*313 + b inside int64
+    rolling = F.when(F.size(tok_hashes) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.slice(tok_hashes, 2, F.size(tok_hashes) - 1),
+            F.element_at(tok_hashes, 1),
+            lambda a, b: (a * 313 + b) % F.lit(M),
+        )
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash"))
