@@ -210,3 +210,82 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_mod: int = 37,
+    centroid_rem: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic sample of the corpus acts as
+    centroids ("training" = pick every vec_id ≡ rem mod m — deterministic
+    so the DuckDB oracle reproduces it; a real deployment would k-means);
+    every vector is assigned to its nearest centroid (building the
+    inverted file), and a query probes only its own nearest centroid's
+    list (nprobe=1), with exact re-rank inside.
+
+    Scale: assignment is corpus × centroids with the centroid set
+    broadcast — linear in corpus size; the probe join touches one list
+    per query instead of the whole corpus. Raise nprobe / centroid count
+    to trade recall vs cost.
+    """
+    from pyspark.sql import Window
+
+    base = _with_quant(corpus, id_col, vec_col).persist()
+    cents = F.broadcast(
+        base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+            F.col(id_col).alias("cid"),
+            F.col("__q").alias("__qc"),
+            F.col("__norm").alias("__nc"),
+        )
+    )
+
+    def nearest_centroid(side: DataFrame, out_id: str) -> DataFrame:
+        scored = side.crossJoin(cents).withColumn(
+            "__cos",
+            _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
+        )
+        w = Window.partitionBy(side[id_col]).orderBy(
+            F.col("__cos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col(id_col).alias(out_id),
+                "cid",
+                F.col("__q").alias(f"__q_{out_id}"),
+                F.col("__norm").alias(f"__n_{out_id}"),
+            )
+        )
+
+    assigned = nearest_centroid(base, "neighbor_id")
+    probes = nearest_centroid(
+        _with_quant(queries, id_col, vec_col), "query_id"
+    )
+    scored = (
+        probes.join(assigned, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _pair_cosine(
+                F.col("__q_query_id"),
+                F.col("__q_neighbor_id"),
+                F.col("__n_query_id"),
+                F.col("__n_neighbor_id"),
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -886,3 +886,43 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", rolling.alias("rolling_hash"))
+
+
+# -- IVF ANN (inverted-file variant; centroids = deterministic sample) ------
+
+_IVF_ORACLE = f"""
+WITH {_QUANT_CTE},
+cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
+assign AS (
+    SELECT vec_id, cid, qe FROM (
+        SELECT a.vec_id, c.cid, a.qe,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * c.ce[i])) AS DOUBLE)
+                            / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS DOUBLE))
+                               * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])) AS DOUBLE))) DESC,
+                            c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65), i -> p.qe[i] * n.qe[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> p.qe[i] * p.qe[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * n.qe[i])) AS DOUBLE))) AS cosine
+    FROM assign p JOIN assign n ON p.cid = n.cid
+    WHERE p.vec_id % 50 = 0 AND p.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_topk_ivf", _IVF_ORACLE)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.ivf_topk(emb, queries_df, k=5)

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "dedup_embedding_cosine",
     "multimodal_features",
     "events_windowed_agg",
