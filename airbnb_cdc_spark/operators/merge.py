@@ -26,9 +26,12 @@ Design for 100 TB:
   atomic there).
 
 Semantics: MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-INSERT * — update rows win over existing rows on key equality. Within a
-batch, ``version_col`` picks the last writer per key (the reference's
-``desc(updated_at)`` lookup tie-break).
+INSERT * — whole-row replace on key equality. With ``version_col`` set,
+last-writer-wins holds both *within* a batch (dedup to the max version)
+and *across* batches (an update older than the stored row is discarded;
+ties go to the update) — so out-of-order CDC arrivals are absorbed
+without watermarks, exactly the reference's ``desc(updated_at)`` stance.
+Without ``version_col``, updates unconditionally replace matched rows.
 """
 
 from __future__ import annotations
@@ -174,13 +177,18 @@ class ParquetMergeTable:
         / Delta ``mergeSchema``: new columns in ``updates`` widen the
         table schema (existing rows get NULL); untouched buckets keep the
         old files — parquet's per-file schema plus ``mergeSchema`` on
-        read reconciles them, exactly how Delta evolves in place."""
+        read reconciles them, exactly how Delta evolves in place. After a
+        table has evolved, a merge whose updates *lack* the evolved
+        columns fails fast (S5 contract) unless
+        ``allow_schema_evolution=True``, which fills them with NULL."""
         if self.version_col is not None:
             updates = latest_per_key(updates, self.keys, self.version_col)
         else:
             updates = updates.dropDuplicates(self.keys)
 
-        if not self.exists():
+        if not self._has_buckets():
+            # Missing table, or one whose every row was deleted (only the
+            # _schema.json sidecar remains) — either way a fresh load.
             self.overwrite(updates)
             return
 
@@ -192,20 +200,36 @@ class ParquetMergeTable:
         if not touched:
             return
 
-        reader = self.spark.read.option("basePath", self.path)
-        if allow_schema_evolution:
-            reader = reader.option("mergeSchema", "true")
-        current = reader.parquet(self.path)
+        # mergeSchema unconditionally: after an evolving merge only the
+        # touched buckets carry the wider footer; plain inference would
+        # pick an arbitrary file and could silently drop the evolved
+        # column from whichever bucket this merge rewrites.
+        current = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+        )
         current_touched = current.filter(F.col(BUCKET_COL).isin(touched))
 
-        kept = current_touched.join(
-            updates.select(*self.keys), on=self.keys, how="left_anti"
-        )
+        # Union + single window pass implements whole-row MERGE with
+        # last-writer-wins: order by version desc (when configured), then
+        # source priority so an update beats the stored row on a tie.
+        # One shuffle on the keys — same cost as the anti-join + union it
+        # replaces, but honoring version order ACROSS batches too.
+        cur_marked = current_touched.withColumn("__src", F.lit(0))
+        upd_marked = updates.withColumn("__src", F.lit(1))
         if allow_schema_evolution:
-            merged = kept.unionByName(updates, allowMissingColumns=True)
-            self._save_schema(merged.drop(BUCKET_COL))
+            combined = cur_marked.unionByName(upd_marked, allowMissingColumns=True)
+            self._save_schema(combined.drop(BUCKET_COL, "__src"))
         else:
-            merged = kept.unionByName(updates.select(kept.columns))
+            combined = cur_marked.unionByName(upd_marked.select(cur_marked.columns))
+
+        if self.version_col is not None:
+            merged = latest_per_key(
+                combined, self.keys, self.version_col, tie_breaks=["__src"]
+            ).drop("__src")
+        else:
+            merged = latest_per_key(combined, self.keys, "__src").drop("__src")
 
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         (
@@ -234,14 +258,18 @@ class ParquetMergeTable:
         (Beyond the reference — its sink declares ``deletable: false`` —
         but a complete CDC engine needs the tombstone path.) Same
         bucket-pruned rewrite as merge."""
-        if not self.exists():
+        if not self._has_buckets():
             return
         keyed = keys_df.select(*self.keys).dropDuplicates(self.keys)
         keyed = keyed.withColumn(BUCKET_COL, self._bucket_expr())
         touched = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        current = self.spark.read.option("basePath", self.path).parquet(self.path)
+        current = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+        )
         kept = current.filter(F.col(BUCKET_COL).isin(touched)).join(
             keyed.select(*self.keys), on=self.keys, how="left_anti"
         )

@@ -21,9 +21,17 @@ version dedup, across batches because a later batch's merge overwrites.
 Scale notes:
 - ``maxFilesPerTrigger`` bounds micro-batch size so a backlog replay
   can't build one giant batch.
-- The per-batch lookup reads only the fact-table buckets the batch's
-  keys hash to (ParquetMergeTable pruning); the batch side is small, so
-  AQE broadcasts it into the join.
+- The streaming path does NOT join against the fact table per batch:
+  ``ParquetMergeTable.merge`` already implements keyed upsert with
+  last-writer-wins on ``version_col``, touching only the buckets the
+  batch's keys hash to — a per-batch lookup would re-read the table just
+  to compute insert/update flags the merge derives anyway. The
+  lookup+flags shape remains available via ``transform_booking_batch``
+  for the batch-mode parity path.
+- Bad records (reference's ``BadRecords`` split branch, a dead end in
+  the reference dataflow) can be quarantined to a side parquet dir:
+  append-only, at-least-once on micro-batch retry (the fact merge stays
+  exactly-once by key; quarantine consumers must tolerate replays).
 - The checkpoint directory is the ADF ``customizedCheckpointKey``: a new
   checkpoint = ``changeFeedStartFromTheBeginning``.
 """
@@ -74,11 +82,16 @@ BOOKING_RAW_SCHEMA = T.StructType(
 FINAL_COLUMNS = list(BOOKING_SINK_CONTRACT)
 
 
+def split_booking_batch(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """O3 contract cast then O1 quality split → ``(bad, accepted)``."""
+    typed = cast_to_contract(raw, BOOKING_SINK_CONTRACT)
+    return quality_split(typed)
+
+
 def transform_booking_batch(raw: DataFrame, current_fact: DataFrame | None) -> DataFrame:
     """The dataflow body: O3 cast → O1 quality split → O5 lookup → O7
     flags → O2 final projection (plus the action marker)."""
-    typed = cast_to_contract(raw, BOOKING_SINK_CONTRACT)
-    _bad, accepted = quality_split(typed)
+    _bad, accepted = split_booking_batch(raw)
 
     if current_fact is not None:
         probe = current_fact.select(
@@ -112,14 +125,20 @@ def run_booking_fact_stream(
     fact_table: ParquetMergeTable,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> None:
     """Process everything currently in the feed (Trigger.AvailableNow),
-    checkpointed so a re-run resumes where it left off (C4)."""
+    checkpointed so a re-run resumes where it left off (C4). With
+    ``quarantine_dir``, rows failing the quality split are appended
+    there instead of being dropped."""
 
     def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        current = fact_table.read() if fact_table.exists() else None
-        out = transform_booking_batch(batch_df, current).drop(ACTION_COL)
-        fact_table.merge(out)
+        bad, accepted = split_booking_batch(batch_df)
+        if quarantine_dir is not None:
+            bad.select(*FINAL_COLUMNS).write.mode("append").parquet(quarantine_dir)
+        # merge() is the upsert: LWW on version_col absorbs in-batch and
+        # cross-batch disorder; no per-batch fact-table lookup needed.
+        fact_table.merge(accepted.select(*FINAL_COLUMNS))
 
     stream = read_booking_stream(spark, feed_dir, max_files_per_trigger)
     query = (

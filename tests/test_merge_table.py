@@ -92,6 +92,50 @@ def test_compact_preserves_rows(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == before
 
 
+def test_merge_lww_across_batches(spark, tmp_path):
+    """An update older than the stored row is discarded; a tie goes to
+    the update (whole-row replace)."""
+    t = _table(spark, tmp_path, version_col="ver")
+    t.merge(spark.createDataFrame([Row(k="a", v=1, ver=5)]))
+    t.merge(spark.createDataFrame([Row(k="a", v=99, ver=3)]))  # stale: ignored
+    assert [(r.v, r.ver) for r in t.read().collect()] == [(1, 5)]
+    t.merge(spark.createDataFrame([Row(k="a", v=7, ver=5)]))  # tie: update wins
+    assert [(r.v, r.ver) for r in t.read().collect()] == [(7, 5)]
+    t.merge(spark.createDataFrame([Row(k="a", v=8, ver=6)]))  # newer: wins
+    assert [(r.v, r.ver) for r in t.read().collect()] == [(8, 6)]
+
+
+def test_merge_after_delete_all(spark, tmp_path):
+    """Emptying every bucket leaves only the schema sidecar; the next
+    merge/delete must behave like a fresh load, not throw."""
+    t = ParquetMergeTable(spark, str(tmp_path / "t2"), keys=["k"], num_buckets=2)
+    t.merge(spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))
+    t.delete(spark.createDataFrame([Row(k="a"), Row(k="b")]))
+    assert t.read().count() == 0
+    t.delete(spark.createDataFrame([Row(k="a")]))  # no-op on empty
+    t.merge(spark.createDataFrame([Row(k="c", v=3)]))
+    assert [(r.k, r.v) for r in t.read().collect()] == [("c", 3)]
+
+
+def test_merge_without_evolution_fails_fast_on_missing_column(spark, tmp_path):
+    """After the table evolved, a merge lacking the evolved column must
+    fail fast (S5) rather than silently dropping it from the bucket."""
+    import pytest
+
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([Row(k="a", v=1)]))
+    t.merge(
+        spark.createDataFrame([Row(k="b", v=2, extra="x")]),
+        allow_schema_evolution=True,
+    )
+    with pytest.raises(Exception):
+        t.merge(spark.createDataFrame([Row(k="a", v=10)]))
+    # the evolved column survives an allowed-evolution merge of old-shape rows
+    t.merge(spark.createDataFrame([Row(k="a", v=10)]), allow_schema_evolution=True)
+    out = {r.k: r for r in t.read().collect()}
+    assert out["b"].extra == "x" and out["a"].v == 10 and out["a"].extra is None
+
+
 def test_merge_schema_evolution(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.merge(spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))

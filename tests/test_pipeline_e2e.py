@@ -83,6 +83,29 @@ def test_booking_cdc_stream_and_aggregation(spark, tmp_path):
     assert canc == len(facts["cancelled_ids"])
 
 
+def test_bad_records_quarantine(spark, tmp_path):
+    """The BadRecords branch lands in the quarantine sink (typed, same
+    contract columns) instead of being silently dropped."""
+    feed = tmp_path / "feed"
+    facts = write_booking_feed(feed, n_bookings=40, cancel_pct=0.05, n_bad=3)
+    fact = ParquetMergeTable(
+        spark, str(tmp_path / "fact"), keys=["booking_id"], version_col="updated_at"
+    )
+    qdir = str(tmp_path / "quarantine")
+    run_booking_fact_stream(
+        spark, str(feed), fact, str(tmp_path / "ckpt"), quarantine_dir=qdir
+    )
+    bad = spark.read.parquet(qdir)
+    assert bad.count() == facts["n_bad"]
+    # every quarantined row violates the quality predicate
+    assert bad.filter(F.col("checkout_date") >= F.col("checkin_date")).count() == 0
+    # none of the quarantined ids leaked into the fact table
+    bad_ids = {r.booking_id for r in bad.select("booking_id").collect()}
+    leaked = fact.read().filter(F.col("booking_id").isin(list(bad_ids)))
+    assert leaked.count() == 0
+    assert fact.read().count() == facts["n_inserted"]
+
+
 def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
     """C4: a second run with the same checkpoint skips consumed files and
     picks up only new ones."""
