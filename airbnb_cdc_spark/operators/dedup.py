@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airbnb_cdc_spark.functions.textfns import normalized_fingerprint, shingles, tokens
-from airbnb_cdc_spark.session import ensure_parallelism
+from airbnb_cdc_spark.session import ensure_parallelism, persist_tracked
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -46,21 +46,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+AUTO = "auto"
+
+
 def _doc_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | str | None,
 ) -> DataFrame:
-    """(id, shingle) inverted index over distinct shingles per doc."""
+    """(id, shingle) inverted index over distinct shingles per doc.
+
+    ``max_doc_freq`` drops stop-shingles: a shingle present in a large
+    fraction of the corpus generates O(n²) candidate pairs in any
+    shingle-join, so frequency-capping is what keeps the self-join
+    linear-ish at 100 TB. ``AUTO`` derives the cap from the corpus size
+    as ``max(2, n_docs // 100)`` — computed lazily via a broadcast
+    one-row count join, so no driver-side action is triggered."""
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
     )
-    if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
-            sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="sh", how="inner")
-            .select("id", "sh")
+    if max_doc_freq is None:
+        return sh
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    if max_doc_freq == AUTO:
+        total = df.select(F.count(F.lit(1)).alias("__n"))
+        freq = freq.join(F.broadcast(total)).filter(
+            F.col("__df")
+            <= F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
         )
-    return sh
+    else:
+        freq = freq.filter(F.col("__df") <= max_doc_freq)
+    return sh.join(freq.select("sh"), on="sh", how="inner").select("id", "sh")
 
 
 def ngram_jaccard_pairs(
@@ -69,19 +88,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = AUTO,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b) with n-gram Jaccard >= threshold."""
+    """Near-duplicate pairs (id_a < id_b) with n-gram Jaccard >= threshold
+    over the frequency-capped shingle sets (stop-shingles excluded — the
+    default AUTO cap is what bounds candidate generation at scale)."""
     # The inverted index feeds both self-join sides AND the size lookup —
     # persist it so tokenize/shingle/explode runs once, not 4x (at scale:
     # MEMORY_AND_DISK, the index is ~distinct-shingles-per-doc rows).
     # Join on the 64-bit hash of the shingle, not the string: same
     # intersection counts (collisions are ~n²/2⁶⁴), a fraction of the
     # shuffle bytes — the join key is what gets shuffled twice.
-    sh = (
+    sh = persist_tracked(
         _doc_shingles(df, id_col, text_col, n, max_doc_freq)
         .select("id", F.xxhash64("sh").alias("shk"))
-        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -113,10 +133,11 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     k: int = 8,
+    max_doc_freq: int | str | None = AUTO,
 ) -> DataFrame:
     """k MinHash values per doc: min over shingles of md5(j ':' shingle).
     One explode + one groupBy; signature row stays tiny (k hex strings)."""
-    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq=None)
+    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
         for j in range(k)
@@ -132,12 +153,15 @@ def minhash_lsh_pairs(
     k: int = 8,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_doc_freq: int | str | None = AUTO,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
-    Jaccard: shingle → minhash → band → bucket-join → verify."""
+    Jaccard: shingle → minhash → band → bucket-join → verify. The
+    frequency cap applies to the shared index, so both the signatures
+    and the verify stage see the capped shingle sets."""
     # One shared inverted index for signature build, candidate verify,
     # and size lookup (see ngram_jaccard_pairs on why persist).
-    sh_all = _doc_shingles(df, id_col, text_col, n, max_doc_freq=None).persist()
+    sh_all = persist_tracked(_doc_shingles(df, id_col, text_col, n, max_doc_freq))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
         for j in range(k)
@@ -195,16 +219,26 @@ def simhash(
     """Signed bit-vote SimHash over distinct tokens. Bit i's vote for a
     token is the parity of hex digit i of md5(token) (>= '8' → +1).
     Pure projection — fingerprints then group/join however the caller
-    wants (equal simhash = near-dup candidate)."""
+    wants (equal simhash = near-dup candidate).
+
+    Each token is md5'd exactly ONCE: the hex array lives in its own
+    projection (CollapseProject keeps a non-cheap alias referenced by
+    many expressions materialized, and codegen CSE doesn't reach inside
+    lambda bodies), and the ``bits`` bit-votes are derived from the
+    cached hex strings with cheap substring compares."""
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
+    hexed = base.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.md5(t)).alias("__hex"),
+    )
 
-    def vote_fn(i: int):
-        # NB: the lambda must take exactly one arg — a second arg would be
-        # interpreted by PySpark as the array-index parameter.
-        def fn(t):
-            return F.when(
-                F.substring(F.md5(t), i + 1, 1).isin(
+    def vote_adder(i: int):
+        # factory: the closure must bind i per bit (a loop-shared lambda
+        # would capture the final i).
+        def fn(acc, h):
+            return acc + F.when(
+                F.substring(h, i + 1, 1).isin(
                     "8", "9", "a", "b", "c", "d", "e", "f"
                 ),
                 F.lit(1),
@@ -215,13 +249,9 @@ def simhash(
     bit_votes = []
     for i in range(bits):
         # vote_i = sum over tokens of +-1; bit set iff vote > 0
-        vote = F.aggregate(
-            F.transform(F.col("__toks"), vote_fn(i)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
+        vote = F.aggregate(F.col("__hex"), F.lit(0), vote_adder(i))
         bit_votes.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     total = bit_votes[0]
     for b in bit_votes[1:]:
         total = total + b
-    return base.select(id_col, total.cast("long").alias("simhash"))
+    return hexed.select(id_col, total.cast("long").alias("simhash"))

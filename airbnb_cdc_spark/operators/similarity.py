@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from airbnb_cdc_spark.session import ensure_parallelism
+from airbnb_cdc_spark.session import ensure_parallelism, persist_tracked
 
 QUANT = 1_000_000
 
@@ -185,12 +185,14 @@ def cosine_neardup_pairs(
     replaces the n² cross product; near-identical vectors land in the
     same bucket with high probability (raise tables/bits for recall)."""
     planes = [hyperplane(j, dim) for j in range(bits)]
-    base = _with_quant(df, id_col, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.col("__q"),
-        F.col("__norm"),
-        lsh_bucket(F.col("__q"), planes).alias("bucket"),
-    ).persist()  # quantize + bucket once; feeds both self-join sides
+    base = persist_tracked(
+        _with_quant(df, id_col, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col("__q"),
+            F.col("__norm"),
+            lsh_bucket(F.col("__q"), planes).alias("bucket"),
+        )
+    )  # quantize + bucket once; feeds both self-join sides
     a = base.select(
         F.col("id").alias("id_a"), F.col("__q").alias("__qa"),
         F.col("__norm").alias("__na"), "bucket",
@@ -220,22 +222,23 @@ def ivf_topk(
     k: int = 5,
     centroid_mod: int = 37,
     centroid_rem: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic sample of the corpus acts as
     centroids ("training" = pick every vec_id ≡ rem mod m — deterministic
     so the DuckDB oracle reproduces it; a real deployment would k-means);
     every vector is assigned to its nearest centroid (building the
-    inverted file), and a query probes only its own nearest centroid's
-    list (nprobe=1), with exact re-rank inside.
+    inverted file), and a query probes its ``nprobe`` nearest centroids'
+    lists, with exact re-rank inside.
 
     Scale: assignment is corpus × centroids with the centroid set
-    broadcast — linear in corpus size; the probe join touches one list
-    per query instead of the whole corpus. Raise nprobe / centroid count
-    to trade recall vs cost.
+    broadcast — linear in corpus size; the probe join touches ``nprobe``
+    lists per query instead of the whole corpus (~nprobe/n_centroids of
+    the corpus). Raise nprobe / centroid count to trade recall vs cost.
     """
     from pyspark.sql import Window
 
-    base = _with_quant(corpus, id_col, vec_col).persist()
+    base = persist_tracked(_with_quant(corpus, id_col, vec_col))
     cents = F.broadcast(
         base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
             F.col(id_col).alias("cid"),
@@ -244,7 +247,7 @@ def ivf_topk(
         )
     )
 
-    def nearest_centroid(side: DataFrame, out_id: str) -> DataFrame:
+    def nearest_centroids(side: DataFrame, out_id: str, n: int) -> DataFrame:
         scored = side.crossJoin(cents).withColumn(
             "__cos",
             _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
@@ -254,7 +257,7 @@ def ivf_topk(
         )
         return (
             scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col("__rn") <= n)
             .select(
                 F.col(id_col).alias(out_id),
                 "cid",
@@ -263,9 +266,9 @@ def ivf_topk(
             )
         )
 
-    assigned = nearest_centroid(base, "neighbor_id")
-    probes = nearest_centroid(
-        _with_quant(queries, id_col, vec_col), "query_id"
+    assigned = nearest_centroids(base, "neighbor_id", 1)
+    probes = nearest_centroids(
+        _with_quant(queries, id_col, vec_col), "query_id", nprobe
     )
     scored = (
         probes.join(assigned, on="cid")

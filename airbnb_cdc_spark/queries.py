@@ -353,6 +353,16 @@ sh AS (
 )
 """
 
+# Frequency-capped inverted index: stop-shingles (doc freq above
+# max(2, n_docs // 100)) dropped — mirrors dedup.AUTO exactly.
+_SH_CAP_CTE = """
+shf AS (
+    SELECT sh FROM sh GROUP BY sh
+    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
+),
+shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN shf USING (sh))
+"""
+
 
 def _stop_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
@@ -435,16 +445,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_VERIFY = """
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-    FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+    FROM shc a JOIN shc b USING (sh) WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 """
 
 _NGRAM_JACCARD_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_JACCARD_VERIFY}
+WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY}
 SELECT id_a, id_b,
        CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
 FROM inter
@@ -465,13 +475,14 @@ def _minhash_bands_sql(k: int = 8, band_size: int = 2) -> str:
     mins = ", ".join(
         f"min(md5('{j}:' || sh)) AS mh{j}" for j in range(k)
     )
+    # signatures, like the verify stage, are built from the CAPPED index
     bands = ", ".join(
         "concat_ws('|', '%d', %s)"
         % (b, ", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
         for b in range(k // band_size)
     )
     return f"""
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM shc GROUP BY doc_id),
 bands AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
 cand AS (
     SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -481,13 +492,13 @@ cand AS (
 
 
 _MINHASH_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_minhash_bands_sql()},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_minhash_bands_sql()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
     SELECT c.id_a, c.id_b, count(*) AS i
     FROM cand c
-    JOIN sh a ON a.doc_id = c.id_a
-    JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+    JOIN shc a ON a.doc_id = c.id_a
+    JOIN shc b ON b.doc_id = c.id_b AND b.sh = a.sh
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -934,3 +945,55 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return _sim.ivf_topk(emb, queries_df, k=5)
+
+
+def _cos_sql(a: str, b: str, av: str = "qe", bv: str = "qe") -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> {a}.{av}[i] * {b}.{bv}[i])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> {a}.{av}[i] * {a}.{av}[i])) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> {b}.{bv}[i] * {b}.{bv}[i])) AS DOUBLE)))"
+    )
+
+
+# nprobe=2 variant: queries probe their TWO nearest centroids' lists —
+# higher recall at ~2x the probed fraction of the corpus.
+_IVF_NPROBE_ORACLE = f"""
+WITH {_QUANT_CTE},
+cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
+assign AS (
+    SELECT vec_id, cid, qe FROM (
+        SELECT a.vec_id, c.cid, a.qe,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id, cid, qe FROM (
+        SELECT a.vec_id, c.cid, a.qe,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c WHERE a.vec_id % 50 = 0
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id, {_cos_sql('p', 'n')} AS cosine
+    FROM probe p JOIN assign n ON p.cid = n.cid
+    WHERE p.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_topk_ivf_nprobe", _IVF_NPROBE_ORACLE)
+def q_ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.ivf_topk(emb, queries_df, k=5, nprobe=2)

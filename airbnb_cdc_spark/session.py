@@ -98,6 +98,37 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df.repartition(min_parts)
 
 
+# Persisted-DataFrame registry: operators that cache a shared index
+# (dedup inverted indexes, quantized embedding tables) register it here
+# so a long-lived engine session can release the cached partitions after
+# the result is materialized, instead of leaking them until LRU eviction.
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register for ``release_cached``."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_cached() -> int:
+    """Unpersist every tracked DataFrame (call after consuming a query's
+    result — the plans stay valid, later reuse just recomputes). Returns
+    the number released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for spark.sql queries."""
     for name in TABLES:

@@ -20,7 +20,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from airbnb_cdc_spark import queries as q  # noqa: E402
-from airbnb_cdc_spark.session import get_spark  # noqa: E402
+from airbnb_cdc_spark.session import get_spark, release_cached  # noqa: E402
 
 HEADLINE = [
     "booking_customer_aggregation",
@@ -68,6 +68,7 @@ def main() -> None:
             q.QUERIES[name](spark, warm_dir).count()
         except Exception:
             pass
+        release_cached()
 
     # min-of-2 runs per query: wall-clock on a busy shared box is noisy;
     # the min is the honest steady-state figure.
@@ -79,6 +80,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            # release per-query cached indexes so queries are timed cold
+            # and cached partitions don't accumulate across the suite
+            release_cached()
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -19,7 +19,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as e  # noqa: E402
-from airbnb_cdc_spark.session import TABLES, get_spark  # noqa: E402
+from airbnb_cdc_spark.session import TABLES, get_spark, release_cached  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -60,6 +60,7 @@ def main() -> int:
         sdf = fn(spark, SF_DIR)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
+        release_cached()
         if name not in oracles:
             print(f"{name}: rows-only check, {len(s_rows)} rows")
             continue
