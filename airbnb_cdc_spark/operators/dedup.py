@@ -213,6 +213,42 @@ def minhash_lsh_pairs(
     )
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup for a document *stream*: keep the first arrival per
+    normalized-text fingerprint, dropping re-arrivals whose event time is
+    within ``watermark`` of the first (``dropDuplicatesWithinWatermark``
+    — state for a fingerprint is evicted once the watermark passes it, so
+    state size is bounded by the dedup horizon, not the corpus). Note the
+    guarantee is one-sided: dups within the horizon are always dropped;
+    dups *beyond* it are dropped too while the state happens to live
+    (eviction runs as the watermark advances between micro-batches) and
+    re-admitted after.
+
+    Batch input degrades to the plain fingerprint dedup (first row per
+    fingerprint in storage order) so one call site serves both modes.
+
+    Scale: one shuffle on the fingerprint; state store per fingerprint
+    key within the horizon. At 100 TB/day the horizon (not the corpus)
+    bounds memory — widen it only as far as re-delivery actually spans.
+    """
+    fp = df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    if df.isStreaming:
+        return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return fp.dropDuplicates(["fingerprint"])
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -75,9 +75,23 @@ def list_files(spark: SparkSession, folder: str, suffix: str = ".csv") -> list[s
     return sorted(out)
 
 
-def archive_file(spark: SparkSession, raw_dir: str, archive_dir: str, name: str) -> None:
-    """S6+S7: move the consumed file to the archive folder (archive copy
-    then delete of the raw file, collapsed into one rename)."""
+def archive_file(
+    spark: SparkSession,
+    raw_dir: str,
+    archive_dir: str,
+    name: str,
+    rewrite_quoted: bool = False,
+) -> None:
+    """S6+S7: move the consumed file to the archive folder.
+
+    Default: archive copy + raw delete collapsed into one rename (same
+    end state, no byte rewrite). ``rewrite_quoted=True`` reproduces the
+    reference's Copy-activity archive exactly: the file is re-written
+    through the CSV dialect with every field quoted (``quoteAllText:
+    true``, ``pipeline/New_LoadCustomerDim.json:152-162``,
+    ``dataset/New_CustomerDataArchive.json:13-19``), then the raw file
+    is deleted. The rewrite is a single-file Spark write (coalesce(1) —
+    feed files are ingest-sized, not data-sized)."""
     fs, _ = _fs(spark, raw_dir)
     Path = spark._jvm.org.apache.hadoop.fs.Path
     dst_dir = Path(archive_dir)
@@ -87,4 +101,25 @@ def archive_file(spark: SparkSession, raw_dir: str, archive_dir: str, name: str)
     dst = Path(posixpath.join(archive_dir, name))
     if fs.exists(dst):
         fs.delete(dst, False)
-    fs.rename(src, dst)
+    if not rewrite_quoted:
+        fs.rename(src, dst)
+        return
+    df = read_customer_csv(spark, posixpath.join(raw_dir, name))
+    tmp = posixpath.join(archive_dir, f"_tmp_{name}")
+    (
+        df.coalesce(1)
+        .write.option("header", True)
+        .option("quoteAll", True)
+        .option("quote", '"')
+        .option("escape", "\\")
+        .mode("overwrite")
+        .csv(tmp)
+    )
+    part = next(
+        s.getPath()
+        for s in fs.listStatus(Path(tmp))
+        if s.getPath().getName().startswith("part-")
+    )
+    fs.rename(part, dst)
+    fs.delete(Path(tmp), True)
+    fs.delete(src, False)

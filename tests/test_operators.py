@@ -131,3 +131,35 @@ def test_aggregation_empty_group_avgs_null(spark):
     r = booking_customer_aggregation(fact, dim).collect()[0]
     assert r.cancelled_avg_amount is None
     assert r.cancelled_bookings == 0 and r.cancelled_amount == 0.0
+
+
+def test_archive_rewrite_quoted(spark, tmp_path):
+    """S6 fidelity: rewrite_quoted archives a re-quoted CSV (every field
+    quoted, reference's quoteAllText) and deletes the raw file; the
+    archived file round-trips through the dialect reader."""
+    from airbnb_cdc_spark.sources.customer_csv import archive_file, read_customer_csv
+    from tests.fixtures import write_customer_csvs
+
+    raw, archive = tmp_path / "raw", tmp_path / "archive"
+    write_customer_csvs(raw, n_base=10)
+    name = "customer_feed_00_base.csv"
+    before = read_customer_csv(spark, str(raw / name)).collect()
+
+    archive_file(spark, str(raw), str(archive), name, rewrite_quoted=True)
+    assert not (raw / name).exists()
+    assert (archive / name).is_file()
+
+    text = (archive / name).read_text().splitlines()
+    # every data field is quoted (quoteAllText: true): re-serializing the
+    # parsed fields with QUOTE_ALL reproduces the line byte-for-byte
+    import csv as _csv
+    import io
+
+    for line in text[1:4]:
+        fields = next(_csv.reader([line]))
+        buf = io.StringIO()
+        _csv.writer(buf, quoting=_csv.QUOTE_ALL, lineterminator="").writerow(fields)
+        assert buf.getvalue() == line
+
+    after = read_customer_csv(spark, str(archive / name)).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

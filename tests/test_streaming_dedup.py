@@ -1,0 +1,92 @@
+"""Streaming exact dedup: first arrival per fingerprint wins; re-arrivals
+within the watermark horizon are dropped, including across micro-batches."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+from pyspark.sql import types as T
+
+from airbnb_cdc_spark.operators.dedup import streaming_exact_dedup
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2025, 6, 1, 9, 0)
+
+    def doc(i, minutes, text):
+        return {
+            "doc_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).isoformat(sep=" "),
+            "text": text,
+        }
+
+    # batch 0: three distinct texts + one duplicate of doc 1
+    b0 = [
+        doc(1, 0, "alpha beta gamma"),
+        doc(2, 1, "delta epsilon zeta"),
+        doc(3, 2, "alpha  BETA gamma"),  # normalized dup of doc 1
+        doc(4, 3, "eta theta iota"),
+    ]
+    # batch 1 (separate file → separate micro-batch): a cross-batch dup
+    # of doc 2 within the horizon, plus a genuinely new doc
+    b1 = [
+        doc(5, 10, "delta epsilon zeta"),
+        doc(6, 11, "kappa lambda mu"),
+    ]
+    import os
+    import time
+
+    with open(feed / "b0.json", "w") as f:
+        for r in b0:
+            f.write(json.dumps(r) + "\n")
+    with open(feed / "b1.json", "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    # the file source orders micro-batches by modification time — pin it
+    now = time.time()
+    os.utime(feed / "b0.json", (now - 60, now - 60))
+    os.utime(feed / "b1.json", (now, now))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    deduped = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.doc_id for r in spark.table("dedup_out").collect()}
+    # docs 3 (in-batch dup) and 5 (cross-batch dup) dropped
+    assert out == {1, 2, 4, 6}
+
+
+def test_batch_fallback_matches_streaming_semantics(spark):
+    rows = [
+        (1, datetime(2025, 6, 1), "alpha beta"),
+        (2, datetime(2025, 6, 1), "alpha   beta"),
+        (3, datetime(2025, 6, 1), "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    out = streaming_exact_dedup(df)
+    assert out.count() == 2
+    assert {r[0] for r in out.select("fingerprint").distinct().collect()} == {
+        r[0] for r in out.select("fingerprint").collect()
+    }
