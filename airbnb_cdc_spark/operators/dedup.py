@@ -70,16 +70,47 @@ def _doc_shingles(
     )
     if max_doc_freq is None:
         return sh
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    # Single-pass cap: count-over-window on the shingle partition — ONE
+    # shuffle of the index and no recompute of the (expensive) tokenize/
+    # shingle/explode, vs. the groupBy+self-join formulation which scans
+    # the raw index twice and shuffles it twice.
+    w = Window.partitionBy("sh")
+    counted = sh.withColumn("__df", F.count(F.lit(1)).over(w))
     if max_doc_freq == AUTO:
         total = df.select(F.count(F.lit(1)).alias("__n"))
-        freq = freq.join(F.broadcast(total)).filter(
+        counted = counted.join(F.broadcast(total)).filter(
             F.col("__df")
             <= F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
         )
     else:
-        freq = freq.filter(F.col("__df") <= max_doc_freq)
-    return sh.join(freq.select("sh"), on="sh", how="inner").select("id", "sh")
+        counted = counted.filter(F.col("__df") <= max_doc_freq)
+    return counted.select("id", "sh")
+
+
+def _shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | str | None,
+    threshold: float,
+) -> DataFrame:
+    """Per-doc sorted array of 64-bit shingle hashes, with its size and
+    prefix length for threshold ``threshold`` (see ngram_jaccard_pairs)."""
+    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq).select(
+        "id", F.xxhash64("sh").alias("h")
+    )
+    sz = F.size("hs")
+    return (
+        sh.groupBy("id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        .select(
+            "id",
+            "hs",
+            sz.alias("sz"),
+            (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int").alias("plen"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -92,30 +123,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with n-gram Jaccard >= threshold
     over the frequency-capped shingle sets (stop-shingles excluded — the
-    default AUTO cap is what bounds candidate generation at scale)."""
-    # The inverted index feeds both self-join sides AND the size lookup —
-    # persist it so tokenize/shingle/explode runs once, not 4x (at scale:
-    # MEMORY_AND_DISK, the index is ~distinct-shingles-per-doc rows).
-    # Join on the 64-bit hash of the shingle, not the string: same
-    # intersection counts (collisions are ~n²/2⁶⁴), a fraction of the
-    # shuffle bytes — the join key is what gets shuffled twice.
-    sh = persist_tracked(
-        _doc_shingles(df, id_col, text_col, n, max_doc_freq)
-        .select("id", F.xxhash64("sh").alias("shk"))
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    default AUTO cap is what bounds candidate generation at scale).
 
-    a = sh.select(F.col("id").alias("id_a"), "shk")
-    b = sh.select(F.col("id").alias("id_b"), "shk")
-    inter = (
-        a.join(b, on="shk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    Candidate generation uses *prefix filtering* (the SSJoin/PPJoin
+    family): with every doc's shingle-hash set sorted by one global
+    order, a pair with J >= t must share an element inside BOTH docs'
+    first ``sz - ceil(t*sz) + 1`` elements (the smallest common hash is
+    that early in each). Only prefixes are exploded into the inverted
+    self-join — at t=0.5 that halves the index and roughly quarters the
+    candidate pairs — and verification is an exact, vectorized
+    ``array_intersect`` of the two full hash sets (no third shuffle on
+    the shingle). Hash collisions perturb counts with probability
+    ~n²/2⁶⁴ — the same trade the round-1 hashed join made."""
+    sets = persist_tracked(
+        _shingle_sets(df, id_col, text_col, n, max_doc_freq, threshold)
     )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    pref = sets.select(
+        "id", F.explode(F.slice("hs", F.lit(1), F.col("plen"))).alias("h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs_by_sets(cand, sets, threshold)
+
+
+def _verify_pairs_by_sets(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect
+    of the per-doc hash sets (one tiny join per side, no shingle shuffle)."""
+    joined = cand.join(
+        sets.select(
+            F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")
+        ),
+        "id_b",
+    )
+    return (
+        joined.withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -124,7 +177,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(
@@ -159,17 +211,25 @@ def minhash_lsh_pairs(
     Jaccard: shingle → minhash → band → bucket-join → verify. The
     frequency cap applies to the shared index, so both the signatures
     and the verify stage see the capped shingle sets."""
-    # One shared inverted index for signature build, candidate verify,
-    # and size lookup (see ngram_jaccard_pairs on why persist).
-    sh_all = persist_tracked(_doc_shingles(df, id_col, text_col, n, max_doc_freq))
+    # ONE aggregation pass over the inverted index computes both the k
+    # MinHash signatures (md5 over the shingle string) and the per-doc
+    # hash set used for exact verification — one shuffle on the doc id,
+    # persisted once, feeding the band join AND the verify stage.
+    sh_all = _doc_shingles(df, id_col, text_col, n, max_doc_freq).withColumn(
+        "shk", F.xxhash64("sh")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
         for j in range(k)
     ]
-    sig = sh_all.groupBy(F.col("id").alias(id_col)).agg(*aggs)
+    combined = persist_tracked(
+        sh_all.groupBy("id")
+        .agg(*aggs, F.sort_array(F.collect_set("shk")).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+    )
     n_bands = k // band_size
-    bands = sig.select(
-        F.col(id_col).alias("id"),
+    bands = combined.select(
+        "id",
         F.explode(
             F.array(
                 *[
@@ -190,27 +250,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard (join back to the inverted index).
-    sh = sh_all
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .filter(F.col("sh") == F.col("sh_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs_by_sets(cand, combined.select("id", "hs", "sz"), threshold)
 
 
 def streaming_exact_dedup(

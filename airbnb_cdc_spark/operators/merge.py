@@ -47,6 +47,19 @@ from airbnb_cdc_spark.operators.lookup import latest_per_key
 BUCKET_COL = "_bucket"
 
 
+def suggest_num_buckets(
+    expected_rows: int, target_rows_per_bucket: int = 2_000_000
+) -> int:
+    """Scale-proportional bucket count (power of two, 16..65536): keeps
+    per-bucket rewrites ~target-sized as the table grows, so merge cost
+    stays proportional to the update set at any table size. Choose once
+    at table creation (changing it later requires a compact())."""
+    import math
+
+    n = max(1, expected_rows // target_rows_per_bucket)
+    return max(16, min(65536, 2 ** math.ceil(math.log2(n))))
+
+
 def merge_dataframes(
     existing: DataFrame,
     updates: DataFrame,

@@ -109,6 +109,16 @@ def brute_force_topk(
     )
 
 
+def auto_bits(n_rows: int, target_bucket: int = 256, lo: int = 2, hi: int = 16) -> int:
+    """Scale-proportional LSH width: enough sign bits that the expected
+    bucket holds ~``target_bucket`` vectors (2^bits buckets). Keeps the
+    same call working from 1e3 to 1e10 rows without retuning — the
+    bucket-join cost tracks bucket occupancy, not corpus size."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n_rows / target_bucket)))))
+
+
 def hyperplane(j: int, dim: int) -> list[int]:
     """Deterministic integer pseudo-random hyperplane component:
     h_j[d] = ((1009*(j+1)*(d+7) + 30011*(j+3)) % 2003) - 1001."""
@@ -131,11 +141,14 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 4,
+    bits: int | None = 4,
     dim: int = 64,
 ) -> DataFrame:
     """ANN top-k: bucket by sign-LSH, exact cosine re-rank in-bucket.
-    Same output shape as brute_force_topk (approximate contents)."""
+    Same output shape as brute_force_topk (approximate contents).
+    ``bits=None`` derives the width from the corpus size (one count)."""
+    if bits is None:
+        bits = auto_bits(corpus.count())
     planes = [hyperplane(j, dim) for j in range(bits)]
     c = _with_quant(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -177,13 +190,16 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bits: int = 4,
+    bits: int | None = 4,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact
     verify (id_a < id_b, cosine >= threshold). At scale the bucket join
     replaces the n² cross product; near-identical vectors land in the
-    same bucket with high probability (raise tables/bits for recall)."""
+    same bucket with high probability (raise tables/bits for recall).
+    ``bits=None`` derives the width from the corpus size (one count)."""
+    if bits is None:
+        bits = auto_bits(df.count())
     planes = [hyperplane(j, dim) for j in range(bits)]
     base = persist_tracked(
         _with_quant(df, id_col, vec_col).select(
@@ -220,7 +236,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    centroid_mod: int = 37,
+    centroid_mod: int | None = 37,
     centroid_rem: int = 3,
     nprobe: int = 1,
 ) -> DataFrame:
@@ -235,8 +251,15 @@ def ivf_topk(
     broadcast — linear in corpus size; the probe join touches ``nprobe``
     lists per query instead of the whole corpus (~nprobe/n_centroids of
     the corpus). Raise nprobe / centroid count to trade recall vs cost.
+    ``centroid_mod=None`` derives ~sqrt(n) centroids from the corpus
+    size (one count) so list sizes stay ~sqrt(n) at any scale.
     """
     from pyspark.sql import Window
+
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(2, int(math.sqrt(corpus.count())))
 
     base = persist_tracked(_with_quant(corpus, id_col, vec_col))
     cents = F.broadcast(

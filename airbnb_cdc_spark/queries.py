@@ -997,3 +997,185 @@ def q_ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return _sim.ivf_topk(emb, queries_df, k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join: each purchase event enriched with the same
+# user's latest view event at or before it. Union+window single-shuffle
+# implementation — see operators/asof.py.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), views AS (
+    SELECT user_id, ts, max(event_id) AS event_id
+    FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.user_id AS user_id, p.ts AS ts, p.event_id AS event_id,
+       v.ts AS view_ts, v.event_id AS view_event_id
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@query("asof_last_view_before_purchase", _ASOF_ORACLE)
+def q_asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe equal-ts views to the max event_id so the as-of pick is
+    # deterministic on both engines
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_event_id").alias("view_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets over (status, priority)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Running (cumulative) total per customer — exact decimal cumsum
+# --------------------------------------------------------------------------
+
+
+@query(
+    "running_customer_spend",
+    """
+    SELECT o_custkey AS customer_id, o_orderkey AS booking_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def q_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("booking_id"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation) per status
+# --------------------------------------------------------------------------
+
+
+@query(
+    "status_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_status_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(CAST(o_totalprice AS DOUBLE), array(0.25D, 0.5D, 0.9D))")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(pct.alias("__p"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "status",
+            F.element_at("__p", 1).alias("p25"),
+            F.element_at("__p", 2).alias("p50"),
+            F.element_at("__p", 3).alias("p90"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: order counts by status x priority (fixed column contract)
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    )
+    return f"""
+    SELECT o_orderstatus AS status,
+           {cols}
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@query("pivot_status_by_priority", _pivot_oracle())
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    return pivoted.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    )

@@ -22,33 +22,8 @@ sys.path.insert(0, str(REPO))
 from airbnb_cdc_spark import queries as q  # noqa: E402
 from airbnb_cdc_spark.session import get_spark, release_cached  # noqa: E402
 
-HEADLINE = [
-    "booking_customer_aggregation",
-    "conditional_split_accepted",
-    "project_cast",
-    "lookup_latest_event",
-    "alter_row_flags",
-    "cdc_merge_upsert",
-    "text_stats",
-    "language_id",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "dedup_embedding_cosine",
-    "multimodal_features",
-    "events_windowed_agg",
-    "user_sessions",
-    "token_counts",
-    "rollup_country_status",
-    "top_spenders",
-    "semi_join_buyers",
-    "anti_join_never_bought",
-    "salted_status_totals",
-]
+# Every registered driver query — regressions stay visible per query.
+HEADLINE = list(q.QUERIES)
 
 
 def main() -> None:

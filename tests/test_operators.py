@@ -163,3 +163,30 @@ def test_archive_rewrite_quoted(spark, tmp_path):
 
     after = read_customer_csv(spark, str(archive / name)).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_asof_join_edges(spark):
+    """As-of join: inclusivity at equal ts, NULL fill when no prior row,
+    struct fill never mixes columns from different right rows."""
+    from datetime import datetime
+
+    from airbnb_cdc_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2025, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), "A"), (1, t(10), "B"), (2, t(1), "C"), (3, t(9), "D")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), "r5", None), (1, t(7), "r7", 70), (2, t(2), "r2", 20)],
+        "k long, ts timestamp, name string, score int",
+    )
+    out = {
+        (r.k, r.tag): (r.r_name, r.r_score)
+        for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()
+    }
+    assert out[(1, "A")] == ("r5", None)  # equal ts matches (inclusive);
+    # r5's NULL score must NOT be backfilled from another row
+    assert out[(1, "B")] == ("r7", 70)  # latest <= 10
+    assert out[(2, "C")] == (None, None)  # right row is later than left
+    assert out[(3, "D")] == (None, None)  # key with no right rows at all
