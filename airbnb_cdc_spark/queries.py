@@ -1164,6 +1164,107 @@ def _pivot_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Windowed range aggregation: per event, activity of the same user in the
+# trailing hour. RANGE frame on epoch-micros ordering — one shuffle per
+# user, no self-join / no candidate-pair explosion (the scalable form of
+# a time-range self-join when the frame is one-sided).
+# --------------------------------------------------------------------------
+
+_TRAILING_ORACLE = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w - 1 AS n_prior_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+            - CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_prior_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("trailing_hour_activity", _TRAILING_ORACLE)
+def q_trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.count(F.lit(1)).over(w) - 1).alias("n_prior_1h"),
+        (F.sum(vdec).over(w) - vdec).cast("double").alias("value_prior_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lead/lag: gap to the user's previous event + next event's type
+# --------------------------------------------------------------------------
+
+_LEADLAG_ORACLE = """
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,
+       lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("event_gaps_leadlag", _LEADLAG_ORACLE)
+def q_event_gaps_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (micros - F.lag(micros).over(w)).alias("prev_gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT over customer key sets
+# --------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT c AS customer_id, 'both' AS tag FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT c AS customer_id, 'f_only' AS tag FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
+
+@query("set_ops_customers", _SETOPS_ORACLE)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f_set = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    o_set = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    both = f_set.intersect(o_set).withColumn("tag", F.lit("both"))
+    f_only = f_set.subtract(o_set).withColumn("tag", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
 @query("pivot_status_by_priority", _pivot_oracle())
 def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
