@@ -61,6 +61,27 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return out
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.03,
+    min_distinct_ratio: float = 0.35,
+) -> DataFrame:
+    """Pretraining-style quality gate: keep documents passing the
+    length / stopword / repetition heuristics (Gopher-rules-shaped),
+    returning them with their stats. Pure filter over ``text_stats`` —
+    the ratio comparisons run on the same deterministic doubles, so the
+    kept set is reproducible across engines."""
+    stats = text_stats(df, id_col, text_col)
+    return stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-count argmax language ID. Ties resolved by LANG_PRIORITY
     order; zero hits everywhere → 'und'."""

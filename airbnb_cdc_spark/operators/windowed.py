@@ -17,6 +17,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def attribute_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Interval (time-bounded) join: each purchase attributed to every
+    view by the same user in the preceding ``horizon_minutes``.
+
+    Works identically in batch and Structured Streaming: in streaming,
+    set watermarks on BOTH inputs first — the time-bound condition is
+    what lets Spark evict join state (a view older than the horizon plus
+    the watermark can never match a future purchase). This is the
+    stream-stream join the reference has no analog for; at scale the
+    equi-key (user_id) keeps it a hash join with a range residual, NOT a
+    cross product, and state is bounded by horizon x arrival rate."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return v.join(p, cond).select(
+        "user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts"
+    )
+
+
 def tumbling_event_agg(
     events: DataFrame,
     ts_col: str = "ts",

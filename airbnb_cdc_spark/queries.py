@@ -392,6 +392,63 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.text_stats(load_table(spark, sf_dir, "documents"))
 
 
+_QUALITY_ORACLE = f"""
+WITH stats AS ({_TEXT_STATS_ORACLE})
+SELECT * FROM stats
+WHERE n_tokens >= 20 AND stopword_ratio >= 0.03 AND distinct_ratio >= 0.35
+"""
+
+
+@query("quality_filter", _QUALITY_ORACLE)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+# Top distinctive terms per doc: rank by (tf DESC, df ASC, term) — an
+# exact-integer tf-idf proxy (no float log, so DuckDB reproduces the
+# ranking bit-for-bit; ln() differs in the last ulp between libm and
+# the JVM, which would poison a hash compare).
+_TOP_TERMS_ORACLE = f"""
+WITH {_TOKS_CTE}, terms AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rnk
+    FROM tf JOIN dfreq USING (term)
+) WHERE rnk <= 3
+"""
+
+
+@query("top_terms_per_doc", _TOP_TERMS_ORACLE)
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from airbnb_cdc_spark.functions.textfns import tokens
+    from airbnb_cdc_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
 def _lang_oracle() -> str:
     hits = ",\n    ".join(
         f"CAST(len(list_filter(t, x -> x IN ({_stop_list(lang)}))) AS BIGINT) AS hits_{lang}"
@@ -660,6 +717,29 @@ GROUP BY 1, 2
 @query("events_windowed_agg", _WINDOW_ORACLE)
 def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_agg(load_table(spark, sf_dir, "events"))
+
+
+# -- interval (time-bounded) join: purchase attribution ---------------------
+
+from airbnb_cdc_spark.operators.windowed import attribute_purchases  # noqa: E402
+
+_ATTRIB_ORACLE = """
+SELECT v.user_id AS user_id, v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("interval_join_attribution", _ATTRIB_ORACLE)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return attribute_purchases(views, purchases, horizon_minutes=30)
 
 
 # -- BPE-ish token counting (regex word/punct segmentation) -----------------

@@ -138,3 +138,50 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
     s = out[0]
     assert s.user_id == 1 and s.n_events == 3
     assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """attribute_purchases as a watermarked stream-stream join: purchases
+    match views of the same user within the horizon, state bounded."""
+    import json as _json
+
+    from airbnb_cdc_spark.operators.windowed import attribute_purchases
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2025, 4, 1, 12, 0)
+    rows = [
+        # user 1: view at 0, purchase at 10 (match) and at 45 (outside 30m)
+        {"event_id": 1, "ts": t0, "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": t0 + timedelta(minutes=10), "user_id": 1,
+         "event_type": "purchase", "value": 5.0},
+        {"event_id": 3, "ts": t0 + timedelta(minutes=45), "user_id": 1,
+         "event_type": "purchase", "value": 7.0},
+        # user 2: purchase with no prior view
+        {"event_id": 4, "ts": t0 + timedelta(minutes=5), "user_id": 2,
+         "event_type": "purchase", "value": 3.0},
+        # watermark pusher so the joinable window closes
+        {"event_id": 9, "ts": t0 + timedelta(hours=4), "user_id": 9,
+         "event_type": "view", "value": 0.0},
+    ]
+    with open(feed / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps({**r, "ts": r["ts"].isoformat(sep=" ")}) + "\n")
+
+    def stream():
+        return spark.readStream.schema(EVENT_SCHEMA).json(str(feed))
+
+    views = stream().filter("event_type = 'view'").withWatermark("ts", "1 hour")
+    purchases = stream().filter("event_type = 'purchase'").withWatermark("ts", "1 hour")
+    joined = attribute_purchases(views, purchases, horizon_minutes=30)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = [(r.view_event_id, r.purchase_event_id) for r in spark.table("attrib_out").collect()]
+    assert out == [(1, 2)]  # only the in-horizon pair
