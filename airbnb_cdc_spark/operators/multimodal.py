@@ -82,6 +82,107 @@ def extract_features(
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("resized_hash", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    box: int = 128,
+) -> DataFrame:
+    """Aspect-preserving resize into a ``box``×``box`` bound — codec
+    stubbed (see ``decode_image``): source dims come from the
+    deterministic fake decode, output dims are exact IEEE math both
+    engines reproduce, and the "resized payload" hash is
+    md5(content_hash ':' w ':' h) standing in for re-encoded bytes.
+    The Arrow batch shape, schema, and narrow-map plumbing are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            out = {"doc_id": [], "out_width": [], "out_height": [], "resized_hash": []}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(i)
+                if b is None:
+                    out["out_width"].append(None)
+                    out["out_height"].append(None)
+                    out["resized_hash"].append(None)
+                    continue
+                digest = hashlib.md5(b).hexdigest()
+                w, h = _fake_decode_dims(digest)
+                scale = min(box / w, box / h)
+                ow = max(1, int(math.floor(w * scale)))
+                oh = max(1, int(math.floor(h * scale)))
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["resized_hash"].append(
+                    hashlib.md5(f"{digest}:{ow}:{oh}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video frame sampling — codec stubbed: pretend the payload holds
+    ``n_bytes // 100 + 1`` frames, sample ``max_frames`` evenly
+    (stride = n_frames // max_frames, min 1), one output row per
+    sampled frame with a deterministic per-frame hash. The fan-out
+    (1 row → k rows) inside mapInPandas is the real pattern a video
+    pipeline uses; at scale cap Arrow batch size since each input row
+    multiplies."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                digest = hashlib.md5(b).hexdigest()
+                n_frames = len(b) // 100 + 1
+                stride = max(1, n_frames // max_frames)
+                for k in range(min(max_frames, n_frames)):
+                    idx = k * stride
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(idx)
+                    out["frame_hash"].append(
+                        hashlib.md5(f"{digest}:{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        run, FRAME_SCHEMA
+    )
+
+
 def documents_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter: treat document text bytes as an opaque payload so the
     multimodal plumbing is exercised against the driver tables."""

@@ -699,6 +699,56 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.extract_features(docs)
 
 
+# Resize: fake-decoded dims fit into a 128-box, exact IEEE scale math
+# reproduced in SQL; "re-encoded" hash = md5(content_hash:w:h).
+_MM_RESIZE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, md5(text) AS digest,
+           CAST(CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) % 1920 + 1 AS INTEGER) AS w,
+           CAST(CAST(concat('0x', substring(md5(text), 5, 4)) AS INTEGER) % 1080 + 1 AS INTEGER) AS h
+    FROM documents
+), scaled AS (
+    SELECT doc_id, digest,
+           greatest(1, CAST(floor(w * least(128.0 / w, 128.0 / h)) AS INTEGER)) AS out_width,
+           greatest(1, CAST(floor(h * least(128.0 / w, 128.0 / h)) AS INTEGER)) AS out_height
+    FROM dims
+)
+SELECT doc_id, out_width, out_height,
+       md5(concat(digest, ':', out_width, ':', out_height)) AS resized_hash
+FROM scaled
+"""
+
+
+@query("mm_resize", _MM_RESIZE_ORACLE)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mm.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return _mm.resize_images(docs)
+
+
+# Frame sampling: n_frames = n_bytes // 100 + 1, stride = max(1,
+# n_frames // 4), up to 4 frames, per-frame hash md5(content_hash:idx).
+_MM_FRAMES_ORACLE = """
+WITH meta AS (
+    SELECT doc_id, md5(text) AS digest,
+           octet_length(encode(text)) // 100 + 1 AS n_frames
+    FROM documents
+), frames AS (
+    SELECT doc_id, digest,
+           unnest(range(0, least(4, n_frames))) * greatest(1, n_frames // 4) AS frame_idx
+    FROM meta
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(concat(digest, ':', frame_idx)) AS frame_hash
+FROM frames
+"""
+
+
+@query("mm_frame_sample", _MM_FRAMES_ORACLE)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mm.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return _mm.sample_frames(docs)
+
+
 # -- event-time windowed aggregation (streaming-capable, batch-checked) -----
 
 from airbnb_cdc_spark.operators.windowed import tumbling_event_agg  # noqa: E402

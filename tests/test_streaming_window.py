@@ -185,3 +185,73 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     out = [(r.view_event_id, r.purchase_event_id) for r in spark.table("attrib_out").collect()]
     assert out == [(1, 2)]  # only the in-horizon pair
+
+
+def test_streaming_agg_upsert_into_merge_table(spark, tmp_path):
+    """Windowed agg maintained incrementally in a keyed merge table via
+    foreachBatch (update mode): late-arriving events re-emit their
+    window, and the merge upserts the refreshed row in place."""
+    import json as _json
+
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+    from airbnb_cdc_spark.operators.windowed import tumbling_event_agg
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2025, 5, 1, 0, 0)
+
+    def write_batch(name, rows, age):
+        import os
+        import time
+
+        with open(feed / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps({**r, "ts": r["ts"].isoformat(sep=" ")}) + "\n")
+        now = time.time()
+        os.utime(feed / name, (now - age, now - age))
+
+    write_batch(
+        "b0.json",
+        [
+            {"event_id": 1, "ts": t0 + timedelta(hours=1), "user_id": 1,
+             "event_type": "click", "value": 10.0},
+            {"event_id": 2, "ts": t0 + timedelta(hours=2), "user_id": 2,
+             "event_type": "click", "value": 20.0},
+        ],
+        age=60,
+    )
+    # a later batch adds one more click to the SAME day-window
+    write_batch(
+        "b1.json",
+        [
+            {"event_id": 3, "ts": t0 + timedelta(hours=3), "user_id": 3,
+             "event_type": "click", "value": 5.0}
+        ],
+        age=0,
+    )
+
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "agg"), keys=["window_start", "event_type"]
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    agg = tumbling_event_agg(stream)  # no watermark: windows stay updatable
+
+    def upsert(batch_df, _bid):
+        table.merge(batch_df)
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.window_start, r.event_type): r for r in table.read().collect()}
+    assert len(rows) == 1  # one day-window, one type — refreshed in place
+    r = rows[(t0, "click")]
+    assert r.n_events == 3 and r.total_value == 35.0
