@@ -239,6 +239,7 @@ def ivf_topk(
     centroid_mod: int | None = 37,
     centroid_rem: int = 3,
     nprobe: int = 1,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic sample of the corpus acts as
     centroids ("training" = pick every vec_id ≡ rem mod m — deterministic
@@ -253,6 +254,14 @@ def ivf_topk(
     the corpus). Raise nprobe / centroid count to trade recall vs cost.
     ``centroid_mod=None`` derives ~sqrt(n) centroids from the corpus
     size (one count) so list sizes stay ~sqrt(n) at any scale.
+
+    ``refine_iters`` runs that many Lloyd (k-means) iterations on the
+    sampled seeds before building the inverted file: assign corpus →
+    new centroid = element-wise ``floor(sum/count)`` of its members.
+    Integer means keep the refinement bit-reproducible across engines
+    (floor of an exact double division). Each iteration is one broadcast
+    assignment pass + one (cid, dim)-keyed aggregation — linear in
+    corpus size, no pairwise work.
     """
     from pyspark.sql import Window
 
@@ -262,16 +271,14 @@ def ivf_topk(
         centroid_mod = max(2, int(math.sqrt(corpus.count())))
 
     base = persist_tracked(_with_quant(corpus, id_col, vec_col))
-    cents = F.broadcast(
-        base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-            F.col(id_col).alias("cid"),
-            F.col("__q").alias("__qc"),
-            F.col("__norm").alias("__nc"),
-        )
+    cents_df = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+        F.col(id_col).alias("cid"),
+        F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
     )
 
-    def nearest_centroids(side: DataFrame, out_id: str, n: int) -> DataFrame:
-        scored = side.crossJoin(cents).withColumn(
+    def assign_to(cents_b, side: DataFrame, out_id: str, n: int) -> DataFrame:
+        scored = side.crossJoin(cents_b).withColumn(
             "__cos",
             _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
         )
@@ -289,9 +296,40 @@ def ivf_topk(
             )
         )
 
-    assigned = nearest_centroids(base, "neighbor_id", 1)
-    probes = nearest_centroids(
-        _with_quant(queries, id_col, vec_col), "query_id", nprobe
+    for _ in range(refine_iters):
+        members = assign_to(F.broadcast(cents_df), base, "vec_id_m", 1).select(
+            "cid", F.posexplode(F.col("__q_vec_id_m")).alias("pos", "val")
+        )
+        dim_means = members.groupBy("cid", "pos").agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+        cents_df = (
+            dim_means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("__qc")
+            )
+            .withColumn(
+                "__nc",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(F.col("__qc"), F.col("__qc"), lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).cast("double")
+                ),
+            )
+        )
+
+    cents = F.broadcast(cents_df)
+
+    assigned = assign_to(cents, base, "neighbor_id", 1)
+    probes = assign_to(
+        cents, _with_quant(queries, id_col, vec_col), "query_id", nprobe
     )
     scored = (
         probes.join(assigned, on="cid")

@@ -1243,6 +1243,70 @@ def q_ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_topk(emb, queries_df, k=5, nprobe=2)
 
 
+# k-means-refined IVF: one deterministic Lloyd iteration (element-wise
+# floor(sum/count) integer means — bit-reproducible across engines),
+# then the usual inverted-file probe at nprobe=2. On this near-uniform
+# synthetic data refinement doesn't improve recall (see COVERAGE.md);
+# the query proves the refinement pipeline is exact cross-engine.
+_IVF_KMEANS_ORACLE = f"""
+WITH {_QUANT_CTE},
+cent0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
+a0 AS (
+    SELECT vec_id, cid, qe FROM (
+        SELECT a.vec_id, c.cid, a.qe,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent0 c
+    ) WHERE rn = 1
+),
+dims AS (
+    SELECT cid, i AS pos,
+           CAST(floor(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM a0, unnest(range(1, 65)) AS t(i)
+    GROUP BY cid, i
+),
+cent AS (SELECT cid, list(m ORDER BY pos) AS ce FROM dims GROUP BY cid),
+assign AS (
+    SELECT vec_id, cid, qe FROM (
+        SELECT a.vec_id, c.cid, a.qe,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id, cid, qe FROM (
+        SELECT a.vec_id, c.cid, a.qe,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c WHERE a.vec_id % 50 = 0
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id, {_cos_sql('p', 'n')} AS cosine
+    FROM probe p JOIN assign n ON p.cid = n.cid
+    WHERE p.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_topk_ivf_kmeans", _IVF_KMEANS_ORACLE)
+def q_ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.ivf_topk(emb, queries_df, k=5, nprobe=2, refine_iters=1)
+
+
 # --------------------------------------------------------------------------
 # As-of (point-in-time) join: each purchase event enriched with the same
 # user's latest view event at or before it. Union+window single-shuffle
