@@ -962,6 +962,102 @@ def q_anti_join_never_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scalar-function breadth (§2.6 beyond the reference's CASE/ISNULL/CAST):
+# date parts, string cleanup, JSON extraction — each a Catalyst-native
+# projection, oracle-checked.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_by_month",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+           CAST(date_part('month', o_orderdate) AS INTEGER) AS mon,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "customer_name_clean",
+    """
+    SELECT c_custkey AS customer_id,
+           upper(trim(c_name)) AS name_upper,
+           regexp_replace(c_name, '[0-9#]+', '', 'g') AS name_alpha,
+           length(c_name) AS name_len,
+           substring(c_mktsegment, 1, 4) AS seg4,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def q_customer_name_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        F.regexp_replace(F.col("c_name"), "[0-9#]+", "").alias("name_alpha"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_mktsegment", 1, 4).alias("seg4"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+# JSON processing: build a JSON document from event fields (identical
+# printf template both engines), then extract fields back out with the
+# engines' native JSON path functions and aggregate on the result.
+_JSON_ORACLE = """
+WITH docs AS (
+    SELECT printf('{"et":"%s","uid":%d,"v":%.2f}', event_type, user_id, value) AS j
+    FROM events
+)
+SELECT json_extract_string(j, '$.et') AS et,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(json_extract_string(j, '$.v') AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total_v
+FROM docs GROUP BY 1
+"""
+
+
+@query("json_extract_agg", _JSON_ORACLE)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    j = F.format_string(
+        '{"et":"%s","uid":%d,"v":%.2f}',
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+    docs = events.select(j.alias("j"))
+    return (
+        docs.select(
+            F.get_json_object("j", "$.et").alias("et"),
+            F.get_json_object("j", "$.v").cast("double").alias("v"),
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # TPC-H-shaped analytic queries over the driver tables — the canonical
 # engine-capability proof points (wide scan-agg, join+topN, multi-join
 # star revenue). Money math: sum exact decimals, render double.
