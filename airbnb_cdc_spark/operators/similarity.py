@@ -135,6 +135,37 @@ def lsh_bucket(qvec: Column, planes: list[list[int]]) -> Column:
     return total.cast("int")
 
 
+def lsh_probe_buckets(qvec: Column, planes: list[list[int]], nprobe: int) -> Column:
+    """Query-directed multi-probe bucket list (Lv et al., VLDB 2007):
+    the query's own bucket first, then the buckets reached by flipping
+    the sign bit of the ``nprobe - 1`` planes whose projection magnitude
+    is smallest — those are the planes the vector sits closest to, so
+    their flip-side buckets are the likeliest to hold missed neighbors.
+    Projections are exact integers (quantized vector × integer plane),
+    so the probe list is bit-reproducible across engines."""
+    projs = [qdot(qvec, F.array(*[F.lit(v) for v in plane]).cast("array<long>"))
+             for plane in planes]
+    own = F.lit(0)
+    for j, p in enumerate(projs):
+        own = own + F.when(p > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    own = own.cast("int")
+    if nprobe <= 1:
+        return F.array(own)
+    # struct carries the flip mask 1<<j (monotonic in j, so the (|proj|,
+    # mask) sort order matches the oracle's (|proj|, j) tie-break)
+    ranked = F.sort_array(
+        F.array(*[
+            F.struct(F.abs(p).alias("a"), F.lit(1 << j).alias("m"))
+            for j, p in enumerate(projs)
+        ])
+    )
+    flips = F.transform(
+        F.slice(ranked, 1, nprobe - 1),
+        lambda s: own.bitwiseXOR(s.getField("m")).cast("int"),
+    )
+    return F.concat(F.array(own), flips)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -143,12 +174,21 @@ def lsh_topk(
     k: int = 5,
     bits: int | None = 4,
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
     """ANN top-k: bucket by sign-LSH, exact cosine re-rank in-bucket.
     Same output shape as brute_force_topk (approximate contents).
-    ``bits=None`` derives the width from the corpus size (one count)."""
+    ``bits=None`` derives the width from the corpus size (one count).
+
+    ``nprobe > 1`` turns on query-directed multi-probe: each query also
+    searches the buckets reached by flipping its least-confident sign
+    bits, trading ~nprobe× candidate volume for recall WITHOUT extra
+    hash tables (the corpus is still bucketed exactly once — at 100 TB
+    the corpus index is the expensive side, so multi-probe is the right
+    recall knob: only the broadcast query side fans out)."""
     if bits is None:
         bits = auto_bits(corpus.count())
+    nprobe = max(1, min(nprobe, bits + 1))
     planes = [hyperplane(j, dim) for j in range(bits)]
     c = _with_quant(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -156,12 +196,18 @@ def lsh_topk(
         F.col("__norm").alias("__nc"),
         lsh_bucket(F.col("__q"), planes).alias("bucket"),
     )
+    qbase = _with_quant(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__nq"),
+        lsh_probe_buckets(F.col("__q"), planes, nprobe).alias("__probes"),
+    )
+    # distinct probe buckets per query → a corpus vector (in exactly one
+    # bucket) matches at most one probe, so no candidate dedup is needed
     q = F.broadcast(
-        _with_quant(queries, id_col, vec_col).select(
-            F.col(id_col).alias("query_id"),
-            F.col("__q").alias("__qq"),
-            F.col("__norm").alias("__nq"),
-            lsh_bucket(F.col("__q"), planes).alias("bucket"),
+        qbase.select(
+            "query_id", "__qq", "__nq",
+            F.explode(F.col("__probes")).alias("bucket"),
         )
     )
     scored = (

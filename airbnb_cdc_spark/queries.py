@@ -660,6 +660,56 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_topk(emb, queries_df, k=5, bits=4)
 
 
+_PROJS_SQL = (
+    "list_transform(range(0, 4), j -> list_sum(list_transform(range(1, 65),"
+    " i -> qe[i] * (((1009 * (j + 1) * (i + 6) + 30011 * (j + 3)) % 2003) - 1001))))"
+)
+
+_ANN_LSH_MP_ORACLE = f"""
+WITH {_QUANT_CTE},
+pb AS (SELECT vec_id, qe, {_PROJS_SQL} AS projs FROM q),
+qb AS (
+    SELECT vec_id, qe, projs,
+           CAST(list_sum(list_transform(range(0, 4),
+                j -> CASE WHEN projs[j + 1] > 0 THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket
+    FROM pb
+),
+probes AS (
+    SELECT vec_id, qe,
+           list_prepend(bucket, list_transform(
+               list_slice(list_sort(list_transform(range(0, 4),
+                   j -> {{'a': abs(projs[j + 1]), 'j': j}})), 1, 2),
+               s -> xor(bucket, (1 << s.j)))) AS pbuckets
+    FROM qb WHERE vec_id % 50 = 0
+),
+cand AS (
+    SELECT p.vec_id AS query_id, p.qe, u.b AS bucket
+    FROM probes p, UNNEST(p.pbuckets) AS u(b)
+),
+scored AS (
+    SELECT a.query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+    FROM cand a JOIN qb b USING (bucket)
+    WHERE a.query_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_topk_lsh_multiprobe", _ANN_LSH_MP_ORACLE)
+def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed multi-probe sign-LSH ANN (operators/similarity.py
+    lsh_probe_buckets): each query searches its own bucket plus the two
+    buckets behind its least-confident hyperplanes. Recall rises toward
+    brute force while the corpus is still hashed exactly once — the
+    100 TB-friendly recall knob (only the broadcast query side fans out)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.lsh_topk(emb, queries_df, k=5, bits=4, nprobe=3)
+
+
 _NEARDUP_ORACLE = f"""
 WITH {_QUANT_CTE},
 qb AS (SELECT vec_id, qe, CAST({_bucket_sql('q')} AS INTEGER) AS bucket FROM q),
