@@ -11,22 +11,25 @@ reference's surface (BASELINE.json north star). Design notes per 100 TB:
   share a shingle. ``max_doc_freq`` drops stop-shingles (a shingle in
   half the corpus creates O(n²) candidate pairs — frequency-capping is
   what keeps the join linear-ish at scale).
-- **MinHash+LSH**: k md5-min signatures per doc (one explode +
-  groupBy), banded into b buckets; only docs sharing a band bucket are
-  paired, then verified with exact Jaccard. This is the classic
+- **MinHash+LSH**: k signatures per doc from ONE md5-derived base hash
+  plus k affine transforms (a_j·h + b_j) mod P (one explode + groupBy),
+  banded into b buckets; only docs sharing a band bucket are paired,
+  then verified with exact Jaccard. This is the classic
   shingle→minhash→band→bucket-join pipeline; cost scales with bucket
   collision counts, not n².
 - **SimHash**: 16-bit signed bit-vote fingerprint over distinct tokens;
   pure projection (no shuffle), near-dup candidates = equal simhash.
 
-md5 (hex string) is the hash everywhere — deterministic and available
-in every engine, so DuckDB oracles reproduce results bit-for-bit.
-min() over md5 strings is a valid permutation surrogate for MinHash.
+md5 is the only string hash — deterministic and available in every
+engine, so DuckDB oracles reproduce results bit-for-bit; its first 15
+hex digits, cast to a 60-bit integer, are the single per-shingle hash
+everything else (sets, Jaccard, doc-frequency cap, MinHash base)
+derives from.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airbnb_cdc_spark.functions.textfns import normalized_fingerprint, shingles, tokens
@@ -49,67 +52,108 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 AUTO = "auto"
 
 
-def _doc_shingles(
+def _h60(col: Column) -> Column:
+    """60-bit integer shingle hash: first 15 hex digits of md5. The ONE
+    string hash evaluation per shingle — everything downstream (set
+    representation, Jaccard verify, doc-frequency cap, MinHash base)
+    derives from this integer. DuckDB mirror:
+    ``CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hashed_base(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Cached (id, hs0): per-doc sorted array of distinct 60-bit shingle
+    hashes. The expensive part — tokenize, shingle, md5 — runs EXACTLY
+    ONCE and entirely within each document's own row: a doc's shingles
+    are already an array, so hashing/dedup/sorting are array transforms.
+    No explode + groupBy(id) re-assembly (round 2 regrouped rows that
+    were never ungrouped — one full shuffle of the largest intermediate
+    for nothing), and no second pass over the strings.
+
+    NOTE: no filter between the projection and persist() — a filter on
+    the projected column substitutes the full expression into the
+    predicate AND pushes below the widening repartition, evaluating the
+    expensive expression twice, single-threaded (measured 28x slower).
+    Empty sets are dropped after the cache boundary by callers."""
+    return persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.sort_array(
+                F.array_distinct(
+                    F.transform(shingles(tokens(F.col(text_col)), n), _h60)
+                )
+            ).alias("hs0"),
+        )
+    )
+
+
+def _df_counts(base: DataFrame) -> DataFrame:
+    """(h, __df): corpus document-frequency per shingle hash. Explodes
+    only the integer hash arrays (no string work); map-side partial agg
+    means only (hash, partial_count) rows cross the wire."""
+    return (
+        base.select(F.explode("hs0").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+
+def _filter_counts(
+    counts: DataFrame,
+    df: DataFrame,
+    max_doc_freq: int | str,
+    keep_hot: bool,
+) -> DataFrame:
+    """Rows of ``counts`` above (keep_hot) or at/below the cap. ``AUTO``
+    derives the cap as ``max(2, n_docs // 100)`` via a broadcast one-row
+    count join — fully lazy, no driver-side action."""
+    if max_doc_freq == AUTO:
+        total = df.select(F.count(F.lit(1)).alias("__n"))
+        cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
+        joined = counts.join(F.broadcast(total))
+        out = joined.filter(F.col("__df") > cap if keep_hot else F.col("__df") <= cap)
+        return out.select("h", "__df")
+    cond = F.col("__df") > max_doc_freq if keep_hot else F.col("__df") <= max_doc_freq
+    return counts.filter(cond)
+
+
+def _hashed_shingle_sets(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int,
     max_doc_freq: int | str | None,
 ) -> DataFrame:
-    """(id, shingle) inverted index over distinct shingles per doc.
+    """(id, hs): per-doc sorted array of distinct 60-bit shingle hashes,
+    stop-shingles removed.
 
     ``max_doc_freq`` drops stop-shingles: a shingle present in a large
     fraction of the corpus generates O(n²) candidate pairs in any
-    shingle-join, so frequency-capping is what keeps the self-join
-    linear-ish at 100 TB. ``AUTO`` derives the cap from the corpus size
-    as ``max(2, n_docs // 100)`` — computed lazily via a broadcast
-    one-row count join, so no driver-side action is triggered."""
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
-    )
+    shingle-join, so frequency-capping is what keeps the join linear-ish
+    at 100 TB. The hot set, tiny by construction, comes back as a
+    one-row broadcast whose array is removed per-doc with
+    ``array_except`` — the full index is never shuffled.
+
+    60-bit hashes: corpus-wide collisions merge two shingles with
+    probability ~n²/2⁶¹ — the same trade the round-1 hashed join made,
+    and mirrored consistently on both sides of every per-pair compare.
+    """
+    base = _hashed_base(df, id_col, text_col, n)
     if max_doc_freq is None:
-        return sh
-    # Single-pass cap: count-over-window on the shingle partition — ONE
-    # shuffle of the index and no recompute of the (expensive) tokenize/
-    # shingle/explode, vs. the groupBy+self-join formulation which scans
-    # the raw index twice and shuffles it twice.
-    w = Window.partitionBy("sh")
-    counted = sh.withColumn("__df", F.count(F.lit(1)).over(w))
-    if max_doc_freq == AUTO:
-        total = df.select(F.count(F.lit(1)).alias("__n"))
-        counted = counted.join(F.broadcast(total)).filter(
-            F.col("__df")
-            <= F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
+        return base.select("id", F.col("hs0").alias("hs")).filter(
+            F.size("hs") > 0
         )
-    else:
-        counted = counted.filter(F.col("__df") <= max_doc_freq)
-    return counted.select("id", "sh")
-
-
-def _shingle_sets(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int,
-    max_doc_freq: int | str | None,
-    threshold: float,
-) -> DataFrame:
-    """Per-doc sorted array of 64-bit shingle hashes, with its size and
-    prefix length for threshold ``threshold`` (see ngram_jaccard_pairs)."""
-    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq).select(
-        "id", F.xxhash64("sh").alias("h")
-    )
-    sz = F.size("hs")
+    hot = _filter_counts(_df_counts(base), df, max_doc_freq, keep_hot=True)
+    hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
     return (
-        sh.groupBy("id")
-        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        base.join(F.broadcast(hot_arr))
         .select(
             "id",
-            "hs",
-            sz.alias("sz"),
-            (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int").alias("plen"),
+            F.array_except(
+                "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
+            ).alias("hs"),
         )
+        .filter(F.size("hs") > 0)
     )
 
 
@@ -125,26 +169,57 @@ def ngram_jaccard_pairs(
     over the frequency-capped shingle sets (stop-shingles excluded — the
     default AUTO cap is what bounds candidate generation at scale).
 
-    Candidate generation uses *prefix filtering* (the SSJoin/PPJoin
-    family): with every doc's shingle-hash set sorted by one global
-    order, a pair with J >= t must share an element inside BOTH docs'
-    first ``sz - ceil(t*sz) + 1`` elements (the smallest common hash is
-    that early in each). Only prefixes are exploded into the inverted
-    self-join — at t=0.5 that halves the index and roughly quarters the
-    candidate pairs — and verification is an exact, vectorized
-    ``array_intersect`` of the two full hash sets (no third shuffle on
-    the shingle). Hash collisions perturb counts with probability
-    ~n²/2⁶⁴ — the same trade the round-1 hashed join made."""
+    Candidate generation is SSJoin/PPJoin prefix filtering under a
+    GLOBAL FREQUENCY ORDER: a pair with J >= t must share an element
+    inside both docs' first ``sz - ceil(t*sz) + 1`` elements under any
+    one total order of the shingle universe, so order by (corpus
+    doc-frequency asc, hash) — each doc's prefix then holds its RAREST
+    shingles, and candidate pairs form only where two docs share a rare
+    shingle (ordering by raw hash value put stop-adjacent shingles in
+    prefixes and generated 568k candidates for 25 true pairs at sf0.1).
+    The PPJoin length filter (t*|A| <= |B|) prunes size-incompatible
+    pairs before the distinct. Verification is an exact, vectorized
+    ``array_intersect`` of the two full (value-sorted) hash sets.
+
+    Scale shape: the doc-frequency counts are needed for the cap
+    anyway; attaching them costs one hash-keyed join of the integer
+    index + one regroup by id — no pass over the shingle STRINGS, which
+    are tokenized and hashed exactly once in ``_hashed_base``. Both are
+    honest shuffles of the integer index, bought back orders of
+    magnitude over in candidate-pair volume (the published SSJoin
+    trade). Correctness does not depend on the order, so the DuckDB
+    oracle (full capped pairwise join) is unchanged."""
+    base = _hashed_base(df, id_col, text_col, n)
+    counts = _df_counts(base)
+    keep = (
+        _filter_counts(counts, df, max_doc_freq, keep_hot=False)
+        if max_doc_freq is not None
+        else counts
+    )
+    ex = base.select("id", F.explode("hs0").alias("h")).join(keep, "h")
+    sz = F.size("fh")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     sets = persist_tracked(
-        _shingle_sets(df, id_col, text_col, n, max_doc_freq, threshold)
+        ex.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "h"))).alias("fh"))
+        .select(
+            "id",
+            F.sort_array(F.transform("fh", lambda x: x.getField("h"))).alias("hs"),
+            sz.alias("sz"),
+            F.transform(F.slice("fh", F.lit(1), plen), lambda x: x.getField("h")).alias(
+                "pref"
+            ),
+        )
     )
-    pref = sets.select(
-        "id", F.explode(F.slice("hs", F.lit(1), F.col("plen"))).alias("h")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
+    p = sets.select("id", "sz", F.explode("pref").alias("h"))
+    a, b = p.alias("a"), p.alias("b")
     cand = (
         a.join(b, F.col("a.h") == F.col("b.h"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz"))
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -179,6 +254,49 @@ def _verify_pairs_by_sets(
     )
 
 
+#: Modulus of the MinHash universal-hash family: 2^31 - 1 (Mersenne
+#: prime). With a 32-bit base hash h < 2^32 and a < 2^31, the product
+#: a*h < 2^63 fits a BIGINT exactly in BOTH engines (Spark longs and
+#: DuckDB BIGINT), so (a*h + b) % P is overflow-free integer math.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine constants (a_j, b_j) for the universal-hash
+    family h_j(x) = (a_j*x + b_j) mod P (Broder's MinHash construction).
+    Fixed LCG-derived literals — any fixed constants give a valid family,
+    and literals let the DuckDB oracle reproduce signatures bit-for-bit."""
+    out = []
+    for j in range(k):
+        a = ((1103515245 * (j + 1) + 12345) % MINHASH_P) | 1
+        b = (1103515245 * (j + 101) + 54321) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+#: Truncation of the 60-bit shingle hash to the MinHash base domain:
+#: lower 32 bits, so a*(h % 2^32) < 2^31 * 2^32 = 2^63 stays exact.
+_MINHASH_BASE_MOD = 4_294_967_296
+
+
+def _minhash_cols(k: int) -> list[Column]:
+    """k MinHash values from a doc's hash-set column ``hs`` — min over
+    the set of the affine transform (a_j*(h mod 2^32) + b_j) mod P.
+    Pure array math in the doc's own row: no explode, no groupBy."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (
+                    F.lit(a) * (h % F.lit(_MINHASH_BASE_MOD)) + F.lit(b)
+                )
+                % F.lit(MINHASH_P),
+            )
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_params(k))
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -187,14 +305,12 @@ def minhash_signatures(
     k: int = 8,
     max_doc_freq: int | str | None = AUTO,
 ) -> DataFrame:
-    """k MinHash values per doc: min over shingles of md5(j ':' shingle).
-    One explode + one groupBy; signature row stays tiny (k hex strings)."""
-    sh = _doc_shingles(df, id_col, text_col, n, max_doc_freq)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
-        for j in range(k)
-    ]
-    return sh.groupBy(F.col("id").alias(id_col)).agg(*aggs)
+    """k MinHash values per doc: one md5-derived base hash per shingle,
+    then min over k affine transforms (a_j*h + b_j) mod P — all computed
+    as array transforms in the doc's own row (zero shuffles beyond the
+    hot-shingle count). Signature row stays tiny (k bigints)."""
+    sets = _hashed_shingle_sets(df, id_col, text_col, n, max_doc_freq)
+    return sets.select(F.col("id").alias(id_col), *_minhash_cols(k))
 
 
 def minhash_lsh_pairs(
@@ -209,24 +325,19 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard: shingle → minhash → band → bucket-join → verify. The
-    frequency cap applies to the shared index, so both the signatures
-    and the verify stage see the capped shingle sets."""
-    # ONE aggregation pass over the inverted index computes both the k
-    # MinHash signatures (md5 over the shingle string) and the per-doc
-    # hash set used for exact verification — one shuffle on the doc id,
-    # persisted once, feeding the band join AND the verify stage.
-    sh_all = _doc_shingles(df, id_col, text_col, n, max_doc_freq).withColumn(
-        "shk", F.xxhash64("sh")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
-        for j in range(k)
-    ]
-    combined = persist_tracked(
-        sh_all.groupBy("id")
-        .agg(*aggs, F.sort_array(F.collect_set("shk")).alias("hs"))
-        .withColumn("sz", F.size("hs"))
-    )
+    frequency cap applies to the shared hash sets, so both the
+    signatures and the verify stage see the capped shingles."""
+    # The per-doc hash set (verification) and the k MinHash signatures
+    # (banding) both derive from ONE string-hash pass, entirely within
+    # each doc's row — the only shuffles left are the tiny hot-shingle
+    # count, the band bucket join, and the verify joins.
+    # sz > 0: a doc whose every shingle was frequency-capped has no
+    # signature (explode-based formulations dropped it implicitly; here
+    # an empty set would band on all-null minhashes and verify as 0/0).
+    sets = _hashed_shingle_sets(df, id_col, text_col, n, max_doc_freq)
+    combined = sets.select(
+        "id", "hs", F.size("hs").alias("sz"), *_minhash_cols(k)
+    ).filter(F.col("sz") > 0)
     n_bands = k // band_size
     bands = combined.select(
         "id",

@@ -529,8 +529,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_bands_sql(k: int = 8, band_size: int = 2) -> str:
+    # One-hash MinHash, mirroring dedup._h60/_minhash_cols exactly: one
+    # 60-bit md5-derived hash per shingle, truncated to its lower 32
+    # bits for the k affine transforms (a_j*(h%2^32) + b_j) % P. With
+    # a < 2^31 the product stays < 2^63 — exact BIGINT math in both
+    # engines.
+    from airbnb_cdc_spark.operators.dedup import (
+        _MINHASH_BASE_MOD,
+        MINHASH_P,
+        minhash_params,
+    )
+
     mins = ", ".join(
-        f"min(md5('{j}:' || sh)) AS mh{j}" for j in range(k)
+        f"min(({a} * (h % {_MINHASH_BASE_MOD}) + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_params(k))
     )
     # signatures, like the verify stage, are built from the CAPPED index
     bands = ", ".join(
@@ -539,7 +551,8 @@ def _minhash_bands_sql(k: int = 8, band_size: int = 2) -> str:
         for b in range(k // band_size)
     )
     return f"""
-sig AS (SELECT doc_id, {mins} FROM shc GROUP BY doc_id),
+hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM shc),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
 cand AS (
     SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

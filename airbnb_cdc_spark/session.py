@@ -90,12 +90,49 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     for scan-bound plans but serializes expression-heavy operators onto
     one core. The repartition shuffles only the (small) input rows and
     buys full-width execution of everything downstream. At 100 TB inputs
-    arrive in thousands of files and this is a no-op."""
+    arrive in thousands of files and this is a no-op.
+
+    Scan width is estimated from the source file listing + sizes
+    (``inputFiles`` — metadata only), NOT ``df.rdd.getNumPartitions()``:
+    the RDD probe forces a plan-to-RDD conversion on every call, a fixed
+    driver-side cost paid by every operator that fans out (round-2
+    verdict). Non-file inputs (in-memory test frames, streams) are left
+    untouched — they carry whatever parallelism their source gave them.
+    """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_parts:
+    est = _estimated_scan_partitions(df)
+    if est is None or est >= min_parts:
         return df
     return df.repartition(min_parts)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimated partition count of ``df``'s file scan: per file,
+    ceil(size / maxPartitionBytes) splits (parquet is splittable).
+    Returns None when the input isn't file-based (nothing to widen) or
+    listing fails."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        mpb_conf = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        mpb = int("".join(c for c in str(mpb_conf) if c.isdigit()) or "134217728")
+        if str(mpb_conf).lower().endswith(("m", "mb")):
+            mpb *= 1024 * 1024
+        est = 0
+        for uri in files:
+            path = uri[len("file:") :] if uri.startswith("file:") else None
+            size = os.path.getsize(path) if path and os.path.exists(path) else mpb
+            est += max(1, -(-size // mpb))
+        return est
+    except Exception:
+        return len(files)
 
 
 # Persisted-DataFrame registry: operators that cache a shared index
