@@ -55,6 +55,12 @@ def asof_join(
     # stitch together fields from DIFFERENT right rows when a payload
     # field is legitimately NULL; a struct is non-null as a whole, so the
     # fill always carries one consistent right row.
+    # SQL ASOF semantics for NULLs: `r.ts <= l.ts` is never satisfied by
+    # a NULL on either side, so NULL-ts right rows can match nothing
+    # (drop them) and NULL-ts left rows match nothing (they sort before
+    # every non-NULL right row under asc_nulls_first, so their
+    # last(payload) fill is NULL once NULL right rows are gone).
+    right = right.filter(F.col(right_ts).isNotNull())
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),

@@ -343,6 +343,14 @@ def ivf_topk(
         )
 
     for _ in range(refine_iters):
+        # posexplode → groupBy(cid, pos) looks like a corpus×dim fan-out,
+        # but hash-aggregate PARTIAL combine runs map-side: each task
+        # emits at most n_centroids×dim (cid, pos, partial_sum) rows, so
+        # shuffle volume is ~sqrt(n)×dim regardless of corpus size. The
+        # element-wise array accumulator alternative (collect_list +
+        # zip_with fold) shuffles every full member vector uncombined
+        # and ran 1.7x SLOWER at sf0.1 (3.08s vs 1.85s) — measured
+        # round 3, keep the partial-agg shape.
         members = assign_to(F.broadcast(cents_df), base, "vec_id_m", 1).select(
             "cid", F.posexplode(F.col("__q_vec_id_m")).alias("pos", "val")
         )

@@ -19,6 +19,7 @@ Scale notes (100 TB design stance):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -152,11 +153,17 @@ def persist_tracked(df: DataFrame) -> DataFrame:
 
 
 def release_cached() -> int:
-    """Unpersist every tracked DataFrame (call after consuming a query's
-    result — the plans stay valid, later reuse just recomputes). Returns
-    the number released."""
+    """Unpersist every tracked DataFrame, session-wide (call after
+    consuming a query's result — the plans stay valid, later reuse just
+    recomputes). Returns the number released. For sessions running
+    concurrent work, prefer ``cache_scope`` so one query's cleanup
+    can't drop another's in-flight index."""
+    return _release_from(0)
+
+
+def _release_from(start: int) -> int:
     n = 0
-    while _PERSISTED:
+    while len(_PERSISTED) > start:
         df = _PERSISTED.pop()
         try:
             df.unpersist()
@@ -164,6 +171,23 @@ def release_cached() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+@contextmanager
+def cache_scope():
+    """Scope-local cache tracking: on exit, unpersists only DataFrames
+    persisted *inside* the scope, leaving earlier registrations (e.g. a
+    concurrent query's persisted index) untouched.
+
+        with cache_scope():
+            result = ngram_jaccard_pairs(docs).collect()
+        # the query's shingle index is released here
+    """
+    start = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        _release_from(start)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

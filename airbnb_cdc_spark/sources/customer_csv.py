@@ -99,27 +99,35 @@ def archive_file(
         fs.mkdirs(dst_dir)
     src = Path(posixpath.join(raw_dir, name))
     dst = Path(posixpath.join(archive_dir, name))
-    if fs.exists(dst):
-        fs.delete(dst, False)
     if not rewrite_quoted:
+        if fs.exists(dst):
+            fs.delete(dst, False)
         fs.rename(src, dst)
         return
-    df = read_customer_csv(spark, posixpath.join(raw_dir, name))
+    # Write-tmp-then-swap: the previous archive copy survives until the
+    # rewrite has fully succeeded (a mid-write failure used to lose it
+    # and leave a _tmp_<name> dir behind); the tmp dir is removed on
+    # every path.
     tmp = posixpath.join(archive_dir, f"_tmp_{name}")
-    (
-        df.coalesce(1)
-        .write.option("header", True)
-        .option("quoteAll", True)
-        .option("quote", '"')
-        .option("escape", "\\")
-        .mode("overwrite")
-        .csv(tmp)
-    )
-    part = next(
-        s.getPath()
-        for s in fs.listStatus(Path(tmp))
-        if s.getPath().getName().startswith("part-")
-    )
-    fs.rename(part, dst)
-    fs.delete(Path(tmp), True)
+    try:
+        df = read_customer_csv(spark, posixpath.join(raw_dir, name))
+        (
+            df.coalesce(1)
+            .write.option("header", True)
+            .option("quoteAll", True)
+            .option("quote", '"')
+            .option("escape", "\\")
+            .mode("overwrite")
+            .csv(tmp)
+        )
+        part = next(
+            s.getPath()
+            for s in fs.listStatus(Path(tmp))
+            if s.getPath().getName().startswith("part-")
+        )
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        fs.rename(part, dst)
+    finally:
+        fs.delete(Path(tmp), True)
     fs.delete(src, False)

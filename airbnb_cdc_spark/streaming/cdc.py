@@ -29,9 +29,11 @@ Scale notes:
   lookup+flags shape remains available via ``transform_booking_batch``
   for the batch-mode parity path.
 - Bad records (reference's ``BadRecords`` split branch, a dead end in
-  the reference dataflow) can be quarantined to a side parquet dir:
-  append-only, at-least-once on micro-batch retry (the fact merge stays
-  exactly-once by key; quarantine consumers must tolerate replays).
+  the reference dataflow) can be quarantined to a side parquet dir,
+  keyed by micro-batch id (``batch_id=<n>`` partition, overwritten on
+  write): a retried micro-batch overwrites its own partition instead of
+  appending duplicates, so the quarantine is exactly-once per batch,
+  matching the fact merge's by-key exactly-once.
 - The checkpoint directory is the ADF ``customizedCheckpointKey``: a new
   checkpoint = ``changeFeedStartFromTheBeginning``.
 """
@@ -119,6 +121,20 @@ def read_booking_stream(
     return reader.json(feed_dir)
 
 
+def quarantine_batch(bad: DataFrame, quarantine_dir: str, batch_id: int) -> None:
+    """Idempotent quarantine write: each micro-batch owns the
+    ``batch_id=<n>`` partition directory and OVERWRITES it, so a
+    foreachBatch retry (same batch id, same input) replaces its own
+    rows instead of appending duplicates. Readers get the full
+    quarantine with ``spark.read.parquet(quarantine_dir)`` (partition
+    discovery adds the ``batch_id`` column)."""
+    import posixpath
+
+    bad.write.mode("overwrite").parquet(
+        posixpath.join(quarantine_dir, f"batch_id={batch_id}")
+    )
+
+
 def run_booking_fact_stream(
     spark: SparkSession,
     feed_dir: str,
@@ -129,13 +145,13 @@ def run_booking_fact_stream(
 ) -> None:
     """Process everything currently in the feed (Trigger.AvailableNow),
     checkpointed so a re-run resumes where it left off (C4). With
-    ``quarantine_dir``, rows failing the quality split are appended
-    there instead of being dropped."""
+    ``quarantine_dir``, rows failing the quality split are written
+    there (idempotently per micro-batch) instead of being dropped."""
 
-    def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bad, accepted = split_booking_batch(batch_df)
         if quarantine_dir is not None:
-            bad.select(*FINAL_COLUMNS).write.mode("append").parquet(quarantine_dir)
+            quarantine_batch(bad.select(*FINAL_COLUMNS), quarantine_dir, batch_id)
         # merge() is the upsert: LWW on version_col absorbs in-batch and
         # cross-batch disorder; no per-batch fact-table lookup needed.
         fact_table.merge(accepted.select(*FINAL_COLUMNS))

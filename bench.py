@@ -61,17 +61,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    regs = _regressions_vs_prior(timings)
+    if regs is not None:
+        out["regressions"] = regs
+    print(json.dumps(out))
+
+
+def _regressions_vs_prior(timings: dict[str, float]) -> list[dict] | None:
+    """Per-query regression gate: compare against the most recent
+    BENCH_r{N}.json in the repo and list queries >1.5x slower (and
+    >0.3s absolute, to ignore sub-second scheduling jitter). Round 2
+    shipped two silent 2-3.5x regressions; this makes the next one
+    impossible to miss. Returns None when no prior bench exists."""
+    priors = sorted(REPO.glob("BENCH_r*.json"))
+    if not priors:
+        return None
+    try:
+        prior = json.loads(priors[-1].read_text())
+        prior_q = prior.get("parsed", prior).get("queries", {})
+    except Exception:
+        return None
+    regs = []
+    for name, sec in timings.items():
+        old = prior_q.get(name)
+        if old and sec > 1.5 * old and sec - old > 0.3:
+            regs.append(
+                {"query": name, "prior_sec": old, "sec": sec, "ratio": round(sec / old, 2)}
+            )
+    return sorted(regs, key=lambda r: -r["ratio"])
 
 
 if __name__ == "__main__":

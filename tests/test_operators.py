@@ -190,3 +190,44 @@ def test_asof_join_edges(spark):
     assert out[(1, "B")] == ("r7", 70)  # latest <= 10
     assert out[(2, "C")] == (None, None)  # right row is later than left
     assert out[(3, "D")] == (None, None)  # key with no right rows at all
+
+
+def test_asof_join_null_ts(spark):
+    """SQL ASOF NULL semantics: a NULL-ts right row never fills anyone;
+    a NULL-ts left row matches nothing."""
+    from datetime import datetime
+
+    from airbnb_cdc_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2025, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, None, "A"), (1, t(10), "B")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "rnull"), (1, t(5), "r5")], "k long, ts timestamp, name string"
+    )
+    out = {
+        (r.k, r.tag): r.r_name
+        for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()
+    }
+    assert out[(1, "A")] is None  # NULL left ts: unmatched, not filled by rnull
+    assert out[(1, "B")] == "r5"  # NULL right row invisible to ordering
+
+
+def test_ivf_recall_at_nprobe8(spark):
+    """The pinned high-recall IVF configuration reaches >= 0.8 recall@5
+    against the exact brute-force baseline at sf0.01."""
+    from airbnb_cdc_spark import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in q.QUERIES["ann_topk_bruteforce"](spark, sf).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in q.QUERIES["ann_topk_ivf_recall"](spark, sf).collect()
+    }
+    assert truth, "baseline produced no rows"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.2f} < 0.8"

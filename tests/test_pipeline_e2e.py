@@ -106,6 +106,26 @@ def test_bad_records_quarantine(spark, tmp_path):
     assert fact.read().count() == facts["n_inserted"]
 
 
+def test_quarantine_replay_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch id) overwrites its own
+    batch_id partition — no duplicate quarantine rows; a different
+    batch id accumulates."""
+    from airbnb_cdc_spark.streaming.cdc import quarantine_batch
+
+    qdir = str(tmp_path / "q")
+    rows = spark.createDataFrame(
+        [("b1", "bad"), ("b2", "bad")], ["booking_id", "why"]
+    )
+    quarantine_batch(rows, qdir, batch_id=7)
+    quarantine_batch(rows, qdir, batch_id=7)  # simulated foreachBatch retry
+    got = spark.read.parquet(qdir)
+    assert got.count() == 2
+    quarantine_batch(rows, qdir, batch_id=8)
+    got = spark.read.parquet(qdir)
+    assert got.count() == 4
+    assert {r.batch_id for r in got.select("batch_id").distinct().collect()} == {7, 8}
+
+
 def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
     """C4: a second run with the same checkpoint skips consumed files and
     picks up only new ones."""
