@@ -334,10 +334,15 @@ def minhash_lsh_pairs(
     # sz > 0: a doc whose every shingle was frequency-capped has no
     # signature (explode-based formulations dropped it implicitly; here
     # an empty set would band on all-null minhashes and verify as 0/0).
+    # Persisted: three consumers (band explode, verify id_a, verify
+    # id_b) would otherwise each re-run the cap broadcast + signature
+    # transforms (~1s at sf0.1).
     sets = _hashed_shingle_sets(df, id_col, text_col, n, max_doc_freq)
-    combined = sets.select(
-        "id", "hs", F.size("hs").alias("sz"), *_minhash_cols(k)
-    ).filter(F.col("sz") > 0)
+    combined = persist_tracked(
+        sets.select(
+            "id", "hs", F.size("hs").alias("sz"), *_minhash_cols(k)
+        ).filter(F.col("sz") > 0)
+    )
     n_bands = k // band_size
     bands = combined.select(
         "id",
