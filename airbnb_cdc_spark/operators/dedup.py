@@ -369,6 +369,69 @@ def minhash_lsh_pairs(
     return _verify_pairs_by_sets(cand, combined.select("id", "hs", "sz"), threshold)
 
 
+def simhash_cluster(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate clustering by SimHash Hamming distance: each doc
+    is assigned ``cluster_rep`` = the minimum doc id among docs whose
+    fingerprint lies within ``max_hamming`` bits of its own (single-hop
+    neighborhood, deterministic — not a transitive closure).
+
+    Why clusters, not pairs: templated corpora put tens of docs on ONE
+    fingerprint, so a pair listing is inherently quadratic in cluster
+    size (measured 35k pairs for 500 docs). Collapsing to DISTINCT
+    fingerprints first (groupBy simhash, min id as the fingerprint's
+    representative) makes the quadratic step run on the fingerprint
+    universe — bounded by corpus diversity, not corpus size — and the
+    final assignment is a linear join back.
+
+    Band blocking keeps the fingerprint self-join sub-quadratic: split
+    the ``bits``-bit fingerprint into ``n_bands`` equal bands; by
+    pigeonhole, two fingerprints within ``n_bands - 1`` bits agree on
+    at least one whole band, so candidates come from an equi-join on
+    (band_idx, band_value), verified with an exact popcount of the XOR.
+    ``max_hamming`` must be < ``n_bands`` for losslessness (asserted).
+    The per-band duplicates collapse inside the min() aggregation — no
+    distinct needed."""
+    assert max_hamming < n_bands, "pigeonhole requires max_hamming < n_bands"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sims = simhash(df, id_col, text_col, bits)
+    fps = sims.groupBy("simhash").agg(F.min(F.col(id_col)).alias("rep"))
+    bands = fps.select(
+        "simhash",
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(mask),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cmap = (
+        x.join(y, "bucket")
+        .filter(
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            <= max_hamming
+        )
+        .groupBy(F.col("x.simhash").alias("simhash"))
+        .agg(F.min(F.col("y.rep")).alias("cluster_rep"))
+    )
+    return sims.join(cmap, "simhash").select(id_col, "cluster_rep")
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

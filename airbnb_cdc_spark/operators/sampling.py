@@ -1,0 +1,77 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines: stratified sampling by a hash of the row key, and
+train/valid/test assignment.
+
+Design stance (100 TB): sampling decisions must be (a) reproducible
+run-to-run and engine-to-engine — no ``rand()`` — and (b) computable
+per-row with no shuffle. Both operators hash the ROW KEY with md5 and
+decide from ``hash mod 100``, so they are pure projections/filters that
+run at scan speed, compose with pushdown, and give every downstream
+stage the same sample. The md5-derived bucket matches the DuckDB
+oracles digit-for-digit (same trick as the dedup family's 60-bit
+shingle hash).
+
+The reference has no sampling surface; these extend the engine for the
+LLM-data-pipeline brief (stratified subsampling per language / quality
+tier and held-out split carving are standard corpus-prep steps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket100(key: Column) -> Column:
+    """Deterministic [0, 100) bucket from md5 of the stringified key.
+    DuckDB mirror: CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1,
+    15)) AS BIGINT) % 100."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates_pct: Mapping[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Keep each row iff its key-hash bucket falls under its stratum's
+    rate (percent, integer). E.g. ``{"en": 10}`` with ``default_pct=50``
+    downsamples English to 10% and everything else to 50% — the standard
+    re-balancing step for over-represented languages/sources.
+
+    Deterministic: the same key always lands in the same bucket, so the
+    sample is stable across runs, engines, and partitionings. Pure
+    filter — no shuffle, no driver-side state."""
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.withColumn("__bucket", _bucket100(F.col(key_col))).filter(
+        F.col("__bucket") < rate
+    ).drop("__bucket")
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Attach a deterministic ``split`` column: 'train' for buckets
+    [0, train_pct), 'valid' for [train_pct, train_pct+valid_pct),
+    'test' for the rest. Hash-of-key assignment keeps a document in the
+    same split forever (corpus grows, splits stay disjoint) — the
+    property random assignment loses."""
+    b = _bucket100(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )

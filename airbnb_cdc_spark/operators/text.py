@@ -106,3 +106,50 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(
         F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pretraining prep step (context-window packing with overlap
+    ``window - stride``). One row per chunk: (id, chunk_idx,
+    chunk_tokens, chunk_hash).
+
+    Chunk count is ``1 + ceil((n - window) / stride)`` for n > window,
+    else 1; the final chunk is the (possibly short) tail. All integer
+    math + md5, so the DuckDB oracle reproduces chunk boundaries and
+    hashes bit-for-bit.
+
+    Scale: a projection + explode per doc — no shuffle; the fan-out
+    factor is n_tokens/stride (bounded by document length), and chunk
+    rows carry only a hash unless the caller re-slices the text.
+    Empty documents produce no chunks."""
+    toks = tokens(F.col(text_col))
+    n = F.size("__toks")
+    n_chunks = F.lit(1) + F.when(
+        n > window, F.floor((n - window + (stride - 1)) / stride).cast("int")
+    ).otherwise(F.lit(0))
+    base = ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
+    chunk = F.slice("__toks", F.col("ci") * stride + 1, window)
+    # empty docs surface as a single 0-token chunk; drop them at the END
+    # (an early filter on the tokenized column would push the tokenize
+    # below the widening repartition — see _hashed_base).
+    return (
+        base.select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        )
+        .select(
+            id_col,
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .filter(F.col("chunk_tokens") > 0)
+    )

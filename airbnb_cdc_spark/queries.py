@@ -1770,3 +1770,252 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3 additions: training-data prep (chunking, sampling, splits),
+# SimHash hamming near-dup, funnel analytics, column profiling, and more
+# TPC-H shapes (Q4/Q12/Q18-style) on the available columns.
+# --------------------------------------------------------------------------
+
+from airbnb_cdc_spark.operators import funnel as _funnel  # noqa: E402
+from airbnb_cdc_spark.operators import profile as _profile  # noqa: E402
+from airbnb_cdc_spark.operators import sampling as _sampling  # noqa: E402
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNKS_ORACLE = f"""
+WITH {_TOKS_CTE}, c AS (
+    SELECT doc_id, t, len(t) AS n,
+           1 + CASE WHEN len(t) > {_CHUNK_W}
+                    THEN (len(t) - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
+                    ELSE 0 END AS nc
+    FROM toks
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+       CAST(len(ck) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(ck, ' ')) AS chunk_hash
+FROM (
+    SELECT doc_id, i,
+           list_slice(t, (i-1)*{_CHUNK_S} + 1,
+                      least((i-1)*{_CHUNK_S} + {_CHUNK_W}, n)) AS ck
+    FROM c, unnest(range(1, nc + 1)) AS u(i)
+) WHERE len(ck) > 0
+"""
+
+
+@query("doc_chunks", _CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+_BUCKET_SQL = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source, {_BUCKET_SQL} AS b FROM documents
+) WHERE b < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+"""
+
+
+@query("sample_by_lang", _SAMPLE_ORACLE)
+def q_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: English (over-represented
+    in this corpus) to 10%, everything else to 50%."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return _sampling.stratified_sample(docs, "doc_id", "lang", {"en": 10}, default_pct=50)
+
+
+_SPLIT_ORACLE = f"""
+SELECT split, lang, COUNT(*) AS n_docs FROM (
+    SELECT lang, CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'valid'
+                      ELSE 'test' END AS split
+    FROM (SELECT lang, {_BUCKET_SQL} AS b FROM documents)
+) GROUP BY split, lang
+"""
+
+
+@query("dataset_split_counts", _SPLIT_ORACLE)
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _sampling.split_assign(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _simhash_cluster_oracle(bits: int = 32, maxh: int = 3) -> str:
+    # The oracle runs the plain quadratic join over DISTINCT fingerprints
+    # (tiny); the Spark side band-blocks it — lossless for
+    # maxh < n_bands, so results match exactly.
+    return f"""
+WITH sims AS ({_simhash_oracle(bits)}),
+fps AS (SELECT simhash, min(doc_id) AS rep FROM sims GROUP BY 1),
+cmap AS (
+    SELECT a.simhash, min(b.rep) AS cluster_rep
+    FROM fps a JOIN fps b ON bit_count(xor(a.simhash, b.simhash)) <= {maxh}
+    GROUP BY 1
+)
+SELECT s.doc_id, c.cluster_rep FROM sims s JOIN cmap c USING (simhash)
+"""
+
+
+@query("dedup_simhash_cluster", _simhash_cluster_oracle())
+def q_dedup_simhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_cluster(load_table(spark, sf_dir, "documents"))
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts >= v.tv
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts >= c.tc
+      WHERE e.event_type = 'purchase' GROUP BY 1),
+j AS (SELECT v.user_id, tv, tc, tp
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id)
+SELECT 'view' AS stage, CAST(0 AS INT) AS stage_idx, COUNT(tv) AS n_users FROM j
+UNION ALL
+SELECT 'click', CAST(1 AS INT), COUNT(tc) FROM j
+UNION ALL
+SELECT 'purchase', CAST(2 AS INT), COUNT(tp) FROM j
+"""
+
+
+@query("user_funnel", _FUNNEL_ORACLE)
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _funnel.funnel_counts(events, ["view", "click", "purchase"])
+
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+
+
+def _profile_oracle() -> str:
+    aggs = ["COUNT(*) AS n"]
+    selects = []
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS null{i}",
+            f"COUNT(DISTINCT {c}) AS dist{i}",
+            f"CAST(MIN({c}) AS VARCHAR) AS min{i}",
+            f"CAST(MAX({c}) AS VARCHAR) AS max{i}",
+        ]
+        selects.append(
+            f"SELECT '{c}' AS col_name, n AS n_rows, null{i} AS n_null, "
+            f"dist{i} AS n_distinct, min{i} AS min_val, max{i} AS max_val FROM a"
+        )
+    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("orders_profile", _profile_oracle())
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile.column_profile(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+# TPC-H Q4 shape on available columns: orders in a quarter having at
+# least one "late" lineitem (shipped >= 90 days after the order date),
+# counted per priority — the EXISTS/semi-join pattern.
+_LATE_SHIP_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("late_ship_priority_check", _LATE_SHIP_ORACLE)
+def q_late_ship_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# TPC-H Q12 shape: lineitems shipped in 1994, classified by the owning
+# order's priority (high = urgent/high), grouped by linestatus.
+_LINESTATUS_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@query("linestatus_priority_class", _LINESTATUS_ORACLE)
+def q_linestatus_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# TPC-H Q18 shape: large-volume orders (total quantity > 300) with
+# customer attribution — aggregate-then-join with a HAVING prefilter.
+_LARGE_ORDERS_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM lineitem GROUP BY 1
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_name, o_orderkey AS orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@query("large_orders", _LARGE_ORDERS_ORACLE)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
