@@ -15,6 +15,7 @@ from airbnb_cdc_spark.session import ensure_parallelism
 from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
     normalized_fingerprint,
+    shingles,
     stopword_hits,
     tokens,
 )
@@ -106,6 +107,90 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(
         F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination primitive: per corpus document, the fraction of
+    its distinct n-gram shingles that also appear in the ``benchmark``
+    corpus (eval-set leakage check — docs above a threshold get dropped
+    from training data).
+
+    Spark shape: the benchmark's distinct shingle hashes collapse to a
+    ONE-ROW broadcast array (a benchmark is small by definition — eval
+    suites are thousands of docs, not billions), and the overlap is an
+    ``array_intersect`` inside each corpus doc's own row: zero shuffles
+    over the corpus, scan-speed. Both sides hash shingles with the same
+    60-bit md5 scheme as the dedup family."""
+    from airbnb_cdc_spark.operators.dedup import _h60
+
+    hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), _h60))
+    bench_set = benchmark.select(F.explode(hashed).alias("h")).agg(
+        F.collect_set("h").alias("__bench")
+    )
+    sz = F.size("__hs")
+    return (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), hashed.alias("__hs"))
+        .join(F.broadcast(bench_set))
+        .select(
+            id_col,
+            sz.cast("long").alias("n_shingles"),
+            F.size(F.array_intersect("__hs", "__bench"))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_overlap").cast("double")
+                / F.col("n_shingles").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top ``top_k`` by
+    (count desc, pair asc) — the counting step of a BPE merge iteration
+    (most frequent pair becomes the next merge rule).
+
+    One explode + one map-side-combining groupBy; the top-k runs as a
+    distributed TakeOrdered (orderBy + limit — per-partition heaps, no
+    single-partition global window over the vocabulary), with ranks
+    attached afterwards over the k-row result."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    pairs = F.when(F.size("__toks") < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+            ),
+        )
+    )
+    top = (
+        ensure_parallelism(df)
+        .select(toks.alias("__toks"))
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 def chunk_documents(

@@ -2019,3 +2019,139 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").cast("double").alias("total_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination, BPE pair counts, OHLC buckets, histograms
+# --------------------------------------------------------------------------
+
+_H60_SQL = "CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)"
+
+# Benchmark stand-in: every 97th doc plays the eval set; the rest is the
+# training corpus being screened for leakage.
+_DECONTAM_ORACLE = f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+h AS (SELECT doc_id, {_H60_SQL} AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0),
+cd AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+sizes AS (
+    SELECT cd.doc_id, COALESCE(x.cnt, 0) AS n_shingles
+    FROM cd LEFT JOIN (SELECT doc_id, count(DISTINCT h) AS cnt FROM corpus GROUP BY 1) x
+    USING (doc_id)
+),
+ov AS (
+    SELECT c.doc_id, count(DISTINCT c.h) AS n_overlap
+    FROM corpus c JOIN bench USING (h) GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CASE WHEN s.n_shingles > 0
+            THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
+            ELSE 0.0 END AS overlap_ratio
+FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+"""
+
+
+@query("decontaminate_vs_benchmark", _DECONTAM_ORACLE)
+def q_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return _text.benchmark_overlap(corpus, bench)
+
+
+_BIGRAM_ORACLE = f"""
+WITH {_TOKS_CTE}, pairs AS (
+    SELECT concat_ws(' ', t[i], t[i+1]) AS bigram
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+)
+SELECT bigram, n, CAST(rnk AS INT) AS rnk FROM (
+    SELECT bigram, count(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY count(*) DESC, bigram) AS rnk
+    FROM pairs GROUP BY 1
+) WHERE rnk <= 50
+"""
+
+
+@query("bigram_vocab", _BIGRAM_ORACLE)
+def q_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.bigram_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+_OHLC_ORACLE = """
+WITH r AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+)
+SELECT event_type, hour,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close_v,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("events_ohlc", _OHLC_ORACLE)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open/high/low/close per event type — time-bucketed
+    first/last-by-ordering aggregation (one window shuffle + one
+    groupBy on the same keys; first/last are deterministic under the
+    (ts, event_id) total order, min/max need no ordering at all)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", "__hour").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "__hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select("event_type", hour.alias("__hour"), "ts", "event_id", "value")
+        .withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rd", F.row_number().over(wd))
+        .groupBy(F.col("event_type"), F.col("__hour").alias("hour"))
+        .agg(
+            F.max(F.when(F.col("__ra") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("__rd") == 1, F.col("value"))).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_HIST_ORACLE = """
+WITH b AS (
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT bucket, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share FROM b
+"""
+
+
+@query("value_histogram", _HIST_ORACLE)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram + share-of-total: the scalable
+    quantile/distribution primitive (one map-side-combining groupBy;
+    the share window runs over the tiny bucket frame)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    b = (
+        events.select(F.floor(F.col("value") / 25).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return b.withColumn(
+        "share",
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()),
+    )
