@@ -1,0 +1,122 @@
+"""Connected components over a near-duplicate pair list — the
+transitive-closure step that turns pairwise dedup output (A~B, B~C)
+into dedup CLUSTERS ({A,B,C} → representative A).
+
+Min-label propagation: every node starts labeled with itself; each
+iteration relabels a node to the minimum label in its neighborhood;
+converged when an iteration changes nothing. Label monotonically
+decreases, so termination is guaranteed in at most `diameter`
+iterations — near-dup graphs are unions of small cliques-ish clusters,
+so 3-5 iterations cover real corpora (``max_iters`` bounds the worst
+case; the returned frame is exact whenever convergence is reached and
+reported via the ``converged`` flag).
+
+Scale shape: per iteration, one join of the label frame against the
+edge list + one min-aggregation — both shuffle on the node key, the
+natural partitioning. Lineage is truncated with ``localCheckpoint``
+every iteration (iterative plans otherwise grow exponentially in the
+optimizer). The per-iteration convergence check is one tiny count
+action. Edge lists under ``small_graph_threshold`` skip the loop for a
+one-pass driver union-find — a thresholded near-dup pair list is
+metadata-sized, and N driver round-trips for 50 edges is the wrong
+trade; the distributed loop remains the path for genuinely large
+graphs.
+
+Not DuckDB-oracle-expressible (iterative fixpoint): covered by pytest
+against a brute-force union-find instead (SURVEY §5 model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iters: int = 10,
+    small_graph_threshold: int = 100_000,
+) -> tuple[DataFrame, bool]:
+    """(components, converged): one row per node with its component
+    representative (the minimum node id reachable via the pair list).
+
+    Adaptive execution: a near-dup pair list is usually METADATA-sized
+    (thresholded output, not corpus-sized), so below
+    ``small_graph_threshold`` edges the exact union-find runs on the
+    driver in one pass — no iteration, no per-round jobs. Above it, the
+    distributed min-label loop takes over (same result). The size probe
+    is one count over the (already tiny) pair frame."""
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        return _driver_union_find(pairs.sparkSession, edges), True
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    converged = False
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component")), converged
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact one-pass union-find for metadata-sized edge lists."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    # collect, not toLocalIterator: the frame is <= the small-graph
+    # threshold by construction, and toLocalIterator schedules one job
+    # PER PARTITION (32 sequential tiny jobs measured slower than the
+    # whole distributed loop).
+    for row in edges.collect():
+        ra, rb = find(row.src), find(row.dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    schema = edges.schema["src"].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"node {schema}, component {schema}"
+    )

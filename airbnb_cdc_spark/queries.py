@@ -2155,3 +2155,133 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 historization, embedding outlier screening, transitive dedup
+# components
+# --------------------------------------------------------------------------
+
+# SCD2 (type-2 slowly changing dimension) rebuilt from an event stream:
+# each user's event_type acts as the tracked attribute; a change opens a
+# new version row (valid_from = change ts) and closes the prior one
+# (valid_to = next change ts, NULL while current). Pure window chain —
+# lag to detect changes, lead to close intervals — one shuffle per user.
+_SCD2_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM ch
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("scd2_user_state_history", _SCD2_ORACLE)
+def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changes = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+# Embedding outlier screen: integer global centroid (floor-mean of the
+# quantized vectors, exactly the k-means mean trick), cosine of every
+# vector to it, outlier = below a fixed similarity floor. The centroid
+# aggregation shuffles only (pos, partial_sum) rows (map-side combine).
+_OUTLIER_ORACLE = f"""
+WITH {_QUANT_CTE},
+dims AS (
+    SELECT i AS pos,
+           CAST(floor(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM q, unnest(range(1, 65)) AS t(i)
+    GROUP BY i
+),
+cent AS (SELECT list(m ORDER BY pos) AS ce FROM dims),
+scored AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])) AS DOUBLE))) AS cos_centroid
+    FROM q CROSS JOIN cent
+)
+SELECT vec_id, cos_centroid,
+       CAST(CASE WHEN cos_centroid < 0.0 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM scored
+"""
+
+
+@query("embedding_outliers", _OUTLIER_ORACLE)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _sim._with_quant(emb, "vec_id", "embedding")
+    dims = (
+        base.select(F.posexplode("__q").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+    )
+    cent = dims.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("__qc")
+    ).withColumn(
+        "__nc",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("__qc"), F.col("__qc"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ),
+    )
+    scored = base.join(F.broadcast(cent)).select(
+        "vec_id",
+        _sim._pair_cosine(
+            F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")
+        ).alias("cos_centroid"),
+    )
+    return scored.select(
+        "vec_id",
+        "cos_centroid",
+        F.when(F.col("cos_centroid") < 0.0, 1).otherwise(0).cast("int").alias("is_outlier"),
+    )
+
+
+@query("dedup_components")
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the n-gram
+    Jaccard near-dup pairs (A~B, B~C => one cluster). Iterative
+    fixpoint — not SQL-oracle-expressible; pytest covers the algorithm
+    against brute-force union-find (test_connected_components)."""
+    from airbnb_cdc_spark.operators.graph import connected_components
+
+    pairs = _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    comp, _converged = connected_components(pairs, max_iters=8)
+    return comp

@@ -231,3 +231,54 @@ def test_ivf_recall_at_nprobe8(spark):
     assert truth, "baseline produced no rows"
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"recall {recall:.2f} < 0.8"
+
+
+def test_connected_components(spark):
+    """Min-label propagation matches brute-force union-find, including
+    multi-hop chains and singleton-free node sets."""
+    import random
+
+    from airbnb_cdc_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = [(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.05]
+    edges += [(50, 51), (51, 52), (52, 53)]  # a 4-node chain (diameter 3)
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # canonical: min node per component
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            expected[x] = None
+    for x in expected:
+        r = find(x)
+        while parent[r] != r:
+            r = parent[r]
+        expected[x] = r
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    # small-graph fast path (driver union-find)
+    comp, converged = connected_components(df, max_iters=15)
+    assert converged
+    got = {r.node: r.component for r in comp.collect()}
+    assert got == expected
+    # distributed min-label loop (force past the threshold)
+    comp2, converged2 = connected_components(
+        df, max_iters=15, small_graph_threshold=0
+    )
+    assert converged2
+    got2 = {r.node: r.component for r in comp2.collect()}
+    assert got2 == expected
