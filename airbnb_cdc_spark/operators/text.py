@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from airbnb_cdc_spark.session import ensure_parallelism
 from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
+    LANG_STOPWORDS,
     normalized_fingerprint,
     shingles,
     stopword_hits,
@@ -80,6 +81,31 @@ def quality_filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+
+
+def quality_predicate(
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.03,
+    min_distinct_ratio: float = 0.35,
+):
+    """The quality gate as a single boolean Column — usable as a bare
+    ``.filter()`` on BATCH OR STREAMING frames while preserving every
+    input column (``quality_filter`` projects to the stats schema;
+    this composes). All ratios from exact integer counts, inline."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("long")
+    # same division-form ratios as text_stats/quality_filter, so the
+    # kept set is identical to quality_filter's
+    return (
+        (n >= min_tokens)
+        & (n_stop.cast("double") / n.cast("double") >= F.lit(min_stopword_ratio))
+        & (n_distinct.cast("double") / n.cast("double") >= F.lit(min_distinct_ratio))
     )
 
 
