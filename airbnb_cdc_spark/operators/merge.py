@@ -304,3 +304,122 @@ class ParquetMergeTable:
         ``num_buckets`` or to re-sort/re-encode cold data."""
         if self.exists():
             self.overwrite(self.read())
+
+
+class Scd2MergeTable(ParquetMergeTable):
+    """Type-2 slowly-changing-dimension variant: instead of replacing a
+    matched row (LWW), an attribute change CLOSES the current version
+    (``valid_to`` = change timestamp, ``is_current`` = 0) and INSERTS a
+    new one (``valid_from`` = change timestamp, open-ended). The full
+    change history stays queryable — the standard warehouse answer to
+    "what did this dimension row look like when the fact happened"
+    (pairs with ``asof_join``).
+
+    Beyond the reference (its sinks are LWW upserts), but the natural
+    completion of the CDC surface. Same bucket-pruned storage: only the
+    buckets containing update keys are rewritten; CLOSED history rows in
+    those buckets pass through untouched and history is recomputed only
+    for the open row + new updates of each key (one window pass).
+
+    Ordering contract: updates apply in ``ts_col`` order; an update at
+    or before the current version's ``valid_from`` is discarded (late
+    data cannot rewrite closed history — by design; replay the table to
+    re-historize). At most one update per (key, ts): ties are collapsed
+    deterministically to the max attribute struct."""
+
+    SCD_COLS = ("valid_from", "valid_to", "is_current")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        ts_col: str,
+        num_buckets: int = 16,
+    ) -> None:
+        super().__init__(spark, path, keys, version_col=None, num_buckets=num_buckets)
+        self.ts_col = ts_col
+
+    def _attr_cols(self, df: DataFrame) -> list[str]:
+        drop = set(self.keys) | {self.ts_col, BUCKET_COL, *self.SCD_COLS}
+        return [c for c in df.columns if c not in drop]
+
+    def _build_history(self, seq: DataFrame, attrs: Sequence[str]) -> DataFrame:
+        """(key, valid_from, attrs) version candidates → SCD2 rows:
+        collapse (key, ts) ties, drop no-op versions (attributes equal
+        to the previous version), chain validity intervals."""
+        from pyspark.sql import Window
+
+        seq = seq.groupBy(*self.keys, "valid_from").agg(
+            F.max(F.struct(*attrs)).alias("__a")
+        )
+        w = Window.partitionBy(*self.keys).orderBy(F.col("valid_from").asc())
+        changed = seq.withColumn("__prev", F.lag("__a").over(w)).filter(
+            F.col("__prev").isNull() | ~F.col("__a").eqNullSafe(F.col("__prev"))
+        )
+        nxt = F.lead("valid_from").over(w)
+        return changed.select(
+            *self.keys,
+            "valid_from",
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+            *[F.col("__a").getField(a).alias(a) for a in attrs],
+        )
+
+    def merge(self, updates: DataFrame, allow_schema_evolution: bool = False) -> None:
+        """Historizing merge. ``updates``: key + attribute columns +
+        ``ts_col``. Schema evolution is not supported for SCD2 (closed
+        history would need backfilling) — the flag is accepted for
+        interface parity and must be False."""
+        assert not allow_schema_evolution, "SCD2 merge does not evolve schemas"
+        attrs = self._attr_cols(updates)
+        fresh = updates.select(
+            *self.keys, F.col(self.ts_col).alias("valid_from"), *attrs
+        )
+        if not self._has_buckets():
+            self.overwrite(self._build_history(fresh, attrs))
+            return
+
+        fresh_b = fresh.withColumn(BUCKET_COL, self._bucket_expr())
+        touched = sorted(
+            r[0] for r in fresh_b.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return
+        current = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+            .filter(F.col(BUCKET_COL).isin(touched))
+        )
+        closed = current.filter(F.col("is_current") == 0).drop(BUCKET_COL)
+        open_rows = current.filter(F.col("is_current") == 1).select(
+            *self.keys, "valid_from", *attrs
+        )
+        # Late-data guard: an update at/before its key's open version
+        # cannot apply (closed history is immutable).
+        gate = open_rows.select(
+            *self.keys, F.col("valid_from").alias("__open_from")
+        )
+        fresh_gated = (
+            fresh.join(gate, on=self.keys, how="left")
+            .filter(
+                F.col("__open_from").isNull()
+                | (F.col("valid_from") > F.col("__open_from"))
+            )
+            .drop("__open_from")
+        )
+        hist = self._build_history(
+            open_rows.unionByName(fresh_gated), attrs
+        )
+        merged = closed.unionByName(hist.select(closed.columns)).withColumn(
+            BUCKET_COL, self._bucket_expr()
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        self._swap_buckets(tmp, touched)

@@ -147,3 +147,89 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert out["b"].extra == "x" and out["c"].extra == "y"
     assert out["a"].extra is None  # old rows widened with NULL
     assert out["a"].v == 1 and out["b"].v == 20
+
+
+# -- SCD2 ------------------------------------------------------------------
+
+
+def _scd2(spark, tmp_path):
+    from airbnb_cdc_spark.operators.merge import Scd2MergeTable
+
+    return Scd2MergeTable(
+        spark, str(tmp_path / "scd2"), keys=["cid"], ts_col="ts", num_buckets=4
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.cid, str(r.valid_from), str(r.valid_to), r.is_current, r.status)
+        for r in df.collect()
+    )
+
+
+def test_scd2_initial_and_change(spark, tmp_path):
+    from datetime import datetime
+
+    t = lambda d: datetime(2025, 1, d)  # noqa: E731
+    tab = _scd2(spark, tmp_path)
+    tab.merge(
+        spark.createDataFrame(
+            [(1, t(1), "bronze"), (2, t(1), "silver")], ["cid", "ts", "status"]
+        )
+    )
+    out = tab.read()
+    assert out.filter("is_current = 1").count() == 2
+    assert out.count() == 2
+
+    # change cid 1, no-op update for cid 2
+    tab.merge(
+        spark.createDataFrame(
+            [(1, t(5), "gold"), (2, t(5), "silver")], ["cid", "ts", "status"]
+        )
+    )
+    out = tab.read()
+    assert _rows(out) == sorted(
+        [
+            (1, str(t(1)), str(t(5)), 0, "bronze"),
+            (1, str(t(5)), "None", 1, "gold"),
+            (2, str(t(1)), "None", 1, "silver"),  # no-op created no version
+        ]
+    )
+
+
+def test_scd2_multi_change_batch_and_late_discard(spark, tmp_path):
+    from datetime import datetime
+
+    t = lambda d: datetime(2025, 1, d)  # noqa: E731
+    tab = _scd2(spark, tmp_path)
+    # one batch containing a whole chain, out of storage order
+    tab.merge(
+        spark.createDataFrame(
+            [(1, t(7), "gold"), (1, t(1), "bronze"), (1, t(3), "silver")],
+            ["cid", "ts", "status"],
+        )
+    )
+    out = tab.read()
+    assert _rows(out) == sorted(
+        [
+            (1, str(t(1)), str(t(3)), 0, "bronze"),
+            (1, str(t(3)), str(t(7)), 0, "silver"),
+            (1, str(t(7)), "None", 1, "gold"),
+        ]
+    )
+
+    # a late update older than the open version is discarded
+    tab.merge(spark.createDataFrame([(1, t(5), "iron")], ["cid", "ts", "status"]))
+    out = tab.read()
+    assert out.count() == 3
+    assert out.filter("status = 'iron'").count() == 0
+
+    # a genuine newer change still applies
+    tab.merge(spark.createDataFrame([(1, t(9), "platinum")], ["cid", "ts", "status"]))
+    out = tab.read()
+    assert out.filter("is_current = 1").count() == 1
+    cur = out.filter("is_current = 1").collect()[0]
+    assert cur.status == "platinum" and str(cur.valid_from) == str(t(9))
+    # the previously-open gold row is now closed at t(9)
+    gold = out.filter("status = 'gold'").collect()[0]
+    assert gold.is_current == 0 and str(gold.valid_to) == str(t(9))
