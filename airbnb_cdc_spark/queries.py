@@ -2285,3 +2285,59 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
     comp, _converged = connected_components(pairs, max_iters=8)
     return comp
+
+
+# Point-in-time dimension join: each purchase enriched with the user's
+# SCD2 state AT purchase time. The SQL formulation is a range join
+# (valid_from <= ts < valid_to) — quadratic candidate generation; the
+# Spark side reuses asof_join against the version START points instead
+# (union + one Exchange + ordered window fill, no range explosion),
+# which is exactly why the SCD2 table stores change points.
+_PIT_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hist AS (
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM c WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT p.event_id, p.user_id, p.ts, h.state AS state_at_purchase
+FROM events p
+JOIN hist h ON p.user_id = h.user_id
+           AND h.valid_from <= p.ts
+           AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
+@query("pit_state_at_purchase", _PIT_ORACLE)
+def q_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.asof import asof_join
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changes = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+        .select("user_id", F.col("ts").alias("state_ts"), F.col("event_type").alias("state"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        changes,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="state_ts",
+        tie_breaks=["state"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("r_state").alias("state_at_purchase")
+    )
