@@ -1,0 +1,112 @@
+"""Property tests: the dedup family agrees with brute-force Python
+references on random small corpora (tiny vocabulary → dense shingle
+overlap, the adversarial case for candidate generation)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from airbnb_cdc_spark.operators.dedup import (
+    AUTO,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_cluster,
+)
+
+VOCAB = ["red", "blue", "green", "ox", "owl", "fig", "yam"]
+
+
+@st.composite
+def _corpus(draw):
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    return [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _true_pairs(rows, threshold=0.5, cap=None):
+    """Brute-force capped Jaccard pairs, mirroring the AUTO cap rule."""
+    sets = {i: _shingle_set(t) for i, t in rows}
+    if cap is not None:
+        from collections import Counter
+
+        df = Counter(s for ss in sets.values() for s in ss)
+        hot = {s for s, c in df.items() if c > cap}
+        sets = {i: ss - hot for i, ss in sets.items()}
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= threshold:
+                out[(a, b)] = inter / union
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_corpus())
+def test_ngram_jaccard_matches_bruteforce(spark, rows):
+    cap = max(2, len(rows) // 100)  # the AUTO rule
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, max_doc_freq=AUTO).collect()
+    }
+    expected = _true_pairs(rows, cap=cap)
+    assert set(got) == set(expected)
+    for pair, j in got.items():
+        assert abs(j - expected[pair]) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus())
+def test_minhash_pairs_are_true_pairs(spark, rows):
+    """LSH banding may MISS pairs (that's its recall trade) but every
+    returned pair must be a genuine capped-Jaccard >= t pair with the
+    exact score."""
+    cap = max(2, len(rows) // 100)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, max_doc_freq=AUTO).collect()
+    }
+    expected = _true_pairs(rows, cap=cap)
+    assert set(got) <= set(expected)
+    for pair, j in got.items():
+        assert abs(j - expected[pair]) < 1e-12
+    # identical docs always band-collide: any pair with Jaccard == 1.0
+    # must be found
+    must = {p for p, j in expected.items() if j == 1.0}
+    assert must <= set(got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus())
+def test_simhash_cluster_invariants(spark, rows):
+    """Every doc gets a representative; the representative is a doc id
+    <= its own; identical texts share a representative."""
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_rep for r in simhash_cluster(df).collect()}
+    assert set(got) == {i for i, _ in rows}
+    for doc, rep in got.items():
+        assert rep <= doc
+        assert rep in got
+    by_text = {}
+    for i, t in rows:
+        norm = " ".join(t.lower().split())
+        by_text.setdefault(norm, []).append(i)
+    for ids in by_text.values():
+        reps = {got[i] for i in ids}
+        assert len(reps) == 1
