@@ -1,0 +1,68 @@
+"""Entity resolution: canonicalize noisy string keys (names, brands,
+SKUs) by edit distance — every row gets a ``canonical`` value shared
+with all rows whose key lies within Levenshtein distance 1.
+
+Structure mirrors ``simhash_cluster``: real-world key columns are
+heavily duplicated (64 distinct names across 2000 parts in the test
+data), so the quadratic similarity step runs over DISTINCT keys only,
+then a linear join assigns rows.
+
+Candidate generation is SymSpell deletion blocking (Garbe's published
+spell-correction index, exact for distance <= 1): each key emits itself
+plus every single-character-deletion variant; two keys within distance
+1 necessarily share at least one such variant (substitution at i →
+both share delete(i); insertion/deletion → the shorter string IS a
+deletion variant of the longer; equality → the key itself). So the
+equi-join on deletion keys is a LOSSLESS block — no key-space cross
+join — and an exact ``levenshtein() <= 1`` verify prunes the false
+candidates the block admits.
+
+Scale: distinct-key frame → explode ~len(key) deletion variants →
+self-join on the variant → verify → min-agg → broadcast-join back.
+Everything shuffles on short strings; cost follows distinct-key count,
+not row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_keys(col):
+    """array: the string itself + every single-deletion variant.
+    (Guard the empty string: Spark's sequence(1, 0) counts DOWN.)"""
+    variants = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - F.lit(1)),
+            col.substr(i + F.lit(1), F.length(col)),
+        ),
+    )
+    return F.when(F.length(col) == 0, F.array(col)).otherwise(
+        F.concat(F.array(col), variants)
+    )
+
+
+def canonicalize_keys(
+    df: DataFrame,
+    key_col: str,
+    out_col: str = "canonical",
+) -> DataFrame:
+    """``df`` + ``out_col``: the minimum key string among all keys
+    within Levenshtein distance 1 of the row's key (single-hop
+    neighborhood, deterministic)."""
+    distinct = df.select(F.col(key_col).alias("__k")).distinct()
+    keyed = distinct.select(
+        "__k", F.explode(_deletion_keys(F.col("__k"))).alias("__d")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cmap = (
+        a.join(b, F.col("a.__d") == F.col("b.__d"))
+        .filter(F.levenshtein(F.col("a.__k"), F.col("b.__k")) <= 1)
+        .groupBy(F.col("a.__k").alias("__k"))
+        .agg(F.min(F.col("b.__k")).alias(out_col))
+    )
+    return df.join(
+        F.broadcast(cmap).withColumnRenamed("__k", key_col), key_col
+    )

@@ -2341,3 +2341,76 @@ def q_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("r_state").alias("state_at_purchase")
     )
+
+
+# Entity canonicalization: every part mapped to the minimum p_name
+# within Levenshtein distance 1 of its own. Spark blocks candidates
+# with SymSpell deletion keys (lossless for d<=1); the oracle runs the
+# plain quadratic join over DISTINCT names — identical result.
+_CANON_ORACLE = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+cmap AS (
+    SELECT a.p_name, min(b.p_name) AS canonical
+    FROM n a JOIN n b ON levenshtein(a.p_name, b.p_name) <= 1
+    GROUP BY 1
+)
+SELECT p.p_partkey, p.p_name, c.canonical
+FROM part p JOIN cmap c USING (p_name)
+"""
+
+
+@query("part_name_canonical", _CANON_ORACLE)
+def q_part_name_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.entity import canonicalize_keys
+
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return canonicalize_keys(parts, "p_name").select(
+        "p_partkey", "p_name", "canonical"
+    )
+
+
+# TPC-H Q14 shape: monthly promo revenue share in 1996. Exact-decimal
+# sums; the percentage is a DOUBLE division of two already-exact
+# doubles (decimal division scale rules differ across engines).
+_PROMO_ORACLE = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@query("promo_revenue_share", _PROMO_ORACLE)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).cast(
+        "double"
+    )
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+        )
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * promo / total).alias("promo_pct"),
+        )
+    )

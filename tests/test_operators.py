@@ -282,3 +282,30 @@ def test_connected_components(spark):
     assert converged2
     got2 = {r.node: r.component for r in comp2.collect()}
     assert got2 == expected
+
+
+def test_canonicalize_keys_symspell_block_is_lossless(spark):
+    """Deletion-key blocking must catch every distance-1 pair shape:
+    substitution, insertion/deletion (including at the first char),
+    and exact equality; distance-2 pairs stay separate."""
+    from airbnb_cdc_spark.operators.entity import canonicalize_keys
+
+    rows = [
+        (1, "red"),
+        (2, "red"),     # exact dup
+        (3, "rad"),     # substitution
+        (4, "ed"),      # first-char deletion
+        (5, "reds"),    # trailing insertion
+        (6, "blue"),    # unrelated
+        (7, "rzzd"),    # distance 2 from red — must NOT merge
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {r.id: r.canonical for r in canonicalize_keys(df, "name").collect()}
+    # single-hop neighborhoods (transitive closure is
+    # connected_components' job): red sees {red, rad, ed, reds} -> ed;
+    # rad sees only {rad, red} -> rad; reds sees {reds, red} -> red.
+    assert got[1] == got[2] == got[4] == "ed"
+    assert got[3] == "rad"
+    assert got[5] == "red"
+    assert got[6] == "blue"
+    assert got[7] == "rzzd"
