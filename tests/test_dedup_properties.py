@@ -60,14 +60,18 @@ def _true_pairs(rows, threshold=0.5, cap=None):
 def test_ngram_jaccard_matches_bruteforce(spark, rows):
     cap = max(2, len(rows) // 100)  # the AUTO rule
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(df, max_doc_freq=AUTO).collect()
-    }
     expected = _true_pairs(rows, cap=cap)
-    assert set(got) == set(expected)
-    for pair, j in got.items():
-        assert abs(j - expected[pair]) < 1e-12
+    # both candidate-generation strategies must agree with brute force
+    for strategy in ("count", "prefix"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, max_doc_freq=AUTO, strategy=strategy
+            ).collect()
+        }
+        assert set(got) == set(expected), strategy
+        for pair, j in got.items():
+            assert abs(j - expected[pair]) < 1e-12, strategy
 
 
 @settings(max_examples=8, deadline=None)
