@@ -423,3 +423,142 @@ class Scd2MergeTable(ParquetMergeTable):
             .parquet(tmp)
         )
         self._swap_buckets(tmp, touched)
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake backend (feature-detected).
+#
+# The parquet shim above is correct on HDFS/local but its bucket-dir
+# rename swap is NOT atomic on object stores (S3 rename = copy+delete) —
+# the one acknowledged design gap vs the reference's transactional
+# Synapse upsert (pipeline/New_LoadCustomerDim.json:82-92). When
+# delta-spark is on the classpath, `create_merge_table` returns a
+# DeltaMergeTable instead: Delta's commit protocol gives atomic,
+# S3-safe MERGE with the same file-skipping economics the bucket shim
+# hand-rolls. The container this repo is developed in has no Delta jar,
+# so the class is exercised through the same test suite with Delta legs
+# skipped when the import fails — the parquet shim remains the default
+# and fully-tested path.
+# ---------------------------------------------------------------------------
+
+
+def delta_available(spark: SparkSession | None = None) -> bool:
+    """True when the delta-spark Python package AND its jar are usable.
+    The package can be pip-installed without the jar being on the Spark
+    classpath, so probe the JVM class too when a session is given."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    if spark is None:
+        return True
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class DeltaMergeTable:
+    """`ParquetMergeTable`-compatible surface over a Delta table:
+    MERGE INTO / DELETE / OPTIMIZE through Delta's transaction log, so
+    commits are atomic on any store. Bucketing is unnecessary — Delta's
+    data skipping (file stats + optional Z-order) plays the role of the
+    shim's bucket pruning; ``num_buckets`` is accepted and ignored for
+    interface parity."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        version_col: str | None = None,
+        num_buckets: int = 16,  # noqa: ARG002 — parity with the shim
+    ) -> None:
+        from delta.tables import DeltaTable  # noqa: F401 — import guard
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = list(keys)
+        self.version_col = version_col
+
+    def _delta(self):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(self.spark, self.path)
+
+    def exists(self) -> bool:
+        from delta.tables import DeltaTable
+
+        return bool(DeltaTable.isDeltaTable(self.spark, self.path))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.format("delta").load(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("overwriteSchema", "true")
+            .save(self.path)
+        )
+
+    def merge(self, updates: DataFrame, allow_schema_evolution: bool = False) -> None:
+        """MERGE INTO with the shim's exact semantics: whole-row replace
+        on key equality, last-writer-wins on ``version_col`` within the
+        batch (pre-dedup) and across batches (conditional UPDATE —
+        stale updates are discarded, ties go to the update)."""
+        if self.version_col is not None:
+            updates = latest_per_key(updates, self.keys, self.version_col)
+        else:
+            updates = updates.dropDuplicates(self.keys)
+        if not self.exists():
+            self.overwrite(updates)
+            return
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.keys)
+        builder = self._delta().alias("t").merge(updates.alias("s"), cond)
+        if allow_schema_evolution:
+            builder = builder.withSchemaEvolution()
+        if self.version_col is not None:
+            builder = builder.whenMatchedUpdateAll(
+                condition=f"s.`{self.version_col}` >= t.`{self.version_col}`"
+            )
+        else:
+            builder = builder.whenMatchedUpdateAll()
+        builder.whenNotMatchedInsertAll().execute()
+
+    def delete(self, keys_df: DataFrame) -> None:
+        if not self.exists():
+            return
+        keyed = keys_df.select(*self.keys).dropDuplicates(self.keys)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.keys)
+        (
+            self._delta()
+            .alias("t")
+            .merge(keyed.alias("s"), cond)
+            .whenMatchedDelete()
+            .execute()
+        )
+
+    def compact(self) -> None:
+        self._delta().optimize().executeCompaction()
+
+
+def create_merge_table(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    version_col: str | None = None,
+    num_buckets: int = 16,
+    backend: str = "auto",
+):
+    """Factory: ``backend='auto'`` picks Delta when available (atomic
+    commits — the right choice on object stores), else the bucketed
+    parquet shim; ``'delta'``/``'parquet'`` force a backend."""
+    if backend == "auto":
+        backend = "delta" if delta_available(spark) else "parquet"
+    if backend == "delta":
+        return DeltaMergeTable(spark, path, keys, version_col, num_buckets)
+    if backend == "parquet":
+        return ParquetMergeTable(spark, path, keys, version_col, num_buckets)
+    raise ValueError(f"unknown backend {backend!r}; use 'auto', 'delta' or 'parquet'")

@@ -1,22 +1,49 @@
-"""ParquetMergeTable: keyed upsert semantics + bucket-pruned rewrites."""
+"""ParquetMergeTable: keyed upsert semantics + bucket-pruned rewrites.
+
+Behavior tests run through `create_merge_table`, parameterized over
+backends: the parquet shim always, the Delta backend when delta-spark
+is importable (skipped otherwise — this container ships no Delta jar).
+Bucket-layout-specific tests stay pinned to the parquet shim.
+"""
 
 from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
 from pyspark.sql import Row
 
-from airbnb_cdc_spark.operators.merge import BUCKET_COL, ParquetMergeTable
+from airbnb_cdc_spark.operators.merge import (
+    BUCKET_COL,
+    ParquetMergeTable,
+    create_merge_table,
+    delta_available,
+)
+
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(
+            not delta_available(), reason="delta-spark not installed"
+        ),
+    ),
+]
 
 
-def _table(spark, tmp_path, **kw):
-    return ParquetMergeTable(
-        spark, str(tmp_path / "t"), keys=["k"], num_buckets=8, **kw
+@pytest.fixture(params=BACKENDS)
+def backend(request):
+    return request.param
+
+
+def _table(spark, tmp_path, backend="parquet", **kw):
+    return create_merge_table(
+        spark, str(tmp_path / "t"), keys=["k"], num_buckets=8, backend=backend, **kw
     )
 
 
-def test_merge_insert_then_update(spark, tmp_path):
-    t = _table(spark, tmp_path, version_col="ver")
+def test_merge_insert_then_update(spark, tmp_path, backend):
+    t = _table(spark, tmp_path, backend, version_col="ver")
     t.merge(spark.createDataFrame([Row(k="a", v=1, ver=1), Row(k="b", v=2, ver=1)]))
     assert {r.k: r.v for r in t.read().collect()} == {"a": 1, "b": 2}
 
@@ -24,8 +51,8 @@ def test_merge_insert_then_update(spark, tmp_path):
     assert {r.k: r.v for r in t.read().collect()} == {"a": 1, "b": 20, "c": 3}
 
 
-def test_merge_within_batch_last_writer_wins(spark, tmp_path):
-    t = _table(spark, tmp_path, version_col="ver")
+def test_merge_within_batch_last_writer_wins(spark, tmp_path, backend):
+    t = _table(spark, tmp_path, backend, version_col="ver")
     t.merge(
         spark.createDataFrame(
             [Row(k="a", v=1, ver=1), Row(k="a", v=9, ver=5), Row(k="a", v=2, ver=3)]
@@ -52,23 +79,23 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert t.read().count() == 100
 
 
-def test_overwrite_replaces_all(spark, tmp_path):
-    t = _table(spark, tmp_path)
+def test_overwrite_replaces_all(spark, tmp_path, backend):
+    t = _table(spark, tmp_path, backend)
     t.merge(spark.createDataFrame([Row(k="a", v=1)]))
     t.overwrite(spark.createDataFrame([Row(k="z", v=9)]))
     assert [(r.k, r.v) for r in t.read().collect()] == [("z", 9)]
 
 
-def test_merge_idempotent(spark, tmp_path):
-    t = _table(spark, tmp_path, version_col="ver")
+def test_merge_idempotent(spark, tmp_path, backend):
+    t = _table(spark, tmp_path, backend, version_col="ver")
     batch = spark.createDataFrame([Row(k="a", v=1, ver=1), Row(k="b", v=2, ver=1)])
     t.merge(batch)
     t.merge(batch)  # replay = no change (exactly-once-by-key)
     assert sorted((r.k, r.v) for r in t.read().collect()) == [("a", 1), ("b", 2)]
 
 
-def test_delete_keys(spark, tmp_path):
-    t = _table(spark, tmp_path)
+def test_delete_keys(spark, tmp_path, backend):
+    t = _table(spark, tmp_path, backend)
     t.merge(spark.createDataFrame([Row(k=f"k{i}", v=i) for i in range(20)]))
     t.delete(spark.createDataFrame([Row(k="k3"), Row(k="k7"), Row(k="nope")]))
     remaining = sorted(r.k for r in t.read().collect())
@@ -92,10 +119,10 @@ def test_compact_preserves_rows(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == before
 
 
-def test_merge_lww_across_batches(spark, tmp_path):
+def test_merge_lww_across_batches(spark, tmp_path, backend):
     """An update older than the stored row is discarded; a tie goes to
     the update (whole-row replace)."""
-    t = _table(spark, tmp_path, version_col="ver")
+    t = _table(spark, tmp_path, backend, version_col="ver")
     t.merge(spark.createDataFrame([Row(k="a", v=1, ver=5)]))
     t.merge(spark.createDataFrame([Row(k="a", v=99, ver=3)]))  # stale: ignored
     assert [(r.v, r.ver) for r in t.read().collect()] == [(1, 5)]

@@ -309,3 +309,53 @@ def test_canonicalize_keys_symspell_block_is_lossless(spark):
     assert got[5] == "red"
     assert got[6] == "blue"
     assert got[7] == "rzzd"
+
+
+def test_canonicalize_keys_null_passthrough(spark):
+    """NULL keys never equi-join; they must pass through with a NULL
+    canonical instead of being dropped (round-3 ADVICE)."""
+    from airbnb_cdc_spark.operators.entity import canonicalize_keys
+
+    rows = [(1, "red"), (2, None), (3, "rad")]
+    df = spark.createDataFrame(rows, "id int, name string")
+    out = {r.id: r.canonical for r in canonicalize_keys(df, "name").collect()}
+    assert out == {1: "rad", 2: None, 3: "rad"}
+
+
+def test_archive_rewrite_failure_keeps_old_archive(spark, tmp_path):
+    """Failure injection: when the quoted rewrite fails (unreadable raw
+    file), the previous archive copy must survive and no _tmp_ dir may
+    be left behind."""
+    import pytest as _pytest
+
+    from airbnb_cdc_spark.sources.customer_csv import archive_file
+    from tests.fixtures import write_customer_csvs
+
+    raw, archive = tmp_path / "raw", tmp_path / "archive"
+    write_customer_csvs(raw, n_base=5)
+    name = "customer_feed_00_base.csv"
+    archive_file(spark, str(raw), str(archive), name, rewrite_quoted=True)
+    old_bytes = (archive / name).read_bytes()
+
+    # raw file is gone → the rewrite fails before any swap
+    with _pytest.raises(Exception):
+        archive_file(spark, str(raw), str(archive), name, rewrite_quoted=True)
+    assert (archive / name).read_bytes() == old_bytes
+    assert not list(archive.glob("_tmp_*"))
+
+
+def test_cache_scope_releases_only_inner(spark):
+    """cache_scope must unpersist frames persisted inside the scope and
+    leave earlier registrations cached (concurrent-consumer safety)."""
+    from airbnb_cdc_spark.session import cache_scope, persist_tracked, release_cached
+
+    outer = persist_tracked(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    outer.count()
+    with cache_scope():
+        inner = persist_tracked(spark.range(50).selectExpr("id", "id * 3 AS w"))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # released by scope exit
+    assert outer.storageLevel.useMemory      # untouched
+    release_cached()
+    assert not outer.storageLevel.useMemory
