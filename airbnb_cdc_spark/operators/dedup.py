@@ -305,6 +305,30 @@ def _jaccard_index_count_pairs(
     in-row; counting pair occurrences across shingles yields the exact
     intersection size |A∩B| directly, so no verify join exists. See
     ``ngram_jaccard_pairs`` for the strategy trade-off."""
+    pairs, sizes = _index_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    return (
+        _attach_sizes(pairs, sizes)
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _index_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """((id_a, id_b, i), (id, sz)): exact pairwise intersection counts
+    over the frequency-capped shingle universe plus per-doc capped set
+    sizes — the shared core of every set-overlap measure (Jaccard,
+    containment, overlap coefficient)."""
     base = _hashed_base(df, id_col, text_col, n, hash_fn=lambda c: F.xxhash64(c))
     cap = None
     if max_doc_freq == AUTO:
@@ -357,26 +381,77 @@ def _jaccard_index_count_pairs(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    # NOTE: sizes is corpus-sized (one row per doc) — no broadcast hint;
-    # locally AQE converts these joins to broadcast at runtime, and on a
-    # real cluster they shuffle on the pair ids like everything else.
-    return (
-        pairs.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("i").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+    return pairs, sizes
+
+
+def _attach_sizes(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(id_a, id_b, i, sz_a, sz_b). sizes is corpus-sized (one row per
+    doc) — no broadcast hint; locally AQE converts these joins to
+    broadcast at runtime, and on a real cluster they shuffle on the
+    pair ids like everything else."""
+    return pairs.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+        "id_b",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | str | None = AUTO,
+) -> DataFrame:
+    """Near-SUBSET pairs: (id_a < id_b, containment) where containment
+    = |A∩B| / min(|A|, |B|) >= threshold over the capped shingle sets.
+
+    Jaccard misses asymmetric duplication — a page embedded whole
+    inside a larger one scores |A|/|B| « 1 on Jaccard but 1.0 on
+    containment — and that boilerplate-inclusion shape is the common
+    duplication mode in web/training corpora (the measure behind
+    Broder's "roughly contained" relation). Same inverted-index
+    pair-count core as Jaccard ``strategy='count'``: the smaller set's
+    coverage is exact, no verify join, cap bounds instance volume."""
+    pairs, sizes = _index_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    return (
+        _attach_sizes(pairs, sizes)
+        .withColumn(
+            "containment",
+            F.col("i").cast("double")
+            / F.least("sz_a", "sz_b").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-shape exact dedup: the NEW batch deduped against an
+    already-ingested corpus. ``seen`` is either raw documents (same
+    columns) or a precomputed (id, fingerprint) store — the operator
+    fingerprints it if the column is absent. Survivors are the batch's
+    first-per-fingerprint rows whose fingerprint is unseen: one
+    anti-join on the fingerprint hash (broadcast/shuffle decided by the
+    optimizer) + the in-batch window dedup. At 100 TB the seen-side
+    scan reads only the fingerprint column (columnar pruning) — the
+    store never rewrites, it only appends survivors."""
+    if "fingerprint" not in seen.columns:
+        seen = seen.select(
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+    fresh = exact_dedup(new_docs, id_col, text_col)
+    return fresh.join(
+        seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    ).select(id_col, "fingerprint")
 
 
 def _verify_pairs_by_sets(

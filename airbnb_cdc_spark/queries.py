@@ -528,6 +528,61 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment (near-subset) dedup: |A∩B| / min(|A|,|B|) — catches the
+# boilerplate-inclusion duplication Jaccard misses. Same capped
+# inverted index as the Jaccard oracle.
+_CONTAINMENT_ORACLE = f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY}
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_containment", _CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+# Incremental dedup: the production shape — a NEW batch (upper half of
+# doc ids) deduped against the already-ingested corpus (lower half).
+# Survivors = first-per-fingerprint in the batch AND unseen in the
+# corpus store.
+_INCREMENTAL_ORACLE = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''), ' '))
+               AS fingerprint
+    FROM documents
+),
+split AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cut FROM fp),
+seen AS (SELECT DISTINCT fingerprint FROM fp, split WHERE doc_id <= cut),
+batch AS (
+    SELECT doc_id, fingerprint,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp, split WHERE doc_id > cut
+)
+SELECT doc_id, fingerprint FROM batch
+WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM seen)
+"""
+
+
+@query("incremental_dedup_new_docs", _INCREMENTAL_ORACLE)
+def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
+    with_cut = docs.join(F.broadcast(cut))
+    seen = with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text")
+    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+    return _dedup.incremental_exact_dedup(batch, seen)
+
+
 def _minhash_bands_sql(k: int = 8, band_size: int = 2) -> str:
     # One-hash MinHash, mirroring dedup._h60/_minhash_cols exactly: one
     # 60-bit md5-derived hash per shingle, truncated to its lower 32

@@ -114,3 +114,41 @@ def test_simhash_cluster_invariants(spark, rows):
     for ids in by_text.values():
         reps = {got[i] for i in ids}
         assert len(reps) == 1
+
+
+def _true_containment(rows, threshold=0.8, cap=None):
+    sets = {i: _shingle_set(t) for i, t in rows}
+    if cap is not None:
+        from collections import Counter
+
+        df = Counter(s for ss in sets.values() for s in ss)
+        hot = {s for s, c in df.items() if c > cap}
+        sets = {i: ss - hot for i, ss in sets.items()}
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            m = min(len(sets[a]), len(sets[b]))
+            if m:
+                c = len(sets[a] & sets[b]) / m
+                if c >= threshold:
+                    out[(a, b)] = c
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_corpus())
+def test_containment_matches_bruteforce(spark, rows):
+    from airbnb_cdc_spark.operators.dedup import containment_pairs
+
+    cap = max(2, len(rows) // 100)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, max_doc_freq=AUTO).collect()
+    }
+    expected = _true_containment(rows, cap=cap)
+    assert set(got) == set(expected)
+    for pair, c in got.items():
+        assert abs(c - expected[pair]) < 1e-12
