@@ -2016,8 +2016,8 @@ def q_late_ship_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order's priority (high = urgent/high), grouped by linestatus.
 _LINESTATUS_ORACLE = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_linestatus
@@ -2335,12 +2335,44 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_components")
+# Connected components ARE SQL-expressible in DuckDB: the near-dup
+# pair list is thresholded (metadata-sized), so a WITH RECURSIVE
+# transitive closure + MIN-per-node is cheap — closure size is
+# sum(cluster_size^2) over small clusters, recursion depth = graph
+# diameter. Spark runs min-label propagation / union-find instead
+# (operators/graph.py); both yield component = min reachable node id.
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY},
+np AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM np
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM np
+),
+reach(node, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+"""
+
+
+@query("dedup_components", _COMPONENTS_ORACLE)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: connected components over the n-gram
-    Jaccard near-dup pairs (A~B, B~C => one cluster). Iterative
-    fixpoint — not SQL-oracle-expressible; pytest covers the algorithm
-    against brute-force union-find (test_connected_components)."""
+    Jaccard near-dup pairs (A~B, B~C => one cluster). Spark side is an
+    iterative fixpoint (min-label propagation with a union-find
+    shortcut for metadata-sized pair lists); the DuckDB oracle is a
+    WITH RECURSIVE transitive closure — pytest additionally covers the
+    algorithm against brute-force union-find
+    (test_connected_components)."""
     from airbnb_cdc_spark.operators.graph import connected_components
 
     pairs = _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -2489,70 +2521,74 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 71 registered queries, whichever 21
-# trail the order get no hard correctness signal that round. Rounds 2-3
-# verified registrations #1-#50, so round 4 rotates: the 21 previously
-# unchecked queries come FIRST, followed by this round's modified
-# queries and a representative core so the checked 50 still spans every
-# operator family. The 21 rotated out all hold green rows in
-# CORRECTNESS_r03.json — across rounds, every query has a driver row.
+# queries() iteration order; with 73 registered queries, whichever 23
+# trail the order get no hard correctness signal that round. Round-5
+# cut: (a) the 15 rows that were red in r4 — 13 events queries killed
+# by the stale ts shim (now feature-detected in session.load_table),
+# the linestatus oracle-typing fix, and dedup_components with its new
+# recursive oracle; (b) the 2 round-4 operators never yet checked;
+# (c) the 23 queries r4 didn't check (all green in r2/r3); (d) 10
+# r4-green core representatives. If this round runs clean, every
+# registered query has a green row in r4 ∪ r5.
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # the 21 with no driver row in r2/r3 (registrations #51-#71)
-    "set_ops_customers",
-    "pivot_status_by_priority",
-    "doc_chunks",
-    "sample_by_lang",
-    "dataset_split_counts",
-    "dedup_simhash_cluster",
+    # (a) red in r4 — the 13 events-ts casualties (first 5 have never
+    # had a green row), then the two non-events fixes
     "user_funnel",
-    "orders_profile",
-    "late_ship_priority_check",
-    "linestatus_priority_class",
-    "large_orders",
-    "decontaminate_vs_benchmark",
-    "bigram_vocab",
     "events_ohlc",
     "value_histogram",
     "scd2_user_state_history",
-    "embedding_outliers",
-    "dedup_components",
     "pit_state_at_purchase",
-    "part_name_canonical",
-    "promo_revenue_share",
-    # queries whose plans changed in round 4 — need fresh verification
-    "json_extract_agg",
-    "dedup_ngram_jaccard",
-    # SURVEY §2 core (the reference's own pipeline surface)
-    "booking_customer_aggregation",
-    "conditional_split_bad",
-    "conditional_split_accepted",
-    "project_cast",
     "filter_by_status",
     "lookup_latest_event",
     "alter_row_flags",
     "cdc_merge_upsert",
-    # one representative per remaining operator family
-    "text_stats",
-    "quality_filter",
-    "language_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf_recall",
-    "ann_topk_ivf_kmeans",
-    "dedup_embedding_cosine",
-    "multimodal_features",
     "user_sessions",
     "asof_last_view_before_purchase",
     "interval_join_attribution",
-    "pricing_summary",
-    "salted_status_totals",
-    "rolling_fingerprint",
+    "json_extract_agg",
+    "linestatus_priority_class",
+    "dedup_components",
+    # (b) shipped round 4, never driver-checked
+    "dedup_containment",
+    "incremental_dedup_new_docs",
+    # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
+    "top_terms_per_doc",
+    "ann_topk_lsh",
+    "mm_resize",
+    "mm_frame_sample",
+    "events_windowed_agg",
+    "token_counts",
+    "rollup_country_status",
+    "top_spenders",
+    "semi_join_buyers",
+    "anti_join_never_bought",
+    "orders_by_month",
+    "customer_name_clean",
+    "shipping_priority",
+    "local_supplier_revenue",
+    "ann_topk_ivf",
+    "ann_topk_ivf_nprobe",
+    "cube_status_priority",
+    "running_customer_spend",
+    "status_percentiles",
+    "trailing_hour_activity",
+    "event_gaps_leadlag",
+    # (d) r4-green core representatives (reference §2 surface + one per
+    # LLM-pipeline family)
+    "booking_customer_aggregation",
+    "conditional_split_bad",
+    "conditional_split_accepted",
+    "project_cast",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "multimodal_features",
+    "text_stats",
+    "quality_filter",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
 ]
 
 

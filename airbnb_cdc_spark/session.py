@@ -62,12 +62,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Plain parquet scan of one driver table — keep it bare so Catalyst
     pushes filters/projections into the scan.
 
-    The driver's ``events`` table stores TIMESTAMP(NANOS) which Spark
-    rejects natively; we read nanos as long and truncate to microseconds
-    (matching DuckDB's read of the same file). Session TZ is pinned to
-    UTC here too — the driver may run these queries in its own session,
-    and window/date_trunc boundaries must line up with the (TZ-naive)
-    DuckDB oracles."""
+    The driver's ``events.ts`` physical type has changed across rounds
+    (TIMESTAMP(NANOS) stored as int64 earlier, plain ``timestamp[us]``
+    now), so we feature-detect from the resolved schema instead of
+    assuming: a long column gets the nanos→micros shim; a timestamp
+    column is just normalized to ``timestamp_ntz``. Session TZ is pinned
+    to UTC here too — the driver may run these queries in its own
+    session, and window/date_trunc boundaries must line up with the
+    (TZ-naive) DuckDB oracles."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -77,9 +79,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp_ntz: collection to Python is wall-clock-exact
         # regardless of the driver process's TZ (plain TIMESTAMP collects
         # through the local zone), matching DuckDB's naive timestamps.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -46,19 +46,29 @@ def main() -> None:
         release_cached()
 
     # min-of-2 runs per query: wall-clock on a busy shared box is noisy;
-    # the min is the honest steady-state figure.
+    # the min is the honest steady-state figure. A failing query records
+    # an error entry and the suite keeps going — one broken query must
+    # never cost the whole round's perf signal (round-4 BENCH crashed on
+    # its first events query and emitted nothing).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
         best = float("inf")
         for _rep in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                release_cached()
+                break
             best = min(best, time.perf_counter() - t0)
             # release per-query cached indexes so queries are timed cold
             # and cached partitions don't accumulate across the suite
             release_cached()
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -68,6 +78,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     regs = _regressions_vs_prior(timings)
     if regs is not None:
         out["regressions"] = regs
