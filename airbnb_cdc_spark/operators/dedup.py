@@ -62,7 +62,13 @@ def _h60(col: Column) -> Column:
 
 
 def _hashed_base(
-    df: DataFrame, id_col: str, text_col: str, n: int, hash_fn=None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_fn=None,
+    persist: bool = True,
+    sort: bool = True,
 ) -> DataFrame:
     """Cached (id, hs0): per-doc sorted array of distinct 60-bit shingle
     hashes. The expensive part — tokenize, shingle, md5 — runs EXACTLY
@@ -83,19 +89,31 @@ def _hashed_base(
     Jaccard path passes ``F.xxhash64`` — its oracle computes Jaccard on
     the shingle *strings*, so any injective-in-practice hash gives the
     identical result, and xxhash64 is ~4x cheaper than md5 + base-16
-    conversion (it was the dominant cost of the whole pipeline)."""
+    conversion (it was the dominant cost of the whole pipeline).
+
+    ``persist`` stays True for every current caller: beyond sharing the
+    frame, the cache is an OPTIMIZER BARRIER — without it Catalyst
+    pushes this projection below the widening repartition and evaluates
+    it at the narrow pre-repartition parallelism (measured 5x slower
+    end-to-end when the count path briefly dropped the persist).
+
+    ``sort=False`` skips the ``sort_array`` — callers that only explode
+    the array (the inverted-index count path) get nothing from sorted
+    order, and the per-doc sort is pure overhead there. Set-algebra
+    consumers (``array_except`` / ``array_intersect``) are
+    order-insensitive too but keep the historical sorted form for
+    deterministic debugging output.
+    """
     if hash_fn is None:
         hash_fn = _h60
-    return persist_tracked(
-        ensure_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            F.sort_array(
-                F.array_distinct(
-                    F.transform(shingles(tokens(F.col(text_col)), n), hash_fn)
-                )
-            ).alias("hs0"),
-        )
+    hashed = F.array_distinct(
+        F.transform(shingles(tokens(F.col(text_col)), n), hash_fn)
     )
+    out = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        (F.sort_array(hashed) if sort else hashed).alias("hs0"),
+    )
+    return persist_tracked(out) if persist else out
 
 
 def _df_counts(base: DataFrame) -> DataFrame:
@@ -328,8 +346,24 @@ def _index_pair_counts(
     """((id_a, id_b, i), (id, sz)): exact pairwise intersection counts
     over the frequency-capped shingle universe plus per-doc capped set
     sizes — the shared core of every set-overlap measure (Jaccard,
-    containment, overlap coefficient)."""
-    base = _hashed_base(df, id_col, text_col, n, hash_fn=lambda c: F.xxhash64(c))
+    containment, overlap coefficient).
+
+    Both pair counts and per-doc sizes derive from the CAPPED postings
+    index (sizes = how many capped postings arrays a doc appears in ≡
+    its capped distinct-shingle count), so the hot-shingle broadcast
+    aggregate and the third pass over the base (array_except) that an
+    earlier shape used for sizes are gone — one fewer job and one fewer
+    wide frame. The two consumers of ``idx`` each re-aggregate the
+    postings from the CACHED base (AQE does not emit a ReusedExchange
+    here — checked in the final adaptive plan); that re-aggregation is
+    an explode + map-side-combined count over in-memory arrays, and
+    persisting the postings to share it was measured SLOWER (the
+    cache-write of the corpus-sized index exceeds the re-aggregation it
+    saves). The base projection keeps its persist: it is an optimizer
+    barrier (see ``_hashed_base``)."""
+    base = _hashed_base(
+        df, id_col, text_col, n, hash_fn=lambda c: F.xxhash64(c), sort=False
+    )
     cap = None
     if max_doc_freq == AUTO:
         total = df.select(F.count(F.lit(1)).alias("__n"))
@@ -343,24 +377,12 @@ def _index_pair_counts(
     if cap is not None and max_doc_freq == AUTO:
         idx = idx.join(F.broadcast(total))
     if cap is not None:
-        hot_arr = idx.filter(F.col("__df") > cap).agg(
-            F.collect_set("h").alias("__hot")
-        )
-        sizes = (
-            base.join(F.broadcast(hot_arr))
-            .select(
-                "id",
-                F.size(
-                    F.array_except(
-                        "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
-                    )
-                ).alias("sz"),
-            )
-            .filter(F.col("sz") > 0)
-        )
         idx = idx.filter(F.col("__df") <= cap)
-    else:
-        sizes = base.select("id", F.size("hs0").alias("sz")).filter(F.col("sz") > 0)
+    sizes = (
+        idx.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     # C(df,2) ordered pairs per postings array, generated in-row: the
     # nested transform/filter is O(df²) per shingle, bounded by the cap.
     pairs = (

@@ -53,18 +53,23 @@ def connected_components(
     # whole jaccard pipeline) would execute once per branch — measured
     # 2.2x on dedup_components when the jaccard rewrite dropped its
     # internal persist boundaries. The pair list itself is tiny.
-    pairs = pairs.select(left, right).localCheckpoint(eager=True)
+    pairs = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= small_graph_threshold:
+        # Union-find is direction- and duplicate-insensitive, so the
+        # raw checkpointed pair list feeds it directly — no symmetrize
+        # union, no distinct shuffle, no second checkpoint (those exist
+        # only for the distributed label-propagation loop below).
+        return _driver_union_find(pairs.sparkSession, pairs), True
     edges = (
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
-    if n_edges <= small_graph_threshold:
-        return _driver_union_find(pairs.sparkSession, edges), True
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
