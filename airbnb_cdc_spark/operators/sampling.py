@@ -75,3 +75,45 @@ def split_assign(
         .when(b < train_pct + valid_pct, F.lit("valid"))
         .otherwise(F.lit("test")),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offset-based greedy sequence packing: walk each shard's
+    documents in a deterministic order and assign each to the training
+    sequence (``seq_id``) in which its first token falls —
+    ``floor(running_offset / budget)`` where ``running_offset`` is the
+    sum of token counts of all earlier docs in the shard. This is the
+    standard concat-then-chunk packing used to build fixed-length
+    pretraining batches (documents straddling a boundary spill into the
+    next chunk exactly as a flat token stream would).
+
+    Scale shape: ONE window per shard (``partitionBy(shard_col)``) — a
+    running sum inside each shard, never a global single-partition
+    window, so 100 TB packs shard-parallel; shards are the unit
+    real pipelines pack within anyway (one output file/worker). The
+    token count is passed as a COLUMN (``tokens_col``) so callers can
+    feed whitespace counts, BPE-ish regex counts, or a precomputed
+    column without re-tokenizing."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = tokens_col.cast("long")
+    offset = (F.sum(n_tok).over(w) - n_tok).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tok.alias("n_tokens"),
+        offset.alias("token_offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
+    )

@@ -63,6 +63,40 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return out
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Intra-document n-gram repetition signal (the Gopher-family
+    repeated-n-gram quality filter): fraction of n-gram OCCURRENCES
+    that are repeats of an earlier n-gram in the same document —
+    ``1 - distinct_ngrams / total_ngrams``. Boilerplate, keyword
+    stuffing, and decode-loop degeneration all push this toward 1,
+    while natural prose stays near 0.
+
+    Pure per-row projection (tokenize → shingle → two array sizes), no
+    shuffle — at 100 TB this runs at parquet-scan speed with pruning
+    down to (id, text). Documents with fewer than ``n`` tokens have no
+    n-grams and score 0.0 (nothing repeats in an empty sequence)."""
+    sh = shingles(tokens(F.col(text_col)), n)
+    total = F.size(sh).cast("long")
+    distinct = F.size(F.array_distinct(sh)).cast("long")
+    ratio = F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        ratio.alias("repetition_ratio"),
+        (ratio > F.lit(threshold)).cast("int").alias("is_repetitive"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1909,6 +1909,66 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Intra-document n-gram repetition (Gopher-family repeated-trigram
+# quality filter): fraction of trigram occurrences that repeat an
+# earlier trigram of the same doc. Mirrors textfns.shingles exactly —
+# ALL trigrams, duplicates preserved, before the distinct.
+_REPETITION_ORACLE = f"""
+WITH {_TOKS_CTE},
+gr AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                ELSE [] END AS g
+    FROM toks
+)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_ngrams,
+       CASE WHEN len(g) > 0
+            THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+            ELSE 0.0 END AS repetition_ratio,
+       CAST(CASE WHEN len(g) > 0
+                  AND 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE) > 0.2
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+FROM gr
+"""
+
+
+@query("repetition_filter", _REPETITION_ORACLE)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# Greedy sequence packing: per-source running token offsets chunked
+# into 512-token training sequences (concat-then-chunk batching).
+_PACK_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset,
+       CAST((SUM(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS seq_id
+FROM tk
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.pack_sequences(
+        docs, "source", "doc_id", token_count(F.col("text")), budget=512
+    )
+
+
 def _simhash_cluster_oracle(bits: int = 32, maxh: int = 3) -> str:
     # The oracle runs the plain quadratic join over DISTINCT fingerprints
     # (tiny); the Spark side band-blocks it — lossless for
@@ -2521,15 +2581,16 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 73 registered queries, whichever 23
+# queries() iteration order; with 75 registered queries, whichever 25
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 2 round-4 operators never yet checked;
-# (c) the 23 queries r4 didn't check (all green in r2/r3); (d) 10
-# r4-green core representatives. If this round runs clean, every
-# registered query has a green row in r4 ∪ r5.
+# recursive oracle; (b) the 4 operators with no driver row yet (r4's
+# containment/incremental pair + this round's repetition filter and
+# sequence packing); (c) the 21 queries r4 didn't check (all green in
+# r2/r3); (d) 10 r4-green core representatives. If this round runs
+# clean, every registered query has a green row in r4 ∪ r5.
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -2550,9 +2611,12 @@ _DRIVER_PRIORITY = [
     "json_extract_agg",
     "linestatus_priority_class",
     "dedup_components",
-    # (b) shipped round 4, never driver-checked
+    # (b) new operators with no driver row yet (r4's pair + this
+    # round's repetition filter and sequence packing)
     "dedup_containment",
     "incremental_dedup_new_docs",
+    "repetition_filter",
+    "pack_sequences",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2586,8 +2650,6 @@ _DRIVER_PRIORITY = [
     "ann_topk_bruteforce",
     "multimodal_features",
     "text_stats",
-    "quality_filter",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
 ]
 

@@ -359,3 +359,54 @@ def test_cache_scope_releases_only_inner(spark):
     assert outer.storageLevel.useMemory      # untouched
     release_cached()
     assert not outer.storageLevel.useMemory
+
+
+def test_repetition_stats_brute_force(spark):
+    """repetition_ratio must equal 1 - distinct/total trigrams, with
+    short docs (< n tokens) scoring exactly 0."""
+    from airbnb_cdc_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b c a b c a b c"),          # trigrams repeat heavily
+        (2, "one two three four five"),    # all trigrams unique
+        (3, "tiny doc"),                   # < 3 tokens -> no trigrams
+        (4, "x x x x x x"),                # single repeated trigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    def brute(text):
+        t = text.lower().split()
+        g = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        total, distinct = len(g), len(set(g))
+        return total, distinct, 0.0 if not g else 1.0 - distinct / total
+
+    for doc_id, text in rows:
+        total, distinct, ratio = brute(text)
+        r = got[doc_id]
+        assert (r.n_ngrams, r.n_distinct_ngrams) == (total, distinct)
+        assert abs(r.repetition_ratio - ratio) < 1e-12
+        assert r.is_repetitive == int(ratio > 0.2)
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    """Offsets are the per-shard running sum of earlier docs' tokens and
+    seq_id chunks them by the budget; shards pack independently."""
+    from airbnb_cdc_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (1, "s1", 4), (2, "s1", 5), (3, "s1", 3), (4, "s1", 9),
+        (5, "s2", 10), (6, "s2", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, "shard", "doc_id", F.col("n"), budget=8, id_col="doc_id"
+        ).collect()
+    }
+    # s1 offsets: 0, 4, 9, 12 -> seqs 0, 0, 1, 1 ; s2: 0, 10 -> 0, 1
+    expect = {1: (0, 0), 2: (4, 0), 3: (9, 1), 4: (12, 1), 5: (0, 0), 6: (10, 1)}
+    for doc_id, (off, seq) in expect.items():
+        assert (out[doc_id].token_offset, out[doc_id].seq_id) == (off, seq)
+        assert out[doc_id].n_tokens == dict((r[0], r[2]) for r in rows)[doc_id]
