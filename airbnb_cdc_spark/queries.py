@@ -1969,6 +1969,55 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus forensics: which SOURCES duplicate each other — the near-dup
+# pair list rolled up to an (unordered) source-pair overlap matrix.
+# Composition query: the jaccard pair operator feeds two broadcast dim
+# joins + one tiny groupBy; at 100 TB the matrix is |sources|² rows.
+_PAIR_SOURCES_ORACLE = f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY},
+np AS (
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       avg(np.jaccard) AS avg_jaccard
+FROM np
+JOIN documents da ON np.id_a = da.doc_id
+JOIN documents db ON np.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_pair_sources", _PAIR_SOURCES_ORACLE)
+def q_dedup_pair_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    # Broadcast the PAIR side: the thresholded pair list is
+    # metadata-sized while the doc→source map is corpus-sized, so each
+    # enrichment streams the corpus map against a broadcast hash of the
+    # pairs — never the reverse.
+    with_a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    ).join(F.broadcast(pairs), "id_a")
+    joined = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    ).join(F.broadcast(with_a), "id_b")
+    return joined.groupBy(
+        F.least("__sa", "__sb").alias("source_lo"),
+        F.greatest("__sa", "__sb").alias("source_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("jaccard").alias("avg_jaccard"),
+    )
+
+
 def _simhash_cluster_oracle(bits: int = 32, maxh: int = 3) -> str:
     # The oracle runs the plain quadratic join over DISTINCT fingerprints
     # (tiny); the Spark side band-blocks it — lossless for
@@ -2581,16 +2630,17 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 75 registered queries, whichever 25
+# queries() iteration order; with 76 registered queries, whichever 26
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 4 operators with no driver row yet (r4's
-# containment/incremental pair + this round's repetition filter and
-# sequence packing); (c) the 21 queries r4 didn't check (all green in
-# r2/r3); (d) 10 r4-green core representatives. If this round runs
-# clean, every registered query has a green row in r4 ∪ r5.
+# recursive oracle; (b) the 5 operators with no driver row yet (r4's
+# containment/incremental pair + this round's repetition filter,
+# sequence packing, and source overlap matrix); (c) the 21 queries r4
+# didn't check (all green in r2/r3); (d) 9 r4-green core
+# representatives. If this round runs clean, every registered query
+# has a green row in r4 ∪ r5.
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -2617,6 +2667,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_new_docs",
     "repetition_filter",
     "pack_sequences",
+    "dedup_pair_sources",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2645,7 +2696,6 @@ _DRIVER_PRIORITY = [
     "conditional_split_bad",
     "conditional_split_accepted",
     "project_cast",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "multimodal_features",
