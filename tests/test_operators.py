@@ -410,3 +410,19 @@ def test_pack_sequences_offsets_and_chunks(spark):
     for doc_id, (off, seq) in expect.items():
         assert (out[doc_id].token_offset, out[doc_id].seq_id) == (off, seq)
         assert out[doc_id].n_tokens == dict((r[0], r[2]) for r in rows)[doc_id]
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """Packing must be a pure function of (shard, order) — identical
+    output no matter how the input happens to be partitioned."""
+    from airbnb_cdc_spark.operators.sampling import pack_sequences
+
+    rows = [(i, f"s{i % 3}", (i * 7) % 11 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+    outs = []
+    for parts in (1, 7):
+        out = pack_sequences(
+            df.repartition(parts), "shard", "doc_id", F.col("n"), budget=16
+        )
+        outs.append(sorted(tuple(r) for r in out.collect()))
+    assert outs[0] == outs[1]
