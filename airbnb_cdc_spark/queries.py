@@ -1986,7 +1986,7 @@ np AS (
 SELECT least(da.source, db.source) AS source_lo,
        greatest(da.source, db.source) AS source_hi,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       avg(np.jaccard) AS avg_jaccard
+       max(np.jaccard) AS max_jaccard
 FROM np
 JOIN documents da ON np.id_a = da.doc_id
 JOIN documents db ON np.id_b = db.doc_id
@@ -2014,7 +2014,9 @@ def q_dedup_pair_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("__sa", "__sb").alias("source_hi"),
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.avg("jaccard").alias("avg_jaccard"),
+        # max, not avg: double summation is ORDER-DEPENDENT across
+        # engines once a group has 3+ values; max is exact and stable.
+        F.max("jaccard").alias("max_jaccard"),
     )
 
 
