@@ -697,6 +697,60 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.brute_force_topk(emb, queries_df, k=5)
 
 
+# k-NN label vote (label propagation / weak supervision): each query
+# vector takes the majority label of its 5 nearest neighbors, ties
+# broken toward the smaller label. Composes the ANN top-k with a
+# broadcast-topk label enrichment (the top-k frame is k·|queries| rows;
+# the corpus label map streams against it) and one tiny vote groupBy.
+_KNN_VOTE_ORACLE = f"""
+WITH {_QUANT_CTE}, scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+    FROM q a, q b
+    WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+),
+top5 AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+),
+votes AS (
+    SELECT t.query_id, e.label AS predicted_label, count(*) AS votes
+    FROM top5 t JOIN embeddings e ON t.neighbor_id = e.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, predicted_label, CAST(votes AS BIGINT) AS votes FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, predicted_label) AS rn
+    FROM votes
+) WHERE rn = 1
+"""
+
+
+@query("knn_label_vote", _KNN_VOTE_ORACLE)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = _sim.brute_force_topk(emb, queries_df, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("predicted_label")
+    )
+    votes = (
+        labels.join(F.broadcast(topk.select("query_id", "neighbor_id")), "neighbor_id")
+        .groupBy("query_id", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("predicted_label").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "predicted_label", "votes")
+    )
+
+
 def _bucket_sql(alias: str, bits: int = 4) -> str:
     parts = []
     for j in range(bits):
@@ -2632,16 +2686,18 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 76 registered queries, whichever 26
+# queries() iteration order; with 77 registered queries, whichever 27
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 5 operators with no driver row yet (r4's
+# recursive oracle; (b) the 6 operators with no driver row yet (r4's
 # containment/incremental pair + this round's repetition filter,
-# sequence packing, and source overlap matrix); (c) the 21 queries r4
-# didn't check (all green in r2/r3); (d) 9 r4-green core
-# representatives. If this round runs clean, every registered query
+# sequence packing, source overlap matrix, and k-NN label vote);
+# (c) the 21 queries r4 didn't check (all green in r2/r3); (d) 8
+# r4-green core representatives (rotated-out fillers all hold r4
+# green rows, e.g. ann_topk_bruteforce whose operator knn_label_vote
+# also exercises). If this round runs clean, every registered query
 # has a green row in r4 ∪ r5.
 # --------------------------------------------------------------------------
 
@@ -2670,6 +2726,7 @@ _DRIVER_PRIORITY = [
     "repetition_filter",
     "pack_sequences",
     "dedup_pair_sources",
+    "knn_label_vote",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2699,7 +2756,6 @@ _DRIVER_PRIORITY = [
     "conditional_split_accepted",
     "project_cast",
     "dedup_minhash_lsh",
-    "ann_topk_bruteforce",
     "multimodal_features",
     "text_stats",
     "dedup_ngram_jaccard",
