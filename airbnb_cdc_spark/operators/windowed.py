@@ -95,3 +95,37 @@ def tumbling_event_agg(
             "distinct_users",
         )
     )
+
+
+def hopping_event_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) windows: each event lands in
+    duration/slide overlapping windows (2 for 1h/30min), so trend
+    curves update every slide instead of once per window. Spark's
+    ``window(ts, duration, slide)`` expands the row to its windows
+    BEFORE the shuffle — map-side fan-out, aggregation stays one
+    Exchange on the window start, and the same plan runs streaming
+    with a watermark (state per open window, evicted on emission)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide)
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -941,6 +941,34 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_agg(load_table(spark, sf_dir, "events"))
 
 
+# Hopping 1h windows sliding every 30min: every event belongs to
+# exactly two windows, whose starts are the two most recent 30-min
+# boundaries at-or-before ts (epoch-aligned, session TZ pinned UTC —
+# identical alignment to Spark's window()).
+_HOPPING_ORACLE = """
+WITH starts AS (
+    SELECT unnest([
+               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+           ]) AT TIME ZONE 'UTC' AS window_start,
+           value
+    FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM starts
+GROUP BY 1
+"""
+
+
+@query("events_hopping_agg", _HOPPING_ORACLE)
+def q_events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.windowed import hopping_event_agg
+
+    return hopping_event_agg(load_table(spark, sf_dir, "events"))
+
+
 # -- interval (time-bounded) join: purchase attribution ---------------------
 
 from airbnb_cdc_spark.operators.windowed import attribute_purchases  # noqa: E402
@@ -1963,6 +1991,41 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language length-quartile binning (NTILE): quantile bins computed
+# WITHIN each language stratum — the window partitions by lang, so no
+# global single-partition sort exists at any scale; ties broken by
+# doc_id for cross-engine determinism.
+_NTILE_ORACLE = """
+SELECT lang, quartile,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM (
+    SELECT lang, n_chars,
+           NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+    FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+@query("length_quartiles_by_lang", _NTILE_ORACLE)
+def q_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "n_chars", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 # Intra-document n-gram repetition (Gopher-family repeated-trigram
 # quality filter): fraction of trigram occurrences that repeat an
 # earlier trigram of the same doc. Mirrors textfns.shingles exactly —
@@ -2686,18 +2749,19 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 77 registered queries, whichever 27
+# queries() iteration order; with 79 registered queries, whichever 29
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 6 operators with no driver row yet (r4's
+# recursive oracle; (b) the 8 operators with no driver row yet (r4's
 # containment/incremental pair + this round's repetition filter,
-# sequence packing, source overlap matrix, and k-NN label vote);
-# (c) the 21 queries r4 didn't check (all green in r2/r3); (d) 8
-# r4-green core representatives (rotated-out fillers all hold r4
-# green rows, e.g. ann_topk_bruteforce whose operator knn_label_vote
-# also exercises). If this round runs clean, every registered query
+# sequence packing, source overlap matrix, k-NN label vote, hopping
+# windows, and NTILE bins); (c) the 21 queries r4 didn't check (all
+# green in r2/r3); (d) 6 r4-green core representatives (every
+# rotated-out query holds an r4 green row, and the rotated-out
+# operators stay exercised — e.g. knn_label_vote runs
+# brute_force_topk). If this round runs clean, every registered query
 # has a green row in r4 ∪ r5.
 # --------------------------------------------------------------------------
 
@@ -2727,6 +2791,8 @@ _DRIVER_PRIORITY = [
     "pack_sequences",
     "dedup_pair_sources",
     "knn_label_vote",
+    "events_hopping_agg",
+    "length_quartiles_by_lang",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2755,9 +2821,7 @@ _DRIVER_PRIORITY = [
     "conditional_split_bad",
     "conditional_split_accepted",
     "project_cast",
-    "dedup_minhash_lsh",
     "multimodal_features",
-    "text_stats",
     "dedup_ngram_jaccard",
 ]
 

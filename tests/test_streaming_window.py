@@ -64,6 +64,49 @@ def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
     assert rows_out[(1, "view")].distinct_users == 5
 
 
+def test_streaming_hopping_window_with_watermark(spark, tmp_path):
+    """Hopping windows streaming: each event lands in 2 overlapping
+    1h/30min windows; append mode emits watermark-closed windows."""
+    from airbnb_cdc_spark.operators.windowed import hopping_event_agg
+
+    feed = tmp_path / "hop_feed"
+    feed.mkdir()
+    t0 = datetime(2025, 1, 1, 0, 15)
+    rows = [
+        {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=30 * i)).isoformat(sep=" "),
+            "user_id": i,
+            "event_type": "click",
+            "value": 10.0,
+        }
+        for i in range(12)
+    ]
+    with open(feed / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(feed))
+    agg = hopping_event_agg(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hop_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.window_start: r for r in spark.table("hop_agg").collect()}
+    # event at 00:15 belongs to windows starting 23:30 and 00:00; a
+    # fully-interior window (00:00-01:00) holds the 00:15 and 00:45
+    # events
+    w = datetime(2025, 1, 1, 0, 0)
+    assert w in out and out[w].n_events == 2 and out[w].total_value == 20.0
+    # every emitted window holds at most duration/slide * 1-per-slot = 2
+    assert all(r.n_events <= 2 for r in out.values())
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.createDataFrame(
         [Row(k="hot", v=float(i)) for i in range(1000)]
