@@ -2026,6 +2026,77 @@ def q_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Out-of-vocabulary rate: fraction of a doc's token occurrences outside
+# the corpus's top-K most frequent tokens (rarity signal — an LM-free
+# perplexity proxy). K=10 here because the synthetic corpus has only 31
+# distinct tokens (a web corpus would use ~10^5); exact integer counts
+# only, vocab rank ties break (count DESC, token ASC) in both engines.
+# Scale shape: one groupBy(token) for corpus frequencies, TakeOrdered
+# top-K (K rows to the driver, never the full vocab), broadcast vocab
+# array membership per doc — the corpus never shuffles for the join.
+_OOV_ORACLE = f"""
+WITH {_TOKS_CTE},
+ex AS (
+    SELECT doc_id, u.tok FROM toks, unnest(toks.t) AS u(tok)
+),
+freq AS (
+    SELECT tok, count(*) AS n FROM ex GROUP BY 1
+),
+vocab AS (
+    SELECT tok FROM freq ORDER BY n DESC, tok LIMIT 10
+),
+oov AS (
+    SELECT e.doc_id, count(*) AS n_oov
+    FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
+    WHERE v.tok IS NULL
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN len(t.t) > 0
+            THEN CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
+            ELSE 0.0 END AS oov_rate
+FROM toks t LEFT JOIN oov o USING (doc_id)
+"""
+
+
+@query("oov_rate", _OOV_ORACLE)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from airbnb_cdc_spark.functions.textfns import tokens as _tokens
+    from airbnb_cdc_spark.session import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
+        "doc_id", _tokens(F.col("text")).alias("__t")
+    )
+    freq = (
+        toks.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # TakeOrdered top-K: only K (tok, n) rows reach the driver plan as a
+    # one-row broadcast array; the corpus-side membership test is an
+    # in-row array_contains against it.
+    vocab = freq.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(10)
+    vocab_arr = vocab.agg(F.collect_set("tok").alias("__vocab"))
+    n_tok = F.size("__t").cast("long")
+    n_oov = F.size(
+        F.filter("__t", lambda x: ~F.array_contains(F.col("__vocab"), x))
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(vocab_arr))
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.when(
+                n_tok > 0, n_oov.cast("double") / n_tok.cast("double")
+            ).otherwise(F.lit(0.0)).alias("oov_rate"),
+        )
+    )
+
+
 # Intra-document n-gram repetition (Gopher-family repeated-trigram
 # quality filter): fraction of trigram occurrences that repeat an
 # earlier trigram of the same doc. Mirrors textfns.shingles exactly —
@@ -2749,17 +2820,17 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 79 registered queries, whichever 29
+# queries() iteration order; with 80 registered queries, whichever 30
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 8 operators with no driver row yet (r4's
+# recursive oracle; (b) the 9 operators with no driver row yet (r4's
 # containment/incremental pair + this round's repetition filter,
 # sequence packing, source overlap matrix, k-NN label vote, hopping
-# windows, and NTILE bins); (c) the 21 queries r4 didn't check (all
-# green in r2/r3); (d) 6 r4-green core representatives (every
-# rotated-out query holds an r4 green row, and the rotated-out
+# windows, NTILE bins, and OOV rate); (c) the 21 queries r4 didn't
+# check (all green in r2/r3); (d) 5 r4-green core representatives
+# (every rotated-out query holds an r4 green row, and the rotated-out
 # operators stay exercised — e.g. knn_label_vote runs
 # brute_force_topk). If this round runs clean, every registered query
 # has a green row in r4 ∪ r5.
@@ -2793,6 +2864,7 @@ _DRIVER_PRIORITY = [
     "knn_label_vote",
     "events_hopping_agg",
     "length_quartiles_by_lang",
+    "oov_rate",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2819,7 +2891,6 @@ _DRIVER_PRIORITY = [
     # LLM-pipeline family)
     "booking_customer_aggregation",
     "conditional_split_bad",
-    "conditional_split_accepted",
     "project_cast",
     "multimodal_features",
     "dedup_ngram_jaccard",
