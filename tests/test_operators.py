@@ -426,3 +426,46 @@ def test_pack_sequences_partition_invariant(spark):
         )
         outs.append(sorted(tuple(r) for r in out.collect()))
     assert outs[0] == outs[1]
+
+
+def test_persisted_ivf_index_matches_in_session(spark, tmp_path):
+    """build_ivf_index + query_ivf_index must reproduce ivf_topk exactly
+    AND read only the probed cid= partitions from disk."""
+    import os
+
+    from airbnb_cdc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+    from airbnb_cdc_spark.session import load_table, release_cached
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 250 == 0)  # 2 queries
+    idx = str(tmp_path / "ivf")
+
+    build_ivf_index(emb, idx)
+    from_index = query_ivf_index(spark, idx, queries, k=5, nprobe=2)
+    in_session = ivf_topk(emb, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_session.collect())
+    )
+
+    # partition pruning: the lists scan carries a static PartitionFilter
+    # over the probed cids (2 queries x nprobe 2 = at most 4 of the ~14
+    # list partitions). inputFiles() reflects the unpruned relation, so
+    # assert on the physical plan's scan node instead.
+    import re
+
+    n_parts = len(
+        [d for d in os.listdir(idx + "/lists") if d.startswith("cid=")]
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", plan)
+    assert m, "lists scan has no static cid partition filter"
+    probed = {int(x) for x in m.group(1).split(",")}
+    assert len(probed) <= 4 < n_parts, (
+        f"expected <=4 probed of {n_parts} partitions, got {sorted(probed)}"
+    )
+    release_cached()
