@@ -2097,6 +2097,74 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# End-to-end corpus preparation — the pipeline this engine exists for,
+# as ONE composed plan: quality gate → exact dedup (min-id winner per
+# fingerprint) → hash-stable split assignment → per-split sequence
+# packing → split-level summary. Every stage is an existing operator;
+# Catalyst fuses the whole chain (the gate's ratios, the fingerprint,
+# and the split bucket are all projections over one scan; the dedup
+# window and the packing window are the only two shuffles before the
+# final tiny groupBy).
+_PREP_ORACLE = f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
+    FROM toks
+    WHERE len(t) >= 20
+      AND CAST(len(list_filter(t, x -> x IN ({_stop_list('en')}))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) >= 0.03
+      AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.35
+),
+fp AS (
+    SELECT doc_id, n_tokens, md5(array_to_string(t, ' ')) AS fingerprint,
+           row_number() OVER (PARTITION BY md5(array_to_string(t, ' '))
+                              ORDER BY doc_id) AS rn
+    FROM stats
+),
+sp AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM fp WHERE rn = 1
+),
+packed AS (
+    SELECT split, n_tokens,
+           (SUM(n_tokens) OVER w - n_tokens) // 512 AS seq_id
+    FROM sp
+    WINDOW w AS (PARTITION BY split ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences
+FROM packed
+GROUP BY 1
+"""
+
+
+@query("corpus_prep_summary", _PREP_ORACLE)
+def q_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.functions.textfns import token_count
+    from airbnb_cdc_spark.operators.text import quality_predicate
+    from airbnb_cdc_spark.session import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = ensure_parallelism(docs).filter(quality_predicate())
+    winners = _dedup.exact_dedup(kept).select("doc_id")
+    surv = kept.join(winners, "doc_id", "left_semi")
+    with_split = _sampling.split_assign(surv, "doc_id")
+    packed = _sampling.pack_sequences(
+        with_split, "split", "doc_id", token_count(F.col("text")), budget=512
+    )
+    return packed.groupBy(F.col("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct(F.col("seq_id")).alias("n_sequences"),
+    )
+
+
 # Intra-document n-gram repetition (Gopher-family repeated-trigram
 # quality filter): fraction of trigram occurrences that repeat an
 # earlier trigram of the same doc. Mirrors textfns.shingles exactly —
@@ -2820,20 +2888,22 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 80 registered queries, whichever 30
+# queries() iteration order; with 81 registered queries, whichever 31
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 9 operators with no driver row yet (r4's
+# recursive oracle; (b) the 10 operators with no driver row yet (r4's
 # containment/incremental pair + this round's repetition filter,
 # sequence packing, source overlap matrix, k-NN label vote, hopping
-# windows, NTILE bins, and OOV rate); (c) the 21 queries r4 didn't
-# check (all green in r2/r3); (d) 5 r4-green core representatives
-# (every rotated-out query holds an r4 green row, and the rotated-out
-# operators stay exercised — e.g. knn_label_vote runs
-# brute_force_topk). If this round runs clean, every registered query
-# has a green row in r4 ∪ r5.
+# windows, NTILE bins, OOV rate, and the composed corpus-prep
+# pipeline); (c) the 21 queries r4 didn't check (all green in r2/r3);
+# (d) 4 r4-green core representatives (every rotated-out query holds
+# an r4 green row, and the rotated-out operators stay exercised inside
+# this round's checked set — knn_label_vote runs brute_force_topk,
+# corpus_prep_summary runs quality gate + exact dedup + split + pack,
+# dedup_pair_sources runs the jaccard core). If this round runs clean,
+# every registered query has a green row in r4 ∪ r5.
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -2865,6 +2935,7 @@ _DRIVER_PRIORITY = [
     "events_hopping_agg",
     "length_quartiles_by_lang",
     "oov_rate",
+    "corpus_prep_summary",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2893,7 +2964,6 @@ _DRIVER_PRIORITY = [
     "conditional_split_bad",
     "project_cast",
     "multimodal_features",
-    "dedup_ngram_jaccard",
 ]
 
 
