@@ -1993,8 +1993,13 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-language length-quartile binning (NTILE): quantile bins computed
 # WITHIN each language stratum — the window partitions by lang, so no
-# global single-partition sort exists at any scale; ties broken by
-# doc_id for cross-engine determinism.
+# global single-partition sort exists; ties broken by doc_id for
+# cross-engine determinism. Scale honesty: exact NTILE still sorts one
+# partition PER STRATUM, so parallelism is bounded by the stratum
+# count (~5 langs here). Fine while each stratum fits a partition
+# sort; at 100 TB with few strata, swap to approx-quantile cut points
+# (approx_percentile + range binning) — the exact form is kept because
+# the driver gate needs bitwise-reproducible bins.
 _NTILE_ORACLE = """
 SELECT lang, quartile,
        COUNT(*) AS n_docs,
@@ -2099,12 +2104,15 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # End-to-end corpus preparation — the pipeline this engine exists for,
 # as ONE composed plan: quality gate → exact dedup (min-id winner per
-# fingerprint) → hash-stable split assignment → per-split sequence
-# packing → split-level summary. Every stage is an existing operator;
-# Catalyst fuses the whole chain (the gate's ratios, the fingerprint,
-# and the split bucket are all projections over one scan; the dedup
-# window and the packing window are the only two shuffles before the
-# final tiny groupBy).
+# fingerprint) → hash-stable split assignment → sequence packing →
+# split-level summary. Every stage is an existing operator; Catalyst
+# fuses the whole chain (the gate's ratios, the fingerprint, and the
+# split bucket are all projections over one scan; the dedup window and
+# the packing window are the only two shuffles before the final tiny
+# groupBy). Packing shards on (split, source), NOT split alone — a
+# 3-value split would serialize the running-sum window into 3 giant
+# partitions at 100 TB, while split×source scales with the corpus's
+# source count (real pipelines pack per output shard anyway).
 _PREP_ORACLE = f"""
 WITH {_TOKS_CTE},
 stats AS (
@@ -2122,23 +2130,27 @@ fp AS (
     FROM stats
 ),
 sp AS (
-    SELECT doc_id, n_tokens,
-           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
-                WHEN {_BUCKET_SQL} < 90 THEN 'valid'
-                ELSE 'test' END AS split
-    FROM fp WHERE rn = 1
+    SELECT f.doc_id, f.n_tokens,
+           CASE WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           concat(CASE WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 80 THEN 'train'
+                       WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 90 THEN 'valid'
+                       ELSE 'test' END, '|', d.source) AS shard
+    FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+    WHERE f.rn = 1
 ),
 packed AS (
-    SELECT split, n_tokens,
+    SELECT split, shard, n_tokens,
            (SUM(n_tokens) OVER w - n_tokens) // 512 AS seq_id
     FROM sp
-    WINDOW w AS (PARTITION BY split ORDER BY doc_id
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT split,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences
+       CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT) AS n_sequences
 FROM packed
 GROUP BY 1
 """
@@ -2154,14 +2166,16 @@ def q_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = ensure_parallelism(docs).filter(quality_predicate())
     winners = _dedup.exact_dedup(kept).select("doc_id")
     surv = kept.join(winners, "doc_id", "left_semi")
-    with_split = _sampling.split_assign(surv, "doc_id")
-    packed = _sampling.pack_sequences(
-        with_split, "split", "doc_id", token_count(F.col("text")), budget=512
+    with_split = _sampling.split_assign(surv, "doc_id").withColumn(
+        "shard", F.concat_ws("|", "split", "source")
     )
+    packed = _sampling.pack_sequences(
+        with_split, "shard", "doc_id", token_count(F.col("text")), budget=512
+    ).withColumn("split", F.split_part(F.col("shard"), F.lit("|"), F.lit(1)))
     return packed.groupBy(F.col("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.count_distinct(F.col("seq_id")).alias("n_sequences"),
+        F.count_distinct(F.col("shard"), F.col("seq_id")).alias("n_sequences"),
     )
 
 
