@@ -760,3 +760,48 @@ def simhash(
     for b in bit_votes[1:]:
         total = total + b
     return hexed.select(id_col, total.cast("long").alias("simhash"))
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """The PRODUCTION ingest shape end-to-end: a document stream deduped
+    per micro-batch against a PERSISTENT fingerprint store, survivors
+    appended back to the store — so re-deliveries are dropped across
+    batches, restarts, and corpus history (unlike
+    ``streaming_exact_dedup``, whose state lives only within the
+    watermark horizon).
+
+    ``store`` is a ``ParquetMergeTable`` keyed on ``fingerprint``
+    (Delta/Iceberg table on a real cluster). Each batch runs the batch
+    operator ``incremental_exact_dedup`` — in-batch window dedup + one
+    anti-join against the store's fingerprint column (columnar-pruned
+    scan) — then merges survivors in. Survivors are anti-joined before
+    the merge, so the store only ever INSERTS; the first writer of a
+    fingerprint wins permanently, the dedup semantics (a version-LWW
+    merge would let late re-deliveries steal representatives).
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    assert isinstance(store, ParquetMergeTable) and store.keys == ["fingerprint"]
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        if store.exists():
+            seen = store.read().select("fingerprint")
+        else:
+            seen = batch_df.sparkSession.createDataFrame([], "fingerprint string")
+        fresh = incremental_exact_dedup(batch_df, seen, id_col, text_col)
+        if store.exists():
+            store.merge(fresh)
+        else:
+            store.overwrite(fresh)
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

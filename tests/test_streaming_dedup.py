@@ -90,3 +90,65 @@ def test_batch_fallback_matches_streaming_semantics(spark):
     assert {r[0] for r in out.select("fingerprint").distinct().collect()} == {
         r[0] for r in out.select("fingerprint").collect()
     }
+
+
+def test_streaming_incremental_dedup_against_store(spark, tmp_path):
+    """Stream → per-batch dedup vs the persistent fingerprint store →
+    insert-only append. First writer of a fingerprint wins across
+    batches AND across query restarts (store state, not stream state)."""
+    import os
+    import time
+
+    from airbnb_cdc_spark.operators.dedup import streaming_incremental_dedup
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    t0 = datetime(2025, 6, 1, 9, 0)
+
+    def doc(i, minutes, text):
+        return {
+            "doc_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).isoformat(sep=" "),
+            "text": text,
+        }
+
+    store = ParquetMergeTable(
+        spark, str(tmp_path / "fp_store"), keys=["fingerprint"], num_buckets=4
+    )
+
+    def run_feed(feed_dir, files):
+        feed_dir.mkdir()
+        now = time.time()
+        for n, (name, rows) in enumerate(files):
+            with open(feed_dir / name, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            os.utime(feed_dir / name, (now - 60 + n, now - 60 + n))
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed_dir))
+        )
+        q = streaming_incremental_dedup(
+            stream, store, checkpoint_dir=str(feed_dir) + "_ckpt"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: two micro-batches with an in-batch dup and a cross-batch dup
+    run_feed(
+        tmp_path / "feed1",
+        [
+            ("b0.json", [doc(1, 0, "alpha beta"), doc(2, 1, "ALPHA  beta")]),
+            ("b1.json", [doc(3, 2, "alpha beta"), doc(4, 3, "gamma delta")]),
+        ],
+    )
+    got = {r.doc_id for r in store.read().collect()}
+    assert got == {1, 4}  # first writer per fingerprint, across batches
+
+    # run 2 (fresh query, same store): historical dup dropped, new kept
+    run_feed(
+        tmp_path / "feed2",
+        [("b0.json", [doc(9, 60, "gamma delta"), doc(10, 61, "epsilon zeta")])],
+    )
+    got = {r.doc_id for r in store.read().collect()}
+    assert got == {1, 4, 10}  # doc 9 deduped against run-1 history
