@@ -152,3 +152,58 @@ def test_containment_matches_bruteforce(spark, rows):
     assert set(got) == set(expected)
     for pair, c in got.items():
         assert abs(c - expected[pair]) < 1e-12
+
+
+@st.composite
+def _token_docs(draw):
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=0, max_size=15),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    return [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(_token_docs())
+def test_repetition_stats_property(spark, rows):
+    """repetition_stats agrees with a brute-force trigram count on
+    random tiny-vocab corpora (dense repetition — the adversarial case)."""
+    from airbnb_cdc_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        g = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        assert got[doc_id].n_ngrams == len(g)
+        assert got[doc_id].n_distinct_ngrams == len(set(g))
+        expect = 0.0 if not g else 1.0 - len(set(g)) / len(g)
+        assert abs(got[doc_id].repetition_ratio - expect) < 1e-12
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=30),
+)
+def test_pack_sequences_property(spark, token_counts, budget):
+    """pack_sequences reproduces the brute-force running-offset chunking
+    for arbitrary token counts and budgets."""
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "s", n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(df, "shard", "doc_id", F.col("n"), budget).collect()
+    }
+    offset = 0
+    for i, n in enumerate(token_counts):
+        assert got[i].token_offset == offset
+        assert got[i].seq_id == offset // budget
+        offset += n
