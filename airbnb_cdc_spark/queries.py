@@ -542,6 +542,17 @@ WHERE CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
 """
 
 
+# Same semantics and oracle as dedup_ngram_jaccard, exercising the
+# SSJoin/PPJoin PREFIX strategy (global frequency order + positional
+# pruning + verify join) — the scale path when the frequency cap must
+# stay high relative to corpus size.
+@query("dedup_ngram_jaccard_prefix", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, strategy="prefix"
+    )
+
+
 @query("dedup_containment", _CONTAINMENT_ORACLE)
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.containment_pairs(
@@ -2902,7 +2913,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
-# queries() iteration order; with 81 registered queries, whichever 31
+# queries() iteration order; with 82 registered queries, whichever 32
 # trail the order get no hard correctness signal that round. Round-5
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
