@@ -1,10 +1,12 @@
 """Local replica of the driver's t2 correctness gate.
 
 Runs each ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
-at sf0.01, then compares row count, column names, and an
-order-insensitive value representation. Use while iterating:
+at sf0.01 (override with $SPARK_GRAFT_VERIFY_SF_DIR), then compares row
+count, column names, and an order-insensitive value representation. Use
+while iterating:
 
     python scripts/verify_local.py [query_name ...]
+    SPARK_GRAFT_VERIFY_SF_DIR=/root/testdata/sf0.001 python scripts/verify_local.py
 """
 
 from __future__ import annotations
@@ -21,7 +23,9 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as e  # noqa: E402
 from airbnb_cdc_spark.session import TABLES, get_spark, release_cached  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _norm_cell(v):
