@@ -2012,7 +2012,7 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (approx_percentile + range binning) — the exact form is kept because
 # the driver gate needs bitwise-reproducible bins.
 _NTILE_ORACLE = """
-SELECT lang, quartile,
+SELECT lang, CAST(quartile AS INTEGER) AS quartile,
        COUNT(*) AS n_docs,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars
@@ -2560,7 +2560,10 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts"))
+    # date_trunc yields plain TIMESTAMP (LTZ); normalize back to ntz so
+    # the column type matches every other driver-green events query
+    # (values are identical under the pinned-UTC session either way).
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
     wa = Window.partitionBy("event_type", "__hour").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
