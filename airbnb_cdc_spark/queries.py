@@ -2921,17 +2921,19 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cut: (a) the 15 rows that were red in r4 — 13 events queries killed
 # by the stale ts shim (now feature-detected in session.load_table),
 # the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 10 operators with no driver row yet (r4's
+# recursive oracle; (b) the 11 operators with no driver row yet (r4's
 # containment/incremental pair + this round's repetition filter,
 # sequence packing, source overlap matrix, k-NN label vote, hopping
-# windows, NTILE bins, OOV rate, and the composed corpus-prep
-# pipeline); (c) the 21 queries r4 didn't check (all green in r2/r3);
-# (d) 4 r4-green core representatives (every rotated-out query holds
-# an r4 green row, and the rotated-out operators stay exercised inside
-# this round's checked set — knn_label_vote runs brute_force_topk,
-# corpus_prep_summary runs quality gate + exact dedup + split + pack,
-# dedup_pair_sources runs the jaccard core). If this round runs clean,
-# every registered query has a green row in r4 ∪ r5.
+# windows, NTILE bins, OOV rate, the composed corpus-prep pipeline,
+# and the prefix-strategy jaccard); (c) the 21 queries r4 didn't check
+# (all green in r2/r3); (d) 3 r4-green core representatives (every
+# rotated-out query holds an r4 green row, and the rotated-out
+# operators stay exercised inside this round's checked set —
+# knn_label_vote runs brute_force_topk, corpus_prep_summary runs
+# quality gate + exact dedup + split + pack, dedup_pair_sources runs
+# the jaccard core, mm_resize/mm_frame_sample cover multimodal). If
+# this round runs clean, every registered query has a green row in
+# r4 ∪ r5.
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -2964,6 +2966,7 @@ _DRIVER_PRIORITY = [
     "length_quartiles_by_lang",
     "oov_rate",
     "corpus_prep_summary",
+    "dedup_ngram_jaccard_prefix",
     # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
     "top_terms_per_doc",
     "ann_topk_lsh",
@@ -2991,7 +2994,6 @@ _DRIVER_PRIORITY = [
     "booking_customer_aggregation",
     "conditional_split_bad",
     "project_cast",
-    "multimodal_features",
 ]
 
 
