@@ -86,3 +86,101 @@ def test_oracle_differential(spark, tmp_path_factory, qname, rows):
         _run_both(spark, tmp, rows, qname)
     finally:
         release_cached()
+
+
+# -- events-table differential: the queries that went red in r4 before
+# -- ever reaching a hash check get randomized cross-engine coverage.
+
+EVENT_TYPES = ["view", "click", "purchase", "refund"]
+
+
+@st.composite
+def _events_table(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        minutes = draw(st.integers(min_value=0, max_value=600))
+        rows.append(
+            (
+                i,
+                f"2025-03-01 00:00:00",
+                minutes,
+                draw(st.integers(min_value=0, max_value=3)),
+                draw(st.sampled_from(EVENT_TYPES)),
+                draw(st.integers(min_value=0, max_value=400)) / 4.0,
+                None,
+            )
+        )
+    return rows
+
+
+EVENT_DIFF_QUERIES = [
+    "events_ohlc",
+    "value_histogram",
+    "user_funnel",
+    "scd2_user_state_history",
+    "pit_state_at_purchase",
+    "user_sessions",
+    "events_hopping_agg",
+    "event_gaps_leadlag",
+]
+
+
+def _write_events(spark, pdir, rows):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    base = datetime(2025, 3, 1)
+    data = [
+        (i, base + timedelta(minutes=m), u, et, v, props)
+        for (i, _b, m, u, et, v, props) in rows
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(pdir / "events.parquet")
+    )
+
+
+def _run_events_both(spark, tmp_path, rows, qname):
+    pdir = tmp_path / "sf"
+    pdir.mkdir(exist_ok=True)
+    _write_events(spark, pdir, rows)
+
+    sdf = Q.QUERIES[qname](spark, str(pdir))
+    s_cols = sorted(sdf.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{pdir}/events.parquet/*.parquet'"
+    )
+    res = con.execute(Q.ORACLE_SQL[qname])
+    d_cols = sorted(c[0] for c in res.description)
+    assert s_cols == d_cols, f"{qname}: schema {s_cols} vs {d_cols}"
+    d_idx = [[c[0] for c in res.description].index(name) for name in d_cols]
+    d_rows = sorted(tuple(_norm(r[i]) for i in d_idx) for r in res.fetchall())
+    s_idx = [sdf.columns.index(name) for name in d_cols]
+    s_rows = sorted(tuple(_norm(r[i]) for i in s_idx) for r in sdf.collect())
+    assert s_rows == d_rows, f"{qname}: value mismatch"
+
+
+@pytest.mark.parametrize("qname", EVENT_DIFF_QUERIES)
+@settings(max_examples=6, deadline=None)
+@given(rows=_events_table())
+def test_events_oracle_differential(spark, tmp_path_factory, qname, rows):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("ediff")
+    try:
+        _run_events_both(spark, tmp, rows, qname)
+    finally:
+        release_cached()
