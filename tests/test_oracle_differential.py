@@ -184,3 +184,76 @@ def test_events_oracle_differential(spark, tmp_path_factory, qname, rows):
         _run_events_both(spark, tmp, rows, qname)
     finally:
         release_cached()
+
+
+# -- embeddings-table differential: integer quantization must make the
+# -- cosine math engine-exact for arbitrary vectors. Values are k/8
+# -- floats so quantization (x*1e6) is exact and rounding-mode
+# -- differences cannot hide.
+
+EMB_DIFF_QUERIES = [
+    "ann_topk_bruteforce",
+    "knn_label_vote",
+    "embedding_outliers",
+    "dedup_embedding_cosine",
+]
+
+
+@st.composite
+def _embeddings_table(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    rows = []
+    for i in range(n):
+        vec = [
+            draw(st.integers(min_value=-8, max_value=8)) / 8.0 for _ in range(64)
+        ]
+        if all(v == 0.0 for v in vec):
+            vec[0] = 0.125  # zero vectors make cosine undefined
+        rows.append((i * 50, vec, draw(st.integers(min_value=0, max_value=2))))
+    return rows
+
+
+def _run_embeddings_both(spark, tmp_path, rows, qname):
+    from pyspark.sql import types as T
+
+    pdir = tmp_path / "sf"
+    pdir.mkdir(exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(pdir / "embeddings.parquet")
+    )
+
+    sdf = Q.QUERIES[qname](spark, str(pdir))
+    s_cols = sorted(sdf.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{pdir}/embeddings.parquet/*.parquet'"
+    )
+    res = con.execute(Q.ORACLE_SQL[qname])
+    d_cols = sorted(c[0] for c in res.description)
+    assert s_cols == d_cols, f"{qname}: schema {s_cols} vs {d_cols}"
+    d_idx = [[c[0] for c in res.description].index(name) for name in d_cols]
+    d_rows = sorted(tuple(_norm(r[i]) for i in d_idx) for r in res.fetchall())
+    s_idx = [sdf.columns.index(name) for name in d_cols]
+    s_rows = sorted(tuple(_norm(r[i]) for i in s_idx) for r in sdf.collect())
+    assert s_rows == d_rows, f"{qname}: value mismatch"
+
+
+@pytest.mark.parametrize("qname", EMB_DIFF_QUERIES)
+@settings(max_examples=6, deadline=None)
+@given(rows=_embeddings_table())
+def test_embeddings_oracle_differential(spark, tmp_path_factory, qname, rows):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("embdiff")
+    try:
+        _run_embeddings_both(spark, tmp, rows, qname)
+    finally:
+        release_cached()
