@@ -257,3 +257,103 @@ def test_embeddings_oracle_differential(spark, tmp_path_factory, qname, rows):
         _run_embeddings_both(spark, tmp, rows, qname)
     finally:
         release_cached()
+
+
+# -- flagship differential: all 17 reference measures on random
+# -- star-schema inputs — null amounts, empty status subsets, customers
+# -- without orders — the exact-decimal discipline has nowhere to hide.
+
+
+@st.composite
+def _star_tables(draw):
+    n_nations = draw(st.integers(min_value=1, max_value=3))
+    nations = [(i, f"NATION_{i}", 0) for i in range(n_nations)]
+    n_cust = draw(st.integers(min_value=1, max_value=6))
+    customers = [
+        (
+            i,
+            f"Customer#{i}",
+            draw(st.integers(min_value=0, max_value=n_nations - 1)),
+            0.0,
+            "SEG",
+        )
+        for i in range(n_cust)
+    ]
+    n_orders = draw(st.integers(min_value=0, max_value=25))
+    orders = []
+    for i in range(n_orders):
+        amount = draw(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=0, max_value=99999).map(lambda k: k / 100.0),
+            )
+        )
+        orders.append(
+            (
+                i,
+                draw(st.integers(min_value=0, max_value=n_cust - 1)),
+                draw(st.sampled_from(["F", "O", "P"])),
+                amount,
+                f"1996-0{draw(st.integers(min_value=1, max_value=9))}-15",
+                "1-URGENT",
+            )
+        )
+    return nations, customers, orders
+
+
+@settings(max_examples=10, deadline=None)
+@given(tables=_star_tables())
+def test_flagship_oracle_differential(spark, tmp_path_factory, tables):
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.session import release_cached
+
+    nations, customers, orders = tables
+    tmp = tmp_path_factory.mktemp("stardiff")
+    pdir = tmp / "sf"
+    pdir.mkdir()
+
+    spark.createDataFrame(
+        nations, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.parquet(str(pdir / "nation.parquet"))
+    spark.createDataFrame(
+        customers,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(pdir / "customer.parquet"))
+    o_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    o_rows = [
+        (k, c, s, a, datetime.fromisoformat(d), p) for (k, c, s, a, d, p) in orders
+    ]
+    spark.createDataFrame(o_rows, o_schema).coalesce(1).write.parquet(
+        str(pdir / "orders.parquet")
+    )
+
+    try:
+        sdf = Q.QUERIES["booking_customer_aggregation"](spark, str(pdir))
+        s_cols = sorted(sdf.columns)
+        con = duckdb.connect()
+        for t in ("nation", "customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
+            )
+        res = con.execute(Q.ORACLE_SQL["booking_customer_aggregation"])
+        d_cols = sorted(c[0] for c in res.description)
+        assert s_cols == d_cols
+        d_idx = [[c[0] for c in res.description].index(name) for name in d_cols]
+        d_rows = sorted(tuple(_norm(r[i]) for i in d_idx) for r in res.fetchall())
+        s_idx = [sdf.columns.index(name) for name in d_cols]
+        s_rows = sorted(tuple(_norm(r[i]) for i in s_idx) for r in sdf.collect())
+        assert s_rows == d_rows, "flagship value mismatch"
+    finally:
+        release_cached()
