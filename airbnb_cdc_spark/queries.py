@@ -2821,18 +2821,27 @@ def q_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("user_id", "ts", "event_id", "event_type")
         .withColumn("__prev", F.lag("event_type").over(w))
         .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
-        .select("user_id", F.col("ts").alias("state_ts"), F.col("event_type").alias("state"))
+        .select(
+            "user_id",
+            F.col("ts").alias("state_ts"),
+            F.col("event_id").alias("state_event_id"),
+            F.col("event_type").alias("state"),
+        )
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
+    # Tie-break equal-timestamp change points by event_id, matching the
+    # oracle's `ORDER BY ts, event_id` window: the newest same-ts state
+    # (max event_id) wins, exactly as the LEAD-interval formulation gives
+    # the last same-ts change point the non-empty validity interval.
     joined = asof_join(
         purchases,
         changes,
         on=["user_id"],
         left_ts="ts",
         right_ts="state_ts",
-        tie_breaks=["state"],
+        tie_breaks=["state_event_id"],
     )
     return joined.select(
         "event_id", "user_id", "ts", F.col("r_state").alias("state_at_purchase")

@@ -99,7 +99,14 @@ def _events_table(draw):
     n = draw(st.integers(min_value=1, max_value=40))
     rows = []
     for i in range(n):
-        minutes = draw(st.integers(min_value=0, max_value=600))
+        # Half the draws land in a 6-minute window over <=4 users, so
+        # equal-(user_id, ts) collisions occur nearly every example —
+        # the tie-break class that r5's pit_state_at_purchase bug
+        # (alphabetical-state vs event_id ordering) hid behind.
+        if draw(st.booleans()):
+            minutes = draw(st.integers(min_value=0, max_value=5))
+        else:
+            minutes = draw(st.integers(min_value=0, max_value=600))
         rows.append(
             (
                 i,
@@ -182,6 +189,31 @@ def test_events_oracle_differential(spark, tmp_path_factory, qname, rows):
     tmp = tmp_path_factory.mktemp("ediff")
     try:
         _run_events_both(spark, tmp, rows, qname)
+    finally:
+        release_cached()
+
+
+# The minimal counterexample from r5's pit_state_at_purchase bug, pinned
+# as a deterministic regression: a 'view' and a 'purchase' for the same
+# user at the SAME timestamp. The oracle's LEAD-interval semantics give
+# the newest same-ts change point (max event_id) the non-empty validity
+# interval; any other tie-break (r5 used alphabetical state) diverges.
+_TIE_ROWS = [
+    (0, "2025-03-01 00:00:00", 3, 1, "view", 1.0, None),
+    (1, "2025-03-01 00:00:00", 3, 1, "purchase", 2.0, None),
+    (2, "2025-03-01 00:00:00", 3, 1, "refund", 3.0, None),
+    (3, "2025-03-01 00:00:00", 7, 2, "purchase", 4.0, None),
+    (4, "2025-03-01 00:00:00", 7, 2, "view", 5.0, None),
+]
+
+
+@pytest.mark.parametrize("qname", EVENT_DIFF_QUERIES)
+def test_events_equal_timestamp_ties(spark, tmp_path_factory, qname):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("etie")
+    try:
+        _run_events_both(spark, tmp, _TIE_ROWS, qname)
     finally:
         release_cached()
 
