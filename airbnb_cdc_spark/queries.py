@@ -2927,82 +2927,76 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
 # queries() iteration order; with 82 registered queries, whichever 32
 # trail the order get no hard correctness signal that round. Round-5
-# cut: (a) the 15 rows that were red in r4 — 13 events queries killed
-# by the stale ts shim (now feature-detected in session.load_table),
-# the linestatus oracle-typing fix, and dedup_components with its new
-# recursive oracle; (b) the 11 operators with no driver row yet (r4's
-# containment/incremental pair + this round's repetition filter,
-# sequence packing, source overlap matrix, k-NN label vote, hopping
-# windows, NTILE bins, OOV rate, the composed corpus-prep pipeline,
-# and the prefix-strategy jaccard); (c) the 21 queries r4 didn't check
-# (all green in r2/r3); (d) 3 r4-green core representatives (every
-# rotated-out query holds an r4 green row, and the rotated-out
-# operators stay exercised inside this round's checked set —
-# knn_label_vote runs brute_force_topk, corpus_prep_summary runs
-# quality gate + exact dedup + split + pack, dedup_pair_sources runs
-# the jaccard core, mm_resize/mm_frame_sample cover multimodal). If
-# this round runs clean, every registered query has a green row in
-# r4 ∪ r5.
+# came back 50/50 green, so every registered query now has a green row
+# in r4 ∪ r5. Round-6 cut: (a) pit_state_at_purchase first — its
+# equal-timestamp tie-break fix (event_id, matching the oracle's window
+# order) needs a post-fix driver row; (b) all 32 queries r5 didn't
+# check, so r5 ∪ r6 again covers the whole registry; (c) 17 r5-green
+# backfills, favoring the queries this round touches (top_spenders'
+# ranking rewrite, ann_topk_lsh / dedup_components perf work,
+# pack_sequences' integer-division hardening), the equal-ts-tie-
+# sensitive events family now exercised by the forced-collision
+# differential, and one representative per reference-§2 operator
+# family (flagship agg, CDC merge, lookup, split, project, alter-row).
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # (a) red in r4 — the 13 events-ts casualties (first 5 have never
-    # had a green row), then the two non-events fixes
+    # (a) the r5 red-at-HEAD fix — prove the event_id tie-break in the
+    # driver's own file
+    "pit_state_at_purchase",
+    # (b) the 32 queries r5 didn't check (all green in r4 and in the
+    # local verify run at HEAD)
+    "conditional_split_accepted",
+    "text_stats",
+    "quality_filter",
+    "language_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh_multiprobe",
+    "dedup_embedding_cosine",
+    "multimodal_features",
+    "pricing_summary",
+    "salted_status_totals",
+    "rolling_fingerprint",
+    "ann_topk_ivf_recall",
+    "ann_topk_ivf_kmeans",
+    "set_ops_customers",
+    "pivot_status_by_priority",
+    "doc_chunks",
+    "sample_by_lang",
+    "dataset_split_counts",
+    "dedup_simhash_cluster",
+    "orders_profile",
+    "late_ship_priority_check",
+    "large_orders",
+    "decontaminate_vs_benchmark",
+    "bigram_vocab",
+    "embedding_outliers",
+    "part_name_canonical",
+    "promo_revenue_share",
+    # (c) r5-green backfills: this round's touched queries, the
+    # tie-sensitive events family, and §2 core representatives
+    "top_spenders",
+    "ann_topk_lsh",
+    "dedup_components",
+    "pack_sequences",
+    "dedup_ngram_jaccard_prefix",
+    "scd2_user_state_history",
+    "asof_last_view_before_purchase",
+    "user_sessions",
     "user_funnel",
     "events_ohlc",
-    "value_histogram",
-    "scd2_user_state_history",
-    "pit_state_at_purchase",
-    "filter_by_status",
-    "lookup_latest_event",
-    "alter_row_flags",
-    "cdc_merge_upsert",
-    "user_sessions",
-    "asof_last_view_before_purchase",
-    "interval_join_attribution",
-    "json_extract_agg",
-    "linestatus_priority_class",
-    "dedup_components",
-    # (b) new operators with no driver row yet (r4's pair + this
-    # round's repetition filter and sequence packing)
-    "dedup_containment",
-    "incremental_dedup_new_docs",
-    "repetition_filter",
-    "pack_sequences",
-    "dedup_pair_sources",
-    "knn_label_vote",
-    "events_hopping_agg",
-    "length_quartiles_by_lang",
-    "oov_rate",
     "corpus_prep_summary",
-    "dedup_ngram_jaccard_prefix",
-    # (c) not checked in r4 (green in r2/r3 — keep the union fresh)
-    "top_terms_per_doc",
-    "ann_topk_lsh",
-    "mm_resize",
-    "mm_frame_sample",
-    "events_windowed_agg",
-    "token_counts",
-    "rollup_country_status",
-    "top_spenders",
-    "semi_join_buyers",
-    "anti_join_never_bought",
-    "orders_by_month",
-    "customer_name_clean",
-    "shipping_priority",
-    "local_supplier_revenue",
-    "ann_topk_ivf",
-    "ann_topk_ivf_nprobe",
-    "cube_status_priority",
-    "running_customer_spend",
-    "status_percentiles",
-    "trailing_hour_activity",
-    "event_gaps_leadlag",
-    # (d) r4-green core representatives (reference §2 surface + one per
-    # LLM-pipeline family)
     "booking_customer_aggregation",
+    "cdc_merge_upsert",
+    "lookup_latest_event",
     "conditional_split_bad",
     "project_cast",
+    "alter_row_flags",
 ]
 
 
