@@ -67,7 +67,6 @@ def _hashed_base(
     text_col: str,
     n: int,
     hash_fn=None,
-    persist: bool = True,
     sort: bool = True,
 ) -> DataFrame:
     """Cached (id, hs0): per-doc sorted array of distinct 60-bit shingle
@@ -91,11 +90,11 @@ def _hashed_base(
     identical result, and xxhash64 is ~4x cheaper than md5 + base-16
     conversion (it was the dominant cost of the whole pipeline).
 
-    ``persist`` stays True for every current caller: beyond sharing the
-    frame, the cache is an OPTIMIZER BARRIER — without it Catalyst
-    pushes this projection below the widening repartition and evaluates
-    it at the narrow pre-repartition parallelism (measured 5x slower
-    end-to-end when the count path briefly dropped the persist).
+    The frame is always persisted: beyond sharing it across consumers,
+    the cache is an OPTIMIZER BARRIER — without it Catalyst pushes this
+    projection below the widening repartition and evaluates it at the
+    narrow pre-repartition parallelism (measured 5x slower end-to-end
+    when the count path briefly dropped the persist).
 
     ``sort=False`` skips the ``sort_array`` — callers that only explode
     the array (the inverted-index count path) get nothing from sorted
@@ -113,7 +112,7 @@ def _hashed_base(
         F.col(id_col).alias("id"),
         (F.sort_array(hashed) if sort else hashed).alias("hs0"),
     )
-    return persist_tracked(out) if persist else out
+    return persist_tracked(out)
 
 
 def _df_counts(base: DataFrame) -> DataFrame:
@@ -788,7 +787,10 @@ def streaming_incremental_dedup(
     Returns the started StreamingQuery; await/stop is the caller's."""
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
 
-    assert isinstance(store, ParquetMergeTable) and store.keys == ["fingerprint"]
+    if not isinstance(store, ParquetMergeTable):
+        raise TypeError(f"store must be a ParquetMergeTable, got {type(store).__name__}")
+    if store.keys != ["fingerprint"]:
+        raise ValueError(f"store must be keyed on ['fingerprint'], got {store.keys}")
 
     def _batch(batch_df: DataFrame, _epoch: int) -> None:
         if store.exists():
@@ -796,10 +798,8 @@ def streaming_incremental_dedup(
         else:
             seen = batch_df.sparkSession.createDataFrame([], "fingerprint string")
         fresh = incremental_exact_dedup(batch_df, seen, id_col, text_col)
-        if store.exists():
-            store.merge(fresh)
-        else:
-            store.overwrite(fresh)
+        # merge() handles the missing-table case itself (fresh load).
+        store.merge(fresh)
 
     writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
     if checkpoint_dir is not None:

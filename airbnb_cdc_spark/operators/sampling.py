@@ -110,10 +110,13 @@ def pack_sequences(
     )
     n_tok = tokens_col.cast("long")
     offset = (F.sum(n_tok).over(w) - n_tok).cast("long")
+    # Integral `div`, not floor(double /): the oracle uses integer `//`,
+    # and double division loses exactness once a shard's running offset
+    # exceeds 2^53 tokens — unreachable today, but the exact-integer
+    # discipline costs nothing here.
     return df.select(
         F.col(id_col),
         F.col(shard_col),
         n_tok.alias("n_tokens"),
         offset.alias("token_offset"),
-        F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
-    )
+    ).withColumn("seq_id", F.expr(f"token_offset div {int(budget)}"))

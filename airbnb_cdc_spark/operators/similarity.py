@@ -442,6 +442,15 @@ def build_ivf_index(
         F.col("__q").alias("__qc"),
         F.col("__norm").alias("__nc"),
     )
+    # A sparsely-keyed or tiny corpus can leave the residue class empty;
+    # without this guard the index writes zero lists and every later
+    # query silently returns nothing.
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
+            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
+            "derive ~sqrt(n) from the corpus size)"
+        )
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "__cos",
         _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),

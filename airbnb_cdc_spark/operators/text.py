@@ -249,7 +249,11 @@ def bigram_counts(
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(top_k)
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    # Constant partition key: the frame is already <=top_k rows, so this
+    # implies no data movement — it only keeps WindowExec off the
+    # empty-partition-spec ("moving all data to a single partition")
+    # path.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("bigram").asc())
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 

@@ -1132,11 +1132,19 @@ def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("customer_id").asc())
-    return (
-        spend.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("customer_id", "total_spend", "n_orders", "rnk")
+    # TakeOrdered (orderBy+limit: per-partition heaps) picks the top 20
+    # from the aggregated frame; ranks attach afterwards over the 20-row
+    # result. The constant partition key keeps WindowExec off the
+    # empty-partition-spec path — the frame is already <=20 rows, so no
+    # data movement is implied.
+    top = spend.orderBy(F.col("total_spend").desc(), F.col("customer_id").asc()).limit(
+        20
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("total_spend").desc(), F.col("customer_id").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "customer_id", "total_spend", "n_orders", "rnk"
     )
 
 
