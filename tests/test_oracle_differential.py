@@ -130,6 +130,13 @@ EVENT_DIFF_QUERIES = [
     "user_sessions",
     "events_hopping_agg",
     "event_gaps_leadlag",
+    # r6: every remaining events-only asof/window consumer joins the
+    # differential so equal-timestamp ties are exercised on all of them,
+    # not just the family that went red in r5.
+    "asof_last_view_before_purchase",
+    "interval_join_attribution",
+    "trailing_hour_activity",
+    "events_windowed_agg",
 ]
 
 
@@ -214,6 +221,49 @@ def test_events_equal_timestamp_ties(spark, tmp_path_factory, qname):
     tmp = tmp_path_factory.mktemp("etie")
     try:
         _run_events_both(spark, tmp, _TIE_ROWS, qname)
+    finally:
+        release_cached()
+
+
+# -- lookup (customer x events) ties: latest-per-key must pick the same
+# -- row as the oracle's ROW_NUMBER(ORDER BY ts DESC, event_id DESC)
+# -- when a user's newest events share a timestamp, and customers with
+# -- no events must keep NULL lookup columns.
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_events_table(), n_cust=st.integers(min_value=1, max_value=6))
+def test_lookup_latest_event_ties(spark, tmp_path_factory, rows, n_cust):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("lkdiff")
+    pdir = tmp / "sf"
+    pdir.mkdir()
+    _write_events(spark, pdir, rows)
+    customers = [
+        (i, f"Customer#{i}", 0, 0.0, "SEG") for i in range(n_cust)
+    ]
+    spark.createDataFrame(
+        customers,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(pdir / "customer.parquet"))
+
+    try:
+        sdf = Q.QUERIES["lookup_latest_event"](spark, str(pdir))
+        s_cols = sorted(sdf.columns)
+        con = duckdb.connect()
+        for t in ("events", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
+            )
+        res = con.execute(Q.ORACLE_SQL["lookup_latest_event"])
+        d_cols = sorted(c[0] for c in res.description)
+        assert s_cols == d_cols
+        d_idx = [[c[0] for c in res.description].index(name) for name in d_cols]
+        d_rows = sorted(tuple(_norm(r[i]) for i in d_idx) for r in res.fetchall())
+        s_idx = [sdf.columns.index(name) for name in d_cols]
+        s_rows = sorted(tuple(_norm(r[i]) for i in s_idx) for r in sdf.collect())
+        assert s_rows == d_rows, "lookup_latest_event: value mismatch"
     finally:
         release_cached()
 
