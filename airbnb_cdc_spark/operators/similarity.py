@@ -54,11 +54,22 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
-def _with_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _with_quant(
+    df: DataFrame, id_col: str, vec_col: str, widen: bool = True
+) -> DataFrame:
     """Quantize once and precompute the norm — pair-wise scoring then
     does ONE dot product per pair instead of three (the norms would
-    otherwise be recomputed for every candidate pair)."""
-    return ensure_parallelism(df).select(
+    otherwise be recomputed for every candidate pair).
+
+    ``widen=False`` skips the ``ensure_parallelism`` fan-out: a query
+    side that is about to be broadcast gains nothing from a repartition
+    (its rows are few and the broadcast re-collects them anyway), so the
+    extra shuffle stage is pure fixed overhead."""
+    if not widen:
+        base = df
+    else:
+        base = ensure_parallelism(df)
+    return base.select(
         F.col(id_col),
         quantize(F.col(vec_col)).alias("__q"),
     ).withColumn("__norm", F.sqrt(qnorm2(F.col("__q")).cast("double")))
@@ -83,7 +94,7 @@ def brute_force_topk(
         F.col("__norm").alias("__nc"),
     )
     q = F.broadcast(
-        _with_quant(queries, id_col, vec_col).select(
+        _with_quant(queries, id_col, vec_col, widen=False).select(
             F.col(id_col).alias("query_id"),
             F.col("__q").alias("__qq"),
             F.col("__norm").alias("__nq"),
@@ -196,7 +207,7 @@ def lsh_topk(
         F.col("__norm").alias("__nc"),
         lsh_bucket(F.col("__q"), planes).alias("bucket"),
     )
-    qbase = _with_quant(queries, id_col, vec_col).select(
+    qbase = _with_quant(queries, id_col, vec_col, widen=False).select(
         F.col(id_col).alias("query_id"),
         F.col("__q").alias("__qq"),
         F.col("__norm").alias("__nq"),
@@ -383,7 +394,7 @@ def ivf_topk(
 
     assigned = assign_to(cents, base, "neighbor_id", 1)
     probes = assign_to(
-        cents, _with_quant(queries, id_col, vec_col), "query_id", nprobe
+        cents, _with_quant(queries, id_col, vec_col, widen=False), "query_id", nprobe
     )
     scored = (
         probes.join(assigned, on="cid")
@@ -487,7 +498,7 @@ def query_ivf_index(
     import os
 
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
-    qs = _with_quant(queries, id_col, vec_col)
+    qs = _with_quant(queries, id_col, vec_col, widen=False)
     scored = qs.crossJoin(cents).withColumn(
         "__cos",
         _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
