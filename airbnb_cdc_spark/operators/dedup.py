@@ -322,10 +322,9 @@ def _jaccard_index_count_pairs(
     in-row; counting pair occurrences across shingles yields the exact
     intersection size |A∩B| directly, so no verify join exists. See
     ``ngram_jaccard_pairs`` for the strategy trade-off."""
-    pairs, sizes = _index_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    pairs = _index_pair_counts(df, id_col, text_col, n, max_doc_freq)
     return (
-        _attach_sizes(pairs, sizes)
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.col("i").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
@@ -341,81 +340,74 @@ def _index_pair_counts(
     text_col: str,
     n: int,
     max_doc_freq: int | str | None,
-) -> tuple[DataFrame, DataFrame]:
-    """((id_a, id_b, i), (id, sz)): exact pairwise intersection counts
-    over the frequency-capped shingle universe plus per-doc capped set
-    sizes — the shared core of every set-overlap measure (Jaccard,
+) -> DataFrame:
+    """(id_a, id_b, sz_a, sz_b, i): exact pairwise intersection counts
+    over the frequency-capped shingle universe WITH each side's capped
+    set size — the shared core of every set-overlap measure (Jaccard,
     containment, overlap coefficient).
 
-    Both pair counts and per-doc sizes derive from the CAPPED postings
-    index (sizes = how many capped postings arrays a doc appears in ≡
-    its capped distinct-shingle count), so the hot-shingle broadcast
-    aggregate and the third pass over the base (array_except) that an
-    earlier shape used for sizes are gone — one fewer job and one fewer
-    wide frame. The two consumers of ``idx`` each re-aggregate the
-    postings from the CACHED base (AQE does not emit a ReusedExchange
-    here — checked in the final adaptive plan); that re-aggregation is
-    an explode + map-side-combined count over in-memory arrays, and
-    persisting the postings to share it was measured SLOWER (the
-    cache-write of the corpus-sized index exceeds the re-aggregation it
-    saves). The base projection keeps its persist: it is an optimizer
-    barrier (see ``_hashed_base``)."""
+    Sizes ride the postings structs instead of being a separate frame:
+    the hot set (shingles with df > cap — tiny by construction) comes
+    back as a one-row broadcast, ``array_except`` caps each doc's array
+    map-side, and the postings index collects ``struct(id, sz)`` so the
+    in-row pair generation emits both ids AND both sizes. The pair
+    groupBy then yields |A∩B| next to |A|,|B| directly. Compared to the
+    r5 shape (postings re-aggregated a second time for sizes + two
+    attach joins) this drops two corpus-sized shuffles and both joins:
+    three shuffles total — df-count, index build, pair count — plus the
+    one-row hot/cap aggregates. The base projection keeps its persist:
+    it is an optimizer barrier (see ``_hashed_base``)."""
     base = _hashed_base(
         df, id_col, text_col, n, hash_fn=lambda c: F.xxhash64(c), sort=False
     )
-    cap = None
-    if max_doc_freq == AUTO:
-        total = df.select(F.count(F.lit(1)).alias("__n"))
-        cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
-    elif max_doc_freq is not None:
-        total = None
-        cap = F.lit(int(max_doc_freq))
-    idx = base.select("id", F.explode("hs0").alias("h")).groupBy("h").agg(
-        F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("__df")
-    )
-    if cap is not None and max_doc_freq == AUTO:
-        idx = idx.join(F.broadcast(total))
-    if cap is not None:
-        idx = idx.filter(F.col("__df") <= cap)
-    sizes = (
-        idx.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        hot = _filter_counts(_df_counts(base), df, max_doc_freq, keep_hot=True)
+        hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
+        capped = base.join(F.broadcast(hot_arr)).select(
+            "id",
+            F.array_except(
+                "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
+            ).alias("hs"),
+        )
+    else:
+        capped = base.select("id", F.col("hs0").alias("hs"))
+    docs = capped.select(
+        F.struct("id", F.size("hs").alias("sz")).alias("d"), "hs"
+    ).filter(F.col("d.sz") > 0)
+    idx = (
+        docs.select("d", F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.collect_list("d").alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
     # C(df,2) ordered pairs per postings array, generated in-row: the
-    # nested transform/filter is O(df²) per shingle, bounded by the cap.
-    pairs = (
-        idx.filter(F.col("__df") >= 2)
-        .select(
+    # nested transform/filter is O(df²) per shingle, bounded by the cap
+    # (every shingle with df > cap was removed from the doc arrays, so
+    # no postings list here exceeds it).
+    return (
+        idx.select(
             F.explode(
                 F.flatten(
                     F.transform(
-                        "ids",
+                        "ds",
                         lambda x: F.transform(
-                            F.filter("ids", lambda y: y > x),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            F.filter(
+                                "ds", lambda y: y.getField("id") > x.getField("id")
+                            ),
+                            lambda y: F.struct(
+                                x.getField("id").alias("id_a"),
+                                y.getField("id").alias("id_b"),
+                                x.getField("sz").alias("sz_a"),
+                                y.getField("sz").alias("sz_b"),
+                            ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .groupBy("p.id_a", "p.id_b")
+        .groupBy("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
         .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return pairs, sizes
-
-
-def _attach_sizes(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
-    """(id_a, id_b, i, sz_a, sz_b). sizes is corpus-sized (one row per
-    doc) — no broadcast hint; locally AQE converts these joins to
-    broadcast at runtime, and on a real cluster they shuffle on the
-    pair ids like everything else."""
-    return pairs.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
-        "id_a",
-    ).join(
-        sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
-        "id_b",
+        .select("id_a", "id_b", "sz_a", "sz_b", "i")
     )
 
 
@@ -437,10 +429,9 @@ def containment_pairs(
     Broder's "roughly contained" relation). Same inverted-index
     pair-count core as Jaccard ``strategy='count'``: the smaller set's
     coverage is exact, no verify join, cap bounds instance volume."""
-    pairs, sizes = _index_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    pairs = _index_pair_counts(df, id_col, text_col, n, max_doc_freq)
     return (
-        _attach_sizes(pairs, sizes)
-        .withColumn(
+        pairs.withColumn(
             "containment",
             F.col("i").cast("double")
             / F.least("sz_a", "sz_b").cast("double"),
