@@ -33,14 +33,19 @@ def run_customer_dim(
     raw_dir: str,
     archive_dir: str,
     dim_table: ParquetMergeTable,
+    rewrite_quoted: bool = False,
 ) -> list[str]:
     """E2: replay every feed file (sorted name order = arrival order)
-    through the keyed upsert, then archive it. Returns processed names."""
+    through the keyed upsert, then archive it. Returns processed names.
+
+    ``rewrite_quoted=True`` archives through the reference's
+    quoteAllText Copy (every field re-quoted, original text preserved)
+    instead of the rename fast path — see ``archive_file``."""
     processed = []
     for name in list_files(spark, raw_dir):
         df = read_customer_csv(spark, f"{raw_dir}/{name}")
         dim_table.merge(df)
-        archive_file(spark, raw_dir, archive_dir, name)
+        archive_file(spark, raw_dir, archive_dir, name, rewrite_quoted=rewrite_quoted)
         processed.append(name)
     return processed
 

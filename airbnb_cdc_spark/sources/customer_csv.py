@@ -90,8 +90,13 @@ def archive_file(
     through the CSV dialect with every field quoted (``quoteAllText:
     true``, ``pipeline/New_LoadCustomerDim.json:152-162``,
     ``dataset/New_CustomerDataArchive.json:13-19``), then the raw file
-    is deleted. The rewrite is a single-file Spark write (coalesce(1) —
-    feed files are ingest-sized, not data-sized)."""
+    is deleted. The rewrite reads UNTYPED (header only, all columns
+    string) just like the reference's archive Copy — its source dataset
+    declares ``"schema": []``, so the copy preserves each field's
+    original text and only the quoting changes; a typed round-trip
+    would re-format timestamps/decimals and lose byte fidelity. The
+    rewrite is a single-file Spark write (coalesce(1) — feed files are
+    ingest-sized, not data-sized)."""
     fs, _ = _fs(spark, raw_dir)
     Path = spark._jvm.org.apache.hadoop.fs.Path
     dst_dir = Path(archive_dir)
@@ -110,7 +115,13 @@ def archive_file(
     # every path.
     tmp = posixpath.join(archive_dir, f"_tmp_{name}")
     try:
-        df = read_customer_csv(spark, posixpath.join(raw_dir, name))
+        df = (
+            spark.read.option("header", True)
+            .option("quote", '"')
+            .option("escape", "\\")
+            .option("inferSchema", False)
+            .csv(posixpath.join(raw_dir, name))
+        )
         (
             df.coalesce(1)
             .write.option("header", True)

@@ -42,6 +42,54 @@ def test_customer_dim_upsert_replay(spark, tmp_path):
     assert sorted(map(tuple, dim.read().collect())) == before
 
 
+def test_customer_dim_replay_rewrite_quoted_golden(spark, tmp_path):
+    """The rewrite-quoted archive leg end-to-end: replaying the feed
+    with ``rewrite_quoted=True`` must land archives BYTE-IDENTICAL to
+    the golden quoteAllText serialization — every field (header
+    included) quoted, original field text preserved (the reference's
+    archive Copy is schema-less, so no typed round-trip may re-format
+    timestamps or decimals) — while the dim upsert result matches the
+    rename fast path exactly."""
+    import csv
+    import io
+
+    raw, archive = tmp_path / "raw", tmp_path / "archive"
+    waves = write_customer_csvs(raw, n_base=50)
+
+    # Golden: independent re-serialization of each raw file with every
+    # field quoted, same dialect (backslash escape, \n rows).
+    golden = {}
+    for name in waves:
+        out = io.StringIO()
+        w = csv.writer(
+            out,
+            quoting=csv.QUOTE_ALL,
+            doublequote=False,
+            escapechar="\\",
+            lineterminator="\n",
+        )
+        for row in csv.reader((raw / name).read_text().splitlines()):
+            w.writerow(row)
+        golden[name] = out.getvalue()
+
+    dim = ParquetMergeTable(spark, str(tmp_path / "dim"), keys=["customer_id"])
+    processed = run_customer_dim(
+        spark, str(raw), str(archive), dim, rewrite_quoted=True
+    )
+    assert processed == sorted(waves)
+
+    for name in waves:
+        assert not (raw / name).exists()
+        assert (archive / name).read_text() == golden[name], name
+
+    # upsert semantics unchanged by the archive leg
+    rows = {r.customer_id: r for r in dim.read().collect()}
+    assert len(rows) == 50
+    assert rows[5].last_name == "Last5_d2"
+    assert rows[4].last_name == "Last4_d1"
+    assert rows[2].last_name == "Last2_base"
+
+
 def test_booking_cdc_stream_and_aggregation(spark, tmp_path):
     feed = tmp_path / "feed"
     facts = write_booking_feed(feed, n_bookings=120, cancel_pct=0.1, n_bad=4)
