@@ -105,6 +105,43 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component")), converged
 
 
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iters: int = 10,
+) -> DataFrame:
+    """The dedup APPLY step: drop every near-dup cluster member except
+    its representative (the minimum id — ``connected_components``'
+    component label). Returns the surviving corpus keyed rows with an
+    ``in_cluster`` flag (1 = this doc headed a duplicate cluster,
+    0 = it was never duplicated).
+
+    Scale shape: the component frame covers only CLUSTERED docs
+    (near-dup pair output is thresholded/metadata-sized, not
+    corpus-sized), so both the drop-list anti-join and the flag join
+    run with a broadcast-sized right side against one corpus scan.
+    The corpus itself is never shuffled."""
+    comp, converged = connected_components(pairs, left, right, max_iters=max_iters)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}"
+        )
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    reps = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias(id_col), F.lit(1).alias("in_cluster")
+    )
+    return (
+        df.join(F.broadcast(drop), on=id_col, how="left_anti")
+        .join(F.broadcast(reps), on=id_col, how="left")
+        .withColumn("in_cluster", F.coalesce("in_cluster", F.lit(0)).cast("int"))
+    )
+
+
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     """Exact one-pass union-find for metadata-sized edge lists."""
     parent: dict = {}

@@ -77,6 +77,56 @@ def split_assign(
     )
 
 
+def mixture_by_token_budget(
+    df: DataFrame,
+    source_col: str,
+    tokens_col,
+    budgets: Mapping[str, int],
+    default_budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture carving: keep a deterministic prefix of each source
+    worth ~``budgets[source]`` tokens — the standard step that turns
+    per-source sampling WEIGHTS into an actual pretraining mixture
+    ("2 parts web, 1 part code" becomes token budgets per source).
+
+    Documents are walked per source in md5-of-key order (reproducible,
+    engine-mirrorable, uncorrelated with any corpus ordering) and a doc
+    is kept iff its starting offset lies inside the budget — so the
+    selected set is a stable hash-prefix: growing the corpus only
+    appends candidates, it does not reshuffle what was already chosen
+    for unchanged keys ahead of them.
+
+    Scale shape: ONE window per source (running sum inside each
+    source's partition — exactly ``pack_sequences``' shard shape), no
+    global sort, no driver state. Returns the kept rows with their
+    (source, n_tokens, token_offset) lineage."""
+    from pyspark.sql import Window
+
+    budget = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(budget)
+    order = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = tokens_col.cast("long")
+    offset = (F.sum(n_tok).over(w) - n_tok).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            n_tok.alias("n_tokens"),
+            offset.alias("token_offset"),
+            budget.cast("long").alias("__budget"),
+        )
+        .filter(F.col("token_offset") < F.col("__budget"))
+        .drop("__budget")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

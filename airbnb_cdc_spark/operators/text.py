@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airbnb_cdc_spark.session import ensure_parallelism
+from airbnb_cdc_spark.session import ensure_parallelism, persist_tracked
 from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
     LANG_STOPWORDS,
@@ -254,6 +254,92 @@ def bigram_counts(
     # empty-partition-spec ("moving all data to a single partition")
     # path.
     w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs ranked by how much more often they co-occur than their
+    unigram frequencies predict — the classic collocation-extraction /
+    tokenizer-vocabulary signal (Church & Hanks 1990).
+
+    Exact-integer discipline: instead of log PMI (libm ``ln`` can
+    differ in the last ulp across engines), the score is the PMI RATIO
+    ``p(ab) / (p(a)·p(b))`` — monotonic in PMI, computed as ONE double
+    division of two exact BIGINT products:
+    ``(c_ab·N_uni²) / (N_bi·c_a·c_b)``. Overflow headroom: at 1e9
+    unigram instances the numerator peaks ~1e9·(1e9)²; callers at that
+    scale should pre-aggregate per shard — at corpus sizes where the
+    products fit (≤ ~2e5 instances per factor pair) the ranking is
+    bit-reproducible.
+
+    Scale shape: one explode+groupBy for unigrams (map-side combined),
+    one for bigram pairs, a ``min_count`` filter BEFORE the two
+    unigram joins (the bigram long tail never joins), and a
+    distributed TakeOrdered top-k. The unigram table shuffles on the
+    word key like any vocabulary join; no broadcast assumption (corpus
+    vocabularies outgrow broadcast)."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = persist_tracked(
+        ensure_parallelism(df).select(toks.alias("__toks"))
+    )
+    uni = base.select(F.explode("__toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair_structs = F.when(
+        F.size("__toks") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("w1"),
+                F.element_at("__toks", i + 1).alias("w2"),
+            ),
+        )
+    )
+    bi = (
+        base.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni"))
+    # p(ab) uses the FULL bigram instance count (pre-min_count) so the
+    # probability space is the whole corpus, not the filtered head.
+    n_bi_full = (
+        base.select(
+            F.greatest(F.size("__toks") - 1, F.lit(0)).cast("long").alias("nb")
+        ).agg(F.sum("nb").alias("n_bi"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .join(F.broadcast(totals))
+        .join(F.broadcast(n_bi_full))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            (
+                (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_bi") * F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("bigram").asc()
+    ).limit(top_k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pmi_ratio").desc(), F.col("bigram").asc()
+    )
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 

@@ -2929,6 +2929,135 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dedup APPLY: the surviving corpus after dropping every near-dup
+# cluster member except its min-id representative — the step that turns
+# pair/cluster output into the training corpus. Oracle reuses the
+# recursive components closure; survivors = docs that are not a
+# non-representative member.
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY},
+np AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM np
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM np
+),
+reach(node, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id, d.source AS source,
+       CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_cluster
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node AND c.node = c.component
+WHERE NOT EXISTS (
+    SELECT 1 FROM comp x WHERE x.node = d.doc_id AND x.node <> x.component
+)
+"""
+
+
+@query("dedup_keep_canonical", _CANONICAL_ORACLE)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: jaccard near-dup pairs → connected components →
+    anti-join the non-representatives out of the corpus
+    (operators/graph.py keep_canonical). The component frame is
+    metadata-sized, so the corpus sees one broadcast anti-join + one
+    broadcast flag join — never a corpus shuffle."""
+    from airbnb_cdc_spark.operators.graph import keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs)
+    return keep_canonical(docs, pairs, max_iters=16).select(
+        "doc_id", "source", "in_cluster"
+    )
+
+
+# Collocations by PMI ratio (Church & Hanks): adjacent-pair lift over
+# unigram expectation, exact-integer products with ONE double division
+# so the ranking is engine-reproducible (no libm log).
+_PMI_ORACLE = f"""
+WITH {_TOKS_CTE},
+uni AS (
+    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+    FROM toks, unnest(t) AS u(w) GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+nb AS (
+    SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bi FROM toks
+),
+bi AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+    FROM toks, unnest(range(1, len(t))) AS r(i)
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+),
+scored AS (
+    SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.c_ab, a.c AS c_a, b.c AS c_b,
+           CAST(bi.c_ab * tot.n_uni * tot.n_uni AS DOUBLE)
+           / CAST(nb.n_bi * a.c * b.c AS DOUBLE) AS pmi_ratio
+    FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w, tot, nb
+)
+SELECT bigram, c_ab, c_a, c_b, pmi_ratio,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, bigram) AS INT) AS rnk
+FROM scored
+ORDER BY pmi_ratio DESC, bigram
+LIMIT 50
+"""
+
+
+@query("bigram_pmi", _PMI_ORACLE)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+# Data-mixture carving: deterministic hash-prefix of each source worth
+# ~budget tokens (per-source overrides), the weights→tokens step of
+# pretraining mixture construction.
+_MIXTURE_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS ok
+    FROM documents
+),
+off AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset
+    FROM tk
+    WINDOW w AS (PARTITION BY source ORDER BY ok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, source, n_tokens, token_offset
+FROM off
+WHERE token_offset < (CASE source WHEN 'src0' THEN 200
+                                  WHEN 'src1' THEN 100000000
+                                  ELSE 600 END)
+"""
+
+
+@query("mixture_by_token_budget", _MIXTURE_ORACLE)
+def q_mixture_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.mixture_by_token_budget(
+        docs,
+        "source",
+        token_count(F.col("text")),
+        budgets={"src0": 200, "src1": 100_000_000},
+        default_budget=600,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2996,15 +3125,19 @@ _DRIVER_PRIORITY = [
     "scd2_user_state_history",
     "asof_last_view_before_purchase",
     "user_sessions",
-    "user_funnel",
-    "events_ohlc",
     "corpus_prep_summary",
     "booking_customer_aggregation",
     "cdc_merge_upsert",
     "lookup_latest_event",
-    "conditional_split_bad",
     "project_cast",
     "alter_row_flags",
+    # r6-new queries — first driver exposure (user_funnel, events_ohlc,
+    # conditional_split_bad ceded their backfill slots: all three are
+    # r5-green AND covered by the forced-ties differential / the
+    # still-listed split representative conditional_split_accepted)
+    "dedup_keep_canonical",
+    "bigram_pmi",
+    "mixture_by_token_budget",
 ]
 
 

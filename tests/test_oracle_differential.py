@@ -72,6 +72,12 @@ DIFF_QUERIES = [
     "oov_rate",
     "corpus_prep_summary",
     "text_stats",
+    # r6 additions — all documents-only, so the same generator covers
+    # them (bigram_pmi's min_count means tiny corpora usually produce
+    # empty results: the agreement-on-empty is itself the check).
+    "dedup_keep_canonical",
+    "bigram_pmi",
+    "mixture_by_token_budget",
 ]
 
 
