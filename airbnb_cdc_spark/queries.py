@@ -952,6 +952,85 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_agg(load_table(spark, sf_dir, "events"))
 
 
+# Cohort retention matrix: users grouped by first-activity month,
+# counted per activity month — the standard product-analytics
+# retention triangle. Two aggregations + one user-key join (the join
+# shuffles both sides on user_id, the natural co-partitioning; the
+# matrix itself is months² rows — metadata-sized at any corpus size).
+_COHORT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS cohort_month
+    FROM events GROUP BY 1
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS activity_month
+    FROM events
+)
+SELECT f.cohort_month AS cohort_month, a.activity_month AS activity_month,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("activity_month")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_month", "activity_month")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Trailing-7-day distinct users per observed day. Spark has no
+# COUNT(DISTINCT) over a sliding window; the scalable form is a
+# BOUNDED FAN-OUT: dedupe to (user, day), explode each user-day into
+# the 7 target days it contributes to, dedupe (user, target_day), and
+# count per observed day. Row volume is exactly 7x the user-day count
+# — linear, shuffle-partitioned by day, no per-day self-join and no
+# single-partition window at any scale.
+_TRAIL7_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+    SELECT DISTINCT u.user_id, u.day + CAST(r.i AS INTEGER) AS day
+    FROM ud u, unnest(range(0, 7)) AS r(i)
+)
+SELECT c.day AS day, CAST(count(*) AS BIGINT) AS users_7d
+FROM contrib c JOIN days d USING (day)
+GROUP BY 1
+"""
+
+
+@query("trailing_7d_users", _TRAIL7_ORACLE)
+def q_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    ).distinct()
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+    )
+
+
 # Hopping 1h windows sliding every 30min: every event belongs to
 # exactly two windows, whose starts are the two most recent 30-min
 # boundaries at-or-before ts (epoch-aligned, session TZ pinned UTC —

@@ -143,6 +143,8 @@ EVENT_DIFF_QUERIES = [
     "interval_join_attribution",
     "trailing_hour_activity",
     "events_windowed_agg",
+    "cohort_retention",
+    "trailing_7d_users",
 ]
 
 
