@@ -53,9 +53,17 @@ def connected_components(
     # whole jaccard pipeline) would execute once per branch — measured
     # 2.2x on dedup_components when the jaccard rewrite dropped its
     # internal persist boundaries. The pair list itself is tiny.
-    pairs = pairs.select(
-        F.col(left).alias("src"), F.col(right).alias("dst")
-    ).localCheckpoint(eager=True)
+    # persist + count, NOT eager localCheckpoint: the RDD conversion a
+    # checkpoint forces freezes the pre-AQE shuffle layout (64 uncoalesced
+    # partitions through the whole upstream pipeline) — measured ~2.5s of
+    # pure overhead over the identical jaccard plan at sf0.1. Lineage
+    # truncation matters only inside the iteration loop below, which
+    # checkpoints its own frames.
+    from airbnb_cdc_spark.session import persist_tracked
+
+    pairs = persist_tracked(
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    )
     n_pairs = pairs.count()
     if 2 * n_pairs <= small_graph_threshold:
         # Union-find is direction- and duplicate-insensitive, so the
