@@ -952,6 +952,65 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_agg(load_table(spark, sf_dir, "events"))
 
 
+# KMV (k-minimum-values) distinct-cardinality sketch, k=64: per group,
+# the k-th smallest 60-bit hash of the key estimates the distinct count
+# as (k-1)·2⁶⁰/h_k (Bar-Yossef et al. 2002). Unlike HLL, KMV is exactly
+# reproducible across engines: integer hashes, constant-folded exact
+# numerator (63·2⁶⁰ fits the 53-bit mantissa), ONE double division. The
+# sketch side is mergeable at scale (union the k-min sets map-side);
+# here the per-group k-th min runs as a rank window that Spark executes
+# with WindowGroupLimit partial pruning before the shuffle. n_exact
+# rides along to show the estimate against truth.
+_KMV_ORACLE = """
+WITH uh AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events
+),
+ranked AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM uh
+),
+ns AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM uh GROUP BY 1
+),
+kth AS (SELECT event_type, h AS hk FROM ranked WHERE rn = 64)
+SELECT ns.event_type AS event_type, ns.n_exact,
+       CASE WHEN kth.hk IS NULL THEN CAST(ns.n_exact AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976.0 / CAST(kth.hk AS DOUBLE)
+       END AS kmv_estimate
+FROM ns LEFT JOIN kth USING (event_type)
+"""
+
+
+@query("distinct_users_kmv", _KMV_ORACLE)
+def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    uh = events.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        uh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 64)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    ns = uh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return ns.join(kth, "event_type", "left").select(
+        "event_type",
+        "n_exact",
+        F.when(F.col("hk").isNull(), F.col("n_exact").cast("double"))
+        .otherwise(
+            F.lit(63.0) * F.lit(1152921504606846976.0) / F.col("hk").cast("double")
+        )
+        .alias("kmv_estimate"),
+    )
+
+
 # Cohort retention matrix: users grouped by first-activity month,
 # counted per activity month — the standard product-analytics
 # retention triangle. Two aggregations + one user-key join (the join

@@ -145,6 +145,7 @@ EVENT_DIFF_QUERIES = [
     "events_windowed_agg",
     "cohort_retention",
     "trailing_7d_users",
+    "distinct_users_kmv",
 ]
 
 
