@@ -393,8 +393,13 @@ def ivf_topk(
     cents = F.broadcast(cents_df)
 
     assigned = assign_to(cents, base, "neighbor_id", 1)
+    # NOT widen=False: unlike the brute-force/LSH query sides (broadcast
+    # immediately), this side crossJoins the centroid set and scores
+    # |queries|x|centroids| dot products BEFORE any broadcast — on a
+    # 1-partition query frame that work serializes onto one core
+    # (measured 2.4x on ann_topk_ivf_recall when r6 briefly narrowed it).
     probes = assign_to(
-        cents, _with_quant(queries, id_col, vec_col, widen=False), "query_id", nprobe
+        cents, _with_quant(queries, id_col, vec_col), "query_id", nprobe
     )
     scored = (
         probes.join(assigned, on="cid")
@@ -498,7 +503,9 @@ def query_ivf_index(
     import os
 
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
-    qs = _with_quant(queries, id_col, vec_col, widen=False)
+    # widen kept: the probe scoring below (crossJoin + window) runs on
+    # this frame's partitioning — see ivf_topk's probes note.
+    qs = _with_quant(queries, id_col, vec_col)
     scored = qs.crossJoin(cents).withColumn(
         "__cos",
         _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
