@@ -1,0 +1,98 @@
+"""Mergeable frequency sketches — count-min over an item column.
+
+A count-min sketch (Cormode & Muthukrishnan 2005) summarizes item
+frequencies in a fixed ``depth x width`` integer grid: cell
+``(j, h_j(item) % width)`` accumulates the item's count; a point query
+reads the MINIMUM of the item's ``depth`` cells (over-estimates only,
+error ~ N/width with probability 1 - 2^-depth). The reason it earns a
+place in a 100 TB engine:
+
+- **Fixed size.** The sketch is ``depth·width`` rows no matter how many
+  distinct items exist — heavy-hitter monitoring over an unbounded
+  vocabulary in kilobytes.
+- **Mergeable.** Two sketches over disjoint corpora merge by summing
+  cells (one groupBy(j, bucket)); shards/streams/micro-batches compose
+  without re-scanning anything.
+- **Engine-exact.** Hashes are md5-derived 60-bit integers (the repo's
+  standard trick), so every cell — and therefore every estimate — is
+  bit-identical in the DuckDB oracle. No randomness, no libm.
+
+Build shape: one vocabulary aggregation (the only corpus-sized
+shuffle), then a ``depth``-way fan-out of the VOCAB (not the corpus)
+into cells — the second shuffle is vocab-sized input, sketch-sized
+output with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col: Column) -> Column:
+    """60-bit integer from md5 — mirrors the oracle's
+    CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def cms_bucket(item: Column, j: int, width: int) -> Column:
+    """Row-j bucket for an item: h(j || ':' || item) % width."""
+    return _h60(F.concat(F.lit(str(j)), F.lit(":"), item)) % width
+
+
+def cms_from_counts(
+    counts: DataFrame,
+    item_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(j, bucket, c): count-min sketch built from a pre-aggregated
+    (item, count) frame. Fanning out the VOCABULARY instead of raw
+    instances keeps the fan-out input at distinct-item volume; the
+    groupBy output is at most ``depth·width`` rows (the sketch itself).
+    Sketches over different corpora/batches merge by unioning and
+    re-summing on (j, bucket)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                cms_bucket(F.col(item_col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        counts.select(F.explode(cells).alias("cell"), F.col(count_col).alias("__c"))
+        .groupBy("cell.j", "cell.bucket")
+        .agg(F.sum("__c").alias("c"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point queries: each probe item joined to its ``depth`` cells,
+    estimate = MIN over them. The sketch is sketch-sized (broadcast);
+    probes fan out ``depth``-way only."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                cms_bucket(F.col(item_col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    fanned = probes.select(
+        F.col(item_col), F.explode(cells).alias("cell")
+    ).select(item_col, F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+    return (
+        fanned.join(F.broadcast(sketch), on=["j", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -952,6 +952,65 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_agg(load_table(spark, sf_dir, "events"))
 
 
+# Count-min sketch over the corpus token frequencies (depth 4, width
+# 1024): the top-20 exact-count tokens probed against the sketch —
+# estimate >= exact always; equality whenever the token's 4 cells took
+# no collisions. Deterministic md5 bucket hashes make every cell (and
+# estimate) engine-exact. operators/sketch.py carries the mergeability
+# argument (cells sum across shards/batches).
+_CMS_ORACLE = """
+WITH toks AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+vocab AS (
+    SELECT u.w AS token, CAST(count(*) AS BIGINT) AS exact_count
+    FROM toks, unnest(t) AS u(w) GROUP BY 1
+),
+top AS (
+    SELECT token, exact_count FROM vocab
+    ORDER BY exact_count DESC, token LIMIT 20
+),
+sketch AS (
+    SELECT j.j AS j,
+           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket,
+           CAST(SUM(exact_count) AS BIGINT) AS c
+    FROM vocab, unnest(range(0, 4)) AS j(j)
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT t.token, t.exact_count, j.j AS j,
+           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM top t, unnest(range(0, 4)) AS j(j)
+)
+SELECT p.token AS token, CAST(max(p.exact_count) AS BIGINT) AS exact_count,
+       CAST(min(s.c) AS BIGINT) AS cms_estimate
+FROM probe p JOIN sketch s USING (j, bucket)
+GROUP BY 1
+"""
+
+
+@query("token_count_cms", _CMS_ORACLE)
+def q_token_count_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.sketch import cms_from_counts, cms_lookup
+    from airbnb_cdc_spark.functions.textfns import tokens
+    from airbnb_cdc_spark.session import ensure_parallelism, persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = persist_tracked(
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    sketch = cms_from_counts(vocab, "token", "exact_count")
+    top = vocab.orderBy(F.col("exact_count").desc(), F.col("token").asc()).limit(20)
+    est = cms_lookup(sketch, top.select("token"), "token")
+    return top.join(est, "token").select(
+        "token", "exact_count", F.col("cms_estimate").cast("long").alias("cms_estimate")
+    )
+
+
 # KMV (k-minimum-values) distinct-cardinality sketch, k=64: per group,
 # the k-th smallest 60-bit hash of the key estimates the distinct count
 # as (k-1)·2⁶⁰/h_k (Bar-Yossef et al. 2002). Unlike HLL, KMV is exactly

@@ -469,3 +469,45 @@ def test_persisted_ivf_index_matches_in_session(spark, tmp_path):
         f"expected <=4 probed of {n_parts} partitions, got {sorted(probed)}"
     )
     release_cached()
+
+
+def test_cms_merge_and_overestimate(spark):
+    """The count-min sketch's two load-bearing claims: (a) MERGEABLE —
+    sketches of two corpus halves, unioned and re-summed on (j, bucket),
+    equal the whole-corpus sketch cell-for-cell; (b) point estimates
+    never under-count."""
+    from airbnb_cdc_spark.operators.sketch import cms_from_counts, cms_lookup
+    from airbnb_cdc_spark.functions.textfns import tokens
+    from airbnb_cdc_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    whole = cms_from_counts(vocab, "token", "c", depth=4, width=64)
+
+    halves = [
+        docs.filter(F.col("doc_id") % 2 == r)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        for r in (0, 1)
+    ]
+    merged = (
+        cms_from_counts(halves[0], "token", "c", depth=4, width=64)
+        .unionByName(cms_from_counts(halves[1], "token", "c", depth=4, width=64))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    # width 64 forces collisions on this vocab: estimates must only ever
+    # exceed truth, and at least one must (collision really happened)
+    est = cms_lookup(whole, vocab.select("token"), "token", depth=4, width=64)
+    joined = vocab.join(est, "token").select("c", "cms_estimate").collect()
+    assert all(r.cms_estimate >= r.c for r in joined)
+    assert any(r.cms_estimate > r.c for r in joined)

@@ -78,6 +78,7 @@ DIFF_QUERIES = [
     "dedup_keep_canonical",
     "bigram_pmi",
     "mixture_by_token_budget",
+    "token_count_cms",
 ]
 
 
