@@ -69,6 +69,64 @@ def cms_from_counts(
     )
 
 
+def cms_delta_write(delta: DataFrame, sketch_dir: str, batch_id: int) -> None:
+    """Idempotent per-batch sketch write: the batch OWNS its
+    ``batch_id=<n>`` partition and overwrites it, so a foreachBatch
+    retry replaces its own cells instead of double-adding them — the
+    same trick the CDC quarantine sink uses. The additive merge happens
+    at READ time (``read_cms`` sums cells across partitions), which is
+    what makes the write path retry-safe without transactions."""
+    import posixpath
+
+    delta.write.mode("overwrite").parquet(
+        posixpath.join(sketch_dir, f"batch_id={batch_id}")
+    )
+
+
+def read_cms(spark, sketch_dir: str) -> DataFrame:
+    """(j, bucket, c): the merged sketch — cells summed across every
+    batch partition. The scan is at most ``n_batches·depth·width`` rows
+    of three integers; compact by rewriting the summed frame as a
+    single ``batch_id=-1`` partition if batch count ever matters."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    sketch_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming heavy-hitter monitoring: each micro-batch's item
+    frequencies fold into the persistent count-min sketch. Per batch:
+    one vocabulary aggregation (batch-sized), one sketch build
+    (vocab-sized fan-out, sketch-sized output), one partition write.
+    The merged sketch is always ``read_cms(spark, sketch_dir)`` —
+    exactly equal, cell-for-cell, to the batch sketch of the union of
+    all processed batches (the pytest proves it), because cell addition
+    is associative and the per-batch partitions are retry-idempotent.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        vocab = batch_df.groupBy(F.col(item_col).alias("__item")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        delta = cms_from_counts(vocab, "__item", "__c", depth, width)
+        cms_delta_write(delta, sketch_dir, epoch)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def cms_lookup(
     sketch: DataFrame,
     probes: DataFrame,
