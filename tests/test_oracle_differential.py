@@ -351,6 +351,154 @@ def test_embeddings_oracle_differential(spark, tmp_path_factory, qname, rows):
         release_cached()
 
 
+# -- TPC-H-family differential: the lineitem/orders analytic queries on
+# -- random star tables — date filters that sometimes keep nothing,
+# -- orders with no lineitems, HAVING thresholds straddled, exact-
+# -- decimal money on k/100 values.
+
+LI_DIFF_QUERIES = [
+    "pricing_summary",
+    "linestatus_priority_class",
+    "late_ship_priority_check",
+    "large_orders",
+    "promo_revenue_share",
+    "orders_profile",
+]
+
+_PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@st.composite
+def _tpch_tables(draw):
+    n_orders = draw(st.integers(min_value=1, max_value=15))
+    orders = []
+    for i in range(n_orders):
+        orders.append(
+            (
+                i,
+                draw(st.integers(min_value=0, max_value=3)),
+                draw(st.sampled_from(["F", "O", "P"])),
+                draw(st.integers(min_value=0, max_value=99999)) / 100.0,
+                f"1996-{draw(st.integers(min_value=1, max_value=12)):02d}-"
+                f"{draw(st.integers(min_value=1, max_value=28)):02d}",
+                draw(st.sampled_from(_PRIORITIES_TPCH)),
+            )
+        )
+    n_li = draw(st.integers(min_value=0, max_value=40))
+    lineitems = []
+    for i in range(n_li):
+        lineitems.append(
+            (
+                draw(st.integers(min_value=0, max_value=n_orders - 1)),
+                draw(st.integers(min_value=0, max_value=3)),
+                1,
+                i,
+                # quantities up to 120 so a 3-item order can straddle
+                # large_orders' HAVING qty > 300 threshold
+                draw(st.integers(min_value=1, max_value=480)) / 4.0,
+                draw(st.integers(min_value=0, max_value=99999)) / 100.0,
+                draw(st.integers(min_value=0, max_value=10)) / 100.0,
+                draw(st.integers(min_value=0, max_value=8)) / 100.0,
+                draw(st.sampled_from(["A", "N", "R"])),
+                draw(st.sampled_from(["O", "F"])),
+                f"199{draw(st.integers(min_value=5, max_value=8))}-"
+                f"{draw(st.integers(min_value=1, max_value=12)):02d}-"
+                f"{draw(st.integers(min_value=1, max_value=28)):02d}",
+            )
+        )
+    return orders, lineitems
+
+
+def _write_tpch(spark, pdir, orders, lineitems):
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    o_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    o_rows = [
+        (k, c, s, p, datetime.fromisoformat(d), pr)
+        for (k, c, s, p, d, pr) in orders
+    ]
+    spark.createDataFrame(o_rows, o_schema).coalesce(1).write.parquet(
+        str(pdir / "orders.parquet")
+    )
+    l_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    )
+    l_rows = [
+        (ok, pk, sk, ln, q, ep, dc, tx, rf, ls, datetime.fromisoformat(sd))
+        for (ok, pk, sk, ln, q, ep, dc, tx, rf, ls, sd) in lineitems
+    ]
+    spark.createDataFrame(l_rows, l_schema).coalesce(1).write.parquet(
+        str(pdir / "lineitem.parquet")
+    )
+    parts = [
+        (i, f"part {i}", "Brand#1", t, 1, 10.0)
+        for i, t in enumerate(["PROMO", "STANDARD", "PROMO", "ECONOMY"])
+    ]
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(pdir / "part.parquet"))
+    custs = [(i, f"Customer#{i}", 0, 0.0, "SEG") for i in range(4)]
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(pdir / "customer.parquet"))
+
+
+@pytest.mark.parametrize("qname", LI_DIFF_QUERIES)
+@settings(max_examples=6, deadline=None)
+@given(tables=_tpch_tables())
+def test_tpch_oracle_differential(spark, tmp_path_factory, qname, tables):
+    from airbnb_cdc_spark.session import release_cached
+
+    orders, lineitems = tables
+    tmp = tmp_path_factory.mktemp("tpchdiff")
+    pdir = tmp / "sf"
+    pdir.mkdir()
+    _write_tpch(spark, pdir, orders, lineitems)
+    try:
+        sdf = Q.QUERIES[qname](spark, str(pdir))
+        s_cols = sorted(sdf.columns)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "part", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
+            )
+        res = con.execute(Q.ORACLE_SQL[qname])
+        d_cols = sorted(c[0] for c in res.description)
+        assert s_cols == d_cols, f"{qname}: schema {s_cols} vs {d_cols}"
+        d_idx = [[c[0] for c in res.description].index(name) for name in d_cols]
+        d_rows = sorted(tuple(_norm(r[i]) for i in d_idx) for r in res.fetchall())
+        s_idx = [sdf.columns.index(name) for name in d_cols]
+        s_rows = sorted(tuple(_norm(r[i]) for i in s_idx) for r in sdf.collect())
+        assert s_rows == d_rows, f"{qname}: value mismatch"
+    finally:
+        release_cached()
+
+
 # -- flagship differential: all 17 reference measures on random
 # -- star-schema inputs — null amounts, empty status subsets, customers
 # -- without orders — the exact-decimal discipline has nowhere to hide.
