@@ -3268,10 +3268,11 @@ def q_mixture_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check, so r5 ∪ r6 again covers the whole registry; (c) 17 r5-green
 # backfills (three slots ceded to the r6-new dedup_keep_canonical /
 # bigram_pmi / mixture_by_token_budget so they get first driver
-# exposure; the two newest additions, cohort_retention and
-# trailing_7d_users, are r7 rotation leads — this round they are
-# verified by scripts/verify_local.py and the randomized events
-# differential), favoring the queries this round touches (top_spenders'
+# exposure; the four newest additions — cohort_retention,
+# trailing_7d_users, distinct_users_kmv, token_count_cms — are r7
+# rotation leads, this round verified by scripts/verify_local.py and
+# the randomized differentials), favoring the queries this round
+# touches (top_spenders'
 # ranking rewrite, ann_topk_lsh / dedup_components perf work,
 # pack_sequences' integer-division hardening), the equal-ts-tie-
 # sensitive events family now exercised by the forced-collision
