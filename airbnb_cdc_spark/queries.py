@@ -3088,10 +3088,11 @@ SELECT date_trunc('month', l_shipdate) AS month,
                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       CASE WHEN SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) = 0 THEN NULL
+            ELSE 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_pct
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) END AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
@@ -3121,7 +3122,13 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             promo.alias("promo_revenue"),
             total.alias("total_revenue"),
-            (F.lit(100.0) * promo / total).alias("promo_pct"),
+            # Guarded: a month whose revenue sums to zero has no defined
+            # promo share — NULL on both engines. Unguarded, Spark's
+            # ANSI mode throws DIVIDE_BY_ZERO (found by the randomized
+            # TPC-H differential; driver data has no zero-price months).
+            F.when(total != F.lit(0.0), F.lit(100.0) * promo / total).alias(
+                "promo_pct"
+            ),
         )
     )
 
