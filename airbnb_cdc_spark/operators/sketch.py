@@ -127,6 +127,90 @@ def streaming_cms(
     return writer.start()
 
 
+def kmv_minhashes(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group, h, rn): each group's k smallest distinct 60-bit key
+    hashes, rank attached. The KMV synopsis (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD'07 for the multi-set algebra): fixed k rows per
+    group regardless of cardinality, engine-exact, and composable —
+    distinct counts, unions, and intersection sizes all derive from
+    k-min sets. Spark executes the per-group k-th-min as a rank window
+    with WindowGroupLimit partial pruning before the shuffle."""
+    from pyspark.sql import Window
+
+    uh = df.select(
+        F.col(group_col).alias("group"),
+        _h60(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("group").orderBy("h")
+    return (
+        uh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_intersection_estimate(
+    sketches: DataFrame,
+    group_a,
+    group_b,
+    k: int = 64,
+) -> DataFrame:
+    """One-row estimate of |A ∩ B| from two groups' k-min sets (Beyer
+    et al. SIGMOD'07): pool both sketches, let h_k be the k-th smallest
+    distinct pooled hash; among pooled hashes <= h_k (the union's KMV
+    synopsis), the fraction ρ present in BOTH sketches estimates the
+    Jaccard similarity, and |A∩B| ≈ ρ · (k-1)·2⁶⁰/h_k (the union's KMV
+    cardinality estimate). Every quantity is an exact integer except
+    the final arithmetic, so the estimate is engine-reproducible.
+
+    Input is ``kmv_minhashes`` output; the whole computation touches
+    2k rows — driver-free, broadcast-sized, usable as a join-size
+    planning primitive at any corpus scale."""
+    from pyspark.sql import Window
+
+    pair = sketches.filter(F.col("group").isin([group_a, group_b]))
+    # pooled k-min of the union: <=2k input rows, one constant-key
+    # window (no data movement at this size), keep the k smallest; the
+    # k-th smallest is then simply max(h) of the kept rows
+    pooled = (
+        pair.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("sides"))
+        .withColumn(
+            "prn",
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("h")),
+        )
+        .filter(F.col("prn") <= k)
+    )
+    return pooled.agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("rho_k"),
+    ).select(
+        # m = 0 (both sides empty) must not reach the division — Spark's
+        # ANSI mode throws DIVIDE_BY_ZERO even for doubles
+        F.when(
+            F.col("m") > 0,
+            F.col("rho_k").cast("double")
+            / F.col("m").cast("double")
+            * F.when(
+                F.col("m") < k,
+                # union smaller than k: the pooled set IS the union —
+                # its size is exact, no extrapolation
+                F.col("m").cast("double"),
+            ).otherwise(
+                F.lit(float(k - 1)) * F.lit(1152921504606846976.0)
+                / F.col("hk").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("est_intersection")
+    )
+
+
 def cms_lookup(
     sketch: DataFrame,
     probes: DataFrame,

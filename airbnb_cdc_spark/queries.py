@@ -1070,6 +1070,72 @@ def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV set-intersection estimation (Beyer et al. SIGMOD'07): how many
+# users both viewed AND purchased, estimated from two 64-hash KMV
+# synopses — the join-size-planning primitive — with the exact
+# intersection alongside. Everything is exact-integer until the final
+# arithmetic, so the estimate value-hash-matches across engines.
+_KMV_OVERLAP_ORACLE = """
+WITH uh AS (
+    SELECT DISTINCT event_type AS grp,
+           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+ranked AS (
+    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM uh
+),
+sk AS (SELECT grp, h FROM ranked WHERE rn <= 64),
+pooled AS (
+    SELECT h, sides, ROW_NUMBER() OVER (ORDER BY h) AS prn
+    FROM (SELECT h, count(*) AS sides FROM sk GROUP BY h)
+),
+stats AS (
+    SELECT max(h) AS hk, count(*) AS m,
+           SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS rho_k
+    FROM pooled WHERE prn <= 64
+),
+est AS (
+    SELECT CASE WHEN m > 0 THEN
+               CAST(rho_k AS DOUBLE) / CAST(m AS DOUBLE)
+               * (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END)
+           ELSE 0.0 END AS est_intersection
+    FROM stats
+),
+ex AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM
+    (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+    JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+    USING (user_id)
+)
+SELECT est.est_intersection, ex.exact_intersection FROM est, ex
+"""
+
+
+@query("user_overlap_kmv", _KMV_OVERLAP_ORACLE)
+def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.sketch import (
+        kmv_intersection_estimate,
+        kmv_minhashes,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sketches = kmv_minhashes(events, "user_id", "event_type", k=64)
+    est = kmv_intersection_estimate(sketches, "view", "purchase", k=64)
+    viewers = (
+        events.filter(F.col("event_type") == "view").select("user_id").distinct()
+    )
+    buyers = (
+        events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    exact = viewers.join(buyers, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return est.crossJoin(exact)
+
+
 # Cohort retention matrix: users grouped by first-activity month,
 # counted per activity month — the standard product-analytics
 # retention triangle. Two aggregations + one user-key join (the join

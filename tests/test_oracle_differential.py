@@ -147,6 +147,7 @@ EVENT_DIFF_QUERIES = [
     "cohort_retention",
     "trailing_7d_users",
     "distinct_users_kmv",
+    "user_overlap_kmv",
 ]
 
 
