@@ -511,3 +511,22 @@ def test_cms_merge_and_overestimate(spark):
     joined = vocab.join(est, "token").select("c", "cms_estimate").collect()
     assert all(r.cms_estimate >= r.c for r in joined)
     assert any(r.cms_estimate > r.c for r in joined)
+
+
+def test_kmv_intersection_accuracy(spark):
+    """Controlled overlap: groups a = users [0, 1000), b = [500, 1500)
+    → exact intersection 500. The md5 hashes are fixed, so the KMV
+    estimate is one deterministic number; k=256 gives σ ≈ 1/sqrt(k-2)
+    ≈ 6.3% and the observed error must sit well inside a few σ."""
+    from airbnb_cdc_spark.operators.sketch import (
+        kmv_intersection_estimate,
+        kmv_minhashes,
+    )
+
+    rows = [(u, "a") for u in range(1000)] + [
+        (u, "b") for u in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, grp string")
+    sk = kmv_minhashes(df, "user_id", "grp", k=256)
+    est = kmv_intersection_estimate(sk, "a", "b", k=256).collect()[0].est_intersection
+    assert abs(est - 500) / 500 < 0.25, f"estimate {est} vs exact 500"
