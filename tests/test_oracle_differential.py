@@ -114,6 +114,17 @@ def _events_table(draw):
             minutes = draw(st.integers(min_value=0, max_value=5))
         else:
             minutes = draw(st.integers(min_value=0, max_value=600))
+        # ~1 in 8 values NULL: aggregates must skip them identically on
+        # both engines (driver data has no NULL values, so only the
+        # differential exercises this class)
+        value = draw(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=0, max_value=400).map(lambda k: k / 4.0),
+                st.integers(min_value=0, max_value=400).map(lambda k: k / 4.0),
+                st.integers(min_value=0, max_value=400).map(lambda k: k / 4.0),
+            )
+        )
         rows.append(
             (
                 i,
@@ -121,7 +132,7 @@ def _events_table(draw):
                 minutes,
                 draw(st.integers(min_value=0, max_value=3)),
                 draw(st.sampled_from(EVENT_TYPES)),
-                draw(st.integers(min_value=0, max_value=400)) / 4.0,
+                value,
                 None,
             )
         )
