@@ -79,6 +79,11 @@ DIFF_QUERIES = [
     "bigram_pmi",
     "mixture_by_token_budget",
     "token_count_cms",
+    # Arrow mapInPandas legs: deterministic fake payloads derive from
+    # text, so the whole batch pipeline is differential-checkable
+    "multimodal_features",
+    "mm_resize",
+    "mm_frame_sample",
 ]
 
 
