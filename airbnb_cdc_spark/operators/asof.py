@@ -39,6 +39,7 @@ def asof_join(
     right_ts: str,
     right_prefix: str = "r_",
     tie_breaks: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with the payload of
     the latest ``right`` row (same ``on`` key, ``right_ts <= left_ts``),
@@ -46,7 +47,15 @@ def asof_join(
 
     ``tie_breaks``: right-side columns ordering equal-timestamp right
     rows (ascending — the LAST one wins), keeping results deterministic.
+
+    ``direction="forward"`` mirrors the join: the EARLIEST right row
+    with ``right_ts >= left_ts`` (inclusive), and among equal-timestamp
+    right rows the SMALLEST tie_breaks tuple wins — the first row
+    at-or-after. Same plan shape (one Exchange, one ordered window);
+    only the traversal order flips.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     payload = [c for c in right.columns if c not in on]
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
@@ -85,9 +94,18 @@ def asof_join(
     )
     combined = l_tagged.unionByName(r_tagged)
 
-    order = [F.col("__ts").asc_nulls_first(), F.col("__side").asc()] + [
-        F.col(f"__tb_{c}").asc_nulls_first() for c in tie_breaks
-    ]
+    if direction == "backward":
+        order = [F.col("__ts").asc_nulls_first(), F.col("__side").asc()] + [
+            F.col(f"__tb_{c}").asc_nulls_first() for c in tie_breaks
+        ]
+    else:
+        # Forward: traverse timestamps descending so the fill carries
+        # the nearest at-or-after right row. NULL-ts left rows sort
+        # first (no right row precedes them → NULL fill), equal-ts
+        # right rows sort tb-DESC so last() picks the smallest tuple.
+        order = [F.col("__ts").desc_nulls_first(), F.col("__side").asc()] + [
+            F.col(f"__tb_{c}").desc_nulls_last() for c in tie_breaks
+        ]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -3329,6 +3329,193 @@ def q_mixture_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-series surface: forward as-of, grid resample + forward-fill, and
+# per-key OLS trend from exact sums (operators/timeseries.py,
+# operators/asof.py direction="forward").
+# --------------------------------------------------------------------------
+
+from airbnb_cdc_spark.operators import timeseries as _ts  # noqa: E402
+
+_ASOF_FWD_ORACLE = """
+WITH views AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+    SELECT user_id, ts, min(event_id) AS event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT v.user_id AS user_id, v.ts AS ts, v.event_id AS event_id,
+       p.ts AS purchase_ts, p.event_id AS purchase_event_id
+FROM views v
+ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
+"""
+
+
+@query("asof_next_purchase_after_view", _ASOF_FWD_ORACLE)
+def q_asof_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each view enriched with the same user's EARLIEST
+    purchase at-or-after it — the conversion-latency primitive. Same
+    single-Exchange union+window plan as the backward join, traversed
+    descending (operators/asof.py direction="forward")."""
+    from airbnb_cdc_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe equal-ts purchases to the min event_id so the as-of pick is
+    # deterministic on both engines
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        views, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_event_id").alias("purchase_event_id"),
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           last(value ORDER BY ts, event_id) AS r
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), spans AS (
+    SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+    FROM hourly GROUP BY 1
+), spine AS (
+    SELECT event_type,
+           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+    FROM spans
+)
+SELECT s.event_type, s.bucket,
+       LAST_VALUE(h.r IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading,
+       (h.r IS NULL) AS is_gap
+FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+"""
+
+
+@query("events_resample_ffill", _RESAMPLE_ORACLE)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid regularization of the event stream per type: latest
+    non-NULL reading per (type, hour), gaps forward-filled across the
+    observed span. The spine is generated distributed (sequence() per
+    key, exploded where the key lives); see operators/timeseries.py."""
+    return _ts.resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+_TREND_ORACLE = """
+WITH pts AS (
+    SELECT event_type,
+           epoch_us(ts) // 1000000 AS x,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), s AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(yi) AS syi,
+           SUM(CAST(x AS HUGEINT) * yi) AS sxy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+    FROM pts GROUP BY 1
+), d AS (
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(syi AS DOUBLE) AS syid,
+           CAST(CAST(n AS HUGEINT) * sxy
+                - CAST(sx AS HUGEINT) * syi AS DOUBLE) AS numd,
+           CAST(CAST(n AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS dend
+    FROM s
+)
+SELECT event_type, n,
+       (numd / NULLIF(dend, 0.0) / 1000000.0) * 86400.0 AS slope_per_day,
+       (syid / 1000000.0
+        - (numd / NULLIF(dend, 0.0) / 1000000.0) * sxd) / nd AS intercept
+FROM d
+"""
+
+
+@query("value_trend_by_type", _TREND_ORACLE)
+def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS value trend: one map-side-combining pass of exact
+    sufficient statistics (BIGINT/DECIMAL(38) sums), closed-form
+    slope/intercept doubles computed identically on both engines —
+    deterministic across partitionings (operators/timeseries.py)."""
+    return _ts.linear_trend(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Pareto / cumulative-share: distributed global prefix sum — NO
+# single-partition window (operators/prefix.py, two-phase Blelloch scan)
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders GROUP BY 1
+), scanned AS (
+    SELECT customer_id, spend,
+           SUM(spend) OVER (ORDER BY spend DESC, customer_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_spend,
+           SUM(spend) OVER () AS total
+    FROM spend
+)
+SELECT customer_id,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(running_spend AS DOUBLE) AS running_spend,
+       CAST(running_spend AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       (CAST(running_spend AS DOUBLE) / CAST(total AS DOUBLE)) <= 0.8
+           AS in_top80
+FROM scanned
+"""
+
+
+@query("revenue_pareto", _PARETO_ORACLE)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: per-customer spend, global running total in
+    spend-descending order, cumulative revenue share, and the top-80%
+    flag. The running total comes from the two-phase distributed scan
+    (quantile-bucketed, per-bucket windows, bounded offset collect) —
+    exact decimals make it bit-identical to the sequential window while
+    every phase parallelizes; the corpus total is a scalar aggregate
+    broadcast back, not an unpartitioned window."""
+    from airbnb_cdc_spark.operators.prefix import global_running_sum
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend"))
+    )
+    scanned = global_running_sum(
+        spend,
+        order_col="__spend",
+        value_col="__spend",
+        tie_breaks=["customer_id"],
+        descending=True,
+        out_col="__running",
+    )
+    total = spend.agg(F.sum("__spend").alias("__total"))
+    share = F.col("__running").cast("double") / F.col("__total").cast("double")
+    return scanned.join(F.broadcast(total)).select(
+        "customer_id",
+        F.col("__spend").cast("double").alias("spend"),
+        F.col("__running").cast("double").alias("running_spend"),
+        share.alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in

@@ -65,3 +65,36 @@ def test_asof_matches_bruteforce(spark, data):
             else None
         )
         assert out[i] == expected, (i, k, m, out[i], expected)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_tables())
+def test_asof_forward_matches_bruteforce(spark, data):
+    """direction="forward": earliest right row at-or-after, smallest
+    tie_breaks tuple winning among equal timestamps (no dedupe — the
+    tie-break itself is under test)."""
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, T0 + timedelta(minutes=m)) for i, (k, m) in enumerate(left_rows)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m), p) for (k, m, p) in right_rows],
+        "k long, ts timestamp, payload long",
+    )
+    out = {
+        r.lid: r.r_payload
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            tie_breaks=["payload"],
+            direction="forward",
+        ).collect()
+    }
+    for i, (k, m) in enumerate(left_rows):
+        cands = [(rm, p) for (rk, rm, p) in right_rows if rk == k and rm >= m]
+        expected = min(cands)[1] if cands else None
+        assert out[i] == expected, (i, k, m, out[i], expected)
