@@ -61,6 +61,32 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def xxh_shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Shingle identity hashes WITHOUT building shingle strings: given
+    ``th`` = per-token xxhash64 array (hash each token ONCE), a
+    shingle's identity is xxhash64 over its n token hashes — 8n bytes
+    re-hashed per shingle instead of re-concatenating and re-hashing
+    ~n× the document's characters (each token appears in n shingle
+    strings). Injective-in-practice exactly like hashing the shingle
+    string (tokens contain no whitespace, so (h(t_i),…,h(t_{i+n-1})) ↔
+    shingle up to 64-bit collisions — the same trade the string hash
+    already made), and the Jaccard family is hash-agnostic: its oracles
+    compute on the shingle strings, so any injective identity gives
+    identical results.
+
+    ``th`` MUST be a materialized column reference (not an inline
+    expression): ``element_at`` reads it n times per shingle, and an
+    inline ``transform`` would re-run per access. Callers project the
+    token-hash array in a separate select (CollapseProject keeps
+    non-cheap expressions single-evaluated)."""
+    return F.when(F.size(th) < n, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
+        )
+    )
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (the rolling-hash fingerprint's exact-match core)."""
