@@ -3473,9 +3473,10 @@ WITH spend AS (
 SELECT customer_id,
        CAST(spend AS DOUBLE) AS spend,
        CAST(running_spend AS DOUBLE) AS running_spend,
-       CAST(running_spend AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
-       (CAST(running_spend AS DOUBLE) / CAST(total AS DOUBLE)) <= 0.8
-           AS in_top80
+       CAST(running_spend AS DOUBLE) / NULLIF(CAST(total AS DOUBLE), 0.0)
+           AS cum_share,
+       (CAST(running_spend AS DOUBLE) / NULLIF(CAST(total AS DOUBLE), 0.0))
+           <= 0.8 AS in_top80
 FROM scanned
 """
 
@@ -3505,7 +3506,10 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="__running",
     )
     total = spend.agg(F.sum("__spend").alias("__total"))
-    share = F.col("__running").cast("double") / F.col("__total").cast("double")
+    # all-zero corpus → NULL share (both engines; ANSI division guard)
+    share = F.col("__running").cast("double") / F.nullif(
+        F.col("__total").cast("double"), F.lit(0.0)
+    )
     return scanned.join(F.broadcast(total)).select(
         "customer_id",
         F.col("__spend").cast("double").alias("spend"),
@@ -3525,19 +3529,22 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in r4 ∪ r5. Round-6 cut: (a) pit_state_at_purchase first — its
 # equal-timestamp tie-break fix (event_id, matching the oracle's window
 # order) needs a post-fix driver row; (b) all 32 queries r5 didn't
-# check, so r5 ∪ r6 again covers the whole registry; (c) 17 r5-green
-# backfills (three slots ceded to the r6-new dedup_keep_canonical /
-# bigram_pmi / mixture_by_token_budget so they get first driver
-# exposure; the four newest additions — cohort_retention,
-# trailing_7d_users, distinct_users_kmv, token_count_cms — are r7
-# rotation leads, this round verified by scripts/verify_local.py and
-# the randomized differentials), favoring the queries this round
-# touches (top_spenders'
-# ranking rewrite, ann_topk_lsh / dedup_components perf work,
-# pack_sequences' integer-division hardening), the equal-ts-tie-
-# sensitive events family now exercised by the forced-collision
-# differential, and one representative per reference-§2 operator
-# family (flagship agg, CDC merge, lookup, split, project, alter-row).
+# check, so r5 ∪ r6 again covers the whole registry; (c) 13 r5-green
+# backfills (seven slots ceded to r6-new queries so they get first
+# driver exposure: dedup_keep_canonical / bigram_pmi /
+# mixture_by_token_budget plus the time-series-surface
+# asof_next_purchase_after_view / events_resample_ffill /
+# value_trend_by_type / revenue_pareto; the sketch/retention additions
+# — cohort_retention, trailing_7d_users, distinct_users_kmv,
+# token_count_cms, user_overlap_kmv — are r7 rotation leads, this
+# round verified by scripts/verify_local.py and the randomized
+# differentials), favoring the queries this round touches
+# (ann_topk_lsh rework, the jaccard family's token-combine hashing —
+# dedup_ngram_jaccard / prefix / components in the cut), the
+# equal-ts-tie-sensitive events family now exercised by the
+# forced-collision differential, and one representative per
+# reference-§2 operator family (flagship agg, CDC merge, lookup,
+# split, project, alter-row).
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -3583,12 +3590,8 @@ _DRIVER_PRIORITY = [
     "top_spenders",
     "ann_topk_lsh",
     "dedup_components",
-    "pack_sequences",
     "dedup_ngram_jaccard_prefix",
-    "scd2_user_state_history",
     "asof_last_view_before_purchase",
-    "user_sessions",
-    "corpus_prep_summary",
     "booking_customer_aggregation",
     "cdc_merge_upsert",
     "lookup_latest_event",
@@ -3601,6 +3604,15 @@ _DRIVER_PRIORITY = [
     "dedup_keep_canonical",
     "bigram_pmi",
     "mixture_by_token_budget",
+    # r6-new time-series/scan surface — first driver exposure (ceded by
+    # scd2_user_state_history / user_sessions / corpus_prep_summary /
+    # pack_sequences: all r5-green, unchanged since, and the first two
+    # stay exercised every run by the forced-ties events differential,
+    # pack_sequences by its property tests)
+    "asof_next_purchase_after_view",
+    "events_resample_ffill",
+    "value_trend_by_type",
+    "revenue_pareto",
 ]
 
 

@@ -164,6 +164,12 @@ EVENT_DIFF_QUERIES = [
     "trailing_7d_users",
     "distinct_users_kmv",
     "user_overlap_kmv",
+    # r6 time-series additions: forward as-of (equal-ts ties hit the
+    # direction="forward" tie-break), grid resample (random gap shapes),
+    # OLS trend (NULL values + single-point zero-variance keys).
+    "asof_next_purchase_after_view",
+    "events_resample_ffill",
+    "value_trend_by_type",
 ]
 
 
@@ -380,6 +386,10 @@ LI_DIFF_QUERIES = [
     "large_orders",
     "promo_revenue_share",
     "orders_profile",
+    # r6: the distributed prefix-sum consumer — random draws collide on
+    # spend (totalprice is drawn at cent granularity), exercising the
+    # customer_id tie-break of the global order.
+    "revenue_pareto",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
