@@ -86,3 +86,58 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+def flag_outliers_exact(
+    df: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    sigmas: int = 3,
+) -> DataFrame:
+    """Per-key z-score outlier flag with ZERO floating point: a row is
+    an outlier iff |v − μ| > sigmas·σ over its key's population, decided
+    by the equivalent cross-multiplied integer test
+
+        (n·y − Σy)² > sigmas²·(n·Σy² − (Σy)²)
+
+    on micro-unit-scaled integer values y. Both sides are exact
+    DECIMAL(38,0) (HUGEINT in the DuckDB oracle), so the flag is
+    deterministic across engines and partitionings — no epsilon, no
+    rounding boundary.
+
+    Shape: one map-side-combining groupBy for the three sufficient
+    statistics per key, broadcast back over the scan (stats frame =
+    key cardinality). NULL values are excluded from both the stats and
+    the output.
+
+    Exactness bound, stated honestly: the left side is (n·dev)² in
+    micro-units — within DECIMAL(38,0) while n·|dev| < ~10¹⁹
+    micro-units (e.g. 10¹² rows per key at deviations up to 10 million
+    value units). Beyond that, drop to the double formulation and
+    accept an epsilon at the 3σ boundary; the plan shape is unchanged.
+    """
+    yi = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(value_col),
+        (F.col(value_col).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("decimal(24,0)")
+        .alias("__y"),
+    )
+    stats = yi.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__s1"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__s2"),
+    )
+    dev = F.col("__n").cast("decimal(19,0)") * F.col("__y") - F.col("__s1")
+    rhs = F.lit(sigmas * sigmas) * (
+        F.col("__n").cast("decimal(19,0)") * F.col("__s2")
+        - F.col("__s1") * F.col("__s1")
+    )
+    return yi.join(F.broadcast(stats), key_col).select(
+        id_col,
+        key_col,
+        value_col,
+        (dev * dev > rhs).alias("is_outlier"),
+    )

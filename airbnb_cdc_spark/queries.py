@@ -3452,6 +3452,31 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_OUTLIER_ORACLE = """
+WITH yi AS (
+    SELECT event_id, event_type, value,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+    FROM events WHERE value IS NOT NULL
+), s AS (
+    SELECT event_type, COUNT(*) AS n, SUM(y) AS s1, SUM(y * y) AS s2
+    FROM yi GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       (CAST(n AS HUGEINT) * e.y - s1) * (CAST(n AS HUGEINT) * e.y - s1)
+           > 9 * (CAST(n AS HUGEINT) * s2 - s1 * s1) AS is_outlier
+FROM yi e JOIN s USING (event_type)
+"""
+
+
+@query("value_outliers_by_type", _OUTLIER_ORACLE)
+def q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier flag decided entirely in exact integer
+    arithmetic (cross-multiplied z-score test — no epsilon at the
+    boundary); one stats groupBy broadcast back over the scan. See
+    operators/profile.py flag_outliers_exact."""
+    return _profile.flag_outliers_exact(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Pareto / cumulative-share: distributed global prefix sum — NO
 # single-partition window (operators/prefix.py, two-phase Blelloch scan)
@@ -3536,9 +3561,9 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asof_next_purchase_after_view / events_resample_ffill /
 # value_trend_by_type / revenue_pareto; the sketch/retention additions
 # — cohort_retention, trailing_7d_users, distinct_users_kmv,
-# token_count_cms, user_overlap_kmv — are r7 rotation leads, this
-# round verified by scripts/verify_local.py and the randomized
-# differentials), favoring the queries this round touches
+# token_count_cms, user_overlap_kmv, value_outliers_by_type — are r7
+# rotation leads, this round verified by scripts/verify_local.py and
+# the randomized differentials), favoring the queries this round touches
 # (ann_topk_lsh rework, the jaccard family's token-combine hashing —
 # dedup_ngram_jaccard / prefix / components in the cut), the
 # equal-ts-tie-sensitive events family now exercised by the

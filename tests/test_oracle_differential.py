@@ -170,6 +170,7 @@ EVENT_DIFF_QUERIES = [
     "asof_next_purchase_after_view",
     "events_resample_ffill",
     "value_trend_by_type",
+    "value_outliers_by_type",
 ]
 
 
