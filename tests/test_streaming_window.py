@@ -298,3 +298,62 @@ def test_streaming_agg_upsert_into_merge_table(spark, tmp_path):
     assert len(rows) == 1  # one day-window, one type — refreshed in place
     r = rows[(t0, "click")]
     assert r.n_events == 3 and r.total_value == 35.0
+
+
+def test_stream_static_enrichment_lookup(spark, tmp_path):
+    """Stream-static join: the SAME lookup_latest operator (O5) that
+    serves the batch dataflow enriches a streaming feed against a
+    static dimension — the production ingest-enrichment shape. The
+    static side window-dedups to latest-per-key once; the broadcast
+    hash join adds no stream-side shuffle and needs no watermark
+    (stream-static joins are stateless)."""
+    import json as _json
+
+    from airbnb_cdc_spark.operators.lookup import lookup_latest
+
+    feed = tmp_path / "enrich_feed"
+    feed.mkdir()
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=i)).isoformat(sep=" "),
+            "user_id": i % 3,
+            "event_type": "click",
+            "value": 1.0,
+        }
+        for i in range(6)
+    ]
+    with open(feed / "e.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    # dim with two versions for user 0: the v2 row must win; user 2
+    # absent: NULL enrichment must pass through (left join)
+    dim = spark.createDataFrame(
+        [
+            (0, "bronze", 1),
+            (0, "gold", 2),
+            (1, "silver", 1),
+        ],
+        "user_id long, tier string, version long",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(feed))
+    enriched = lookup_latest(
+        stream, dim, keys=["user_id"], version_col="version", hint_broadcast=True
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("enriched_feed").collect()
+    assert len(out) == 6
+    tiers = {r.event_id: r.t_tier for r in out}
+    assert tiers[0] == "gold" and tiers[3] == "gold"  # user 0, latest version
+    assert tiers[1] == "silver" and tiers[4] == "silver"  # user 1
+    assert tiers[2] is None and tiers[5] is None  # user 2: no dim row
