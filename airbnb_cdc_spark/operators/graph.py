@@ -22,8 +22,11 @@ metadata-sized, and N driver round-trips for 50 edges is the wrong
 trade; the distributed loop remains the path for genuinely large
 graphs.
 
-Not DuckDB-oracle-expressible (iterative fixpoint): covered by pytest
-against a brute-force union-find instead (SURVEY §5 model).
+The components fixpoint is oracle-checked via a ``WITH RECURSIVE``
+transitive closure (r5) AND pytest-verified against a brute-force
+union-find; ``pagerank_quantized`` below is oracle-checked via unrolled
+iteration CTEs — its integer quantization is what makes an iterative
+rank bit-comparable across engines at all.
 """
 
 from __future__ import annotations
@@ -176,3 +179,78 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, f"node {schema}, component {schema}"
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank with QUANTIZED exact arithmetic: ranks
+    live as integers in units of 1/``scale``, every division is floor
+    division, so each iteration is bit-deterministic — across
+    partitionings, re-runs, AND engines (the DuckDB oracle unrolls the
+    same iterations as CTEs and matches exactly; floating-point
+    PageRank cannot be oracle-checked because distributed float
+    summation is order-sensitive).
+
+        pr_0(v)   = scale // N
+        contrib(u)= pr_t(u) // outdeg(u)                (floor)
+        pr_t+1(v) = (1-d)*scale//den//N
+                    + (d_num * SUM contrib over in-edges) // d_den
+
+    Dangling mass (outdeg-0 nodes) is dropped, the common simplified
+    formulation — totals shrink slightly per iteration; ranks remain
+    exactly comparable. Quantization error vs real PageRank is
+    <= iterations/scale per node — 3e-12 at the defaults, far below any
+    ranking decision.
+
+    Scale shape: per iteration one equi-join of the rank frame with the
+    out-degree frame (node key) + one edge-fanout join (src key) + one
+    sum-aggregation (dst key) — the standard distributed PageRank
+    stages, all map-side-combining; N arrives as a one-row broadcast
+    (no driver action). For iteration counts beyond ~6, truncate
+    lineage with ``localCheckpoint`` as ``connected_components`` does;
+    at the default 3 the single Catalyst plan is fine (and keeps the
+    whole thing lazily composable).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    base_lit = (scale * (damping_den - damping_num)) // damping_den
+    pr = nodes.join(F.broadcast(n_row)).select(
+        "node", F.expr(f"{scale} div __n").alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            pr.join(deg, "node")
+            .select(F.col("node").alias("src"), F.expr("pr div outdeg").alias("c"))
+        )
+        inflow = (
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = (
+            nodes.join(inflow, "node", "left")
+            .join(F.broadcast(n_row))
+            .select(
+                "node",
+                F.expr(
+                    f"{base_lit} div __n"
+                    f" + ({damping_num} * coalesce(m, 0)) div {damping_den}"
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -3452,6 +3452,62 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_PAGERANK_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                    'c' || CAST(o_custkey AS VARCHAR) AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+p0 AS (SELECT node, 1000000000000 // n AS pr FROM nodes, nn),
+i1 AS (
+    SELECT nodes.node, 150000000000 // n + (85 * COALESCE(s.m, 0)) // 100 AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
+               FROM e JOIN p0 p ON e.src = p.node
+                      JOIN deg d ON e.src = d.node
+               GROUP BY 1) s ON nodes.node = s.node
+),
+i2 AS (
+    SELECT nodes.node, 150000000000 // n + (85 * COALESCE(s.m, 0)) // 100 AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
+               FROM e JOIN i1 p ON e.src = p.node
+                      JOIN deg d ON e.src = d.node
+               GROUP BY 1) s ON nodes.node = s.node
+),
+i3 AS (
+    SELECT nodes.node, 150000000000 // n + (85 * COALESCE(s.m, 0)) // 100 AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
+               FROM e JOIN i2 p ON e.src = p.node
+                      JOIN deg d ON e.src = d.node
+               GROUP BY 1) s ON nodes.node = s.node
+)
+SELECT node, CAST(pr AS BIGINT) AS pr FROM i3
+"""
+
+
+@query("supplier_customer_pagerank", _PAGERANK_ORACLE)
+def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration quantized PageRank over the supplier→customer
+    shipment graph — the iterative-algorithm representative whose
+    integer quantization makes it the rare PageRank a DuckDB oracle can
+    check bit-for-bit (operators/graph.py pagerank_quantized; the
+    oracle unrolls the same three iterations as CTEs)."""
+    from airbnb_cdc_spark.operators.graph import pagerank_quantized
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return pagerank_quantized(edges)
+
+
 _OUTLIER_ORACLE = """
 WITH yi AS (
     SELECT event_id, event_type, value,

@@ -391,6 +391,10 @@ LI_DIFF_QUERIES = [
     # spend (totalprice is drawn at cent granularity), exercising the
     # customer_id tie-break of the global order.
     "revenue_pareto",
+    # r6: quantized PageRank — random small graphs (multi-edges collapse
+    # via DISTINCT, dangling customers, empty-lineitem draws) must match
+    # the unrolled-CTE oracle bit-for-bit.
+    "supplier_customer_pagerank",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
