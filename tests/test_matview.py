@@ -1,0 +1,144 @@
+"""MaterializedJoinView: delta maintenance equals full recompute.
+
+The invariant under test is the bilinear identity — after ANY
+interleaving of fact upserts, fact deletes, and dim updates, the
+incrementally maintained view equals the from-scratch join of the
+final fact and dim states.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.matview import MaterializedJoinView
+
+
+def _collect(view):
+    return {
+        (r.booking_id, r.customer_id, r.amount, r.tier)
+        for r in view.read().collect()
+    }
+
+
+def test_matview_fact_and_dim_deltas(spark, tmp_path):
+    fact0 = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0), (3, 30, 300.0)],
+        "booking_id long, customer_id long, amount double",
+    )
+    dim0 = spark.createDataFrame(
+        [(10, "bronze"), (20, "silver")], "customer_id long, tier string"
+    )
+    view = MaterializedJoinView(
+        spark, str(tmp_path / "mv"), ["booking_id"], "customer_id"
+    )
+    view.full_build(fact0, dim0)
+    assert _collect(view) == {
+        (1, 10, 100.0, "bronze"),
+        (2, 20, 200.0, "silver"),
+        (3, 30, 300.0, None),  # no dim row: left join keeps the fact
+    }
+
+    # fact delta: new booking + changed amount on an existing one
+    delta_f = spark.createDataFrame(
+        [(2, 20, 250.0), (4, 10, 400.0)],
+        "booking_id long, customer_id long, amount double",
+    )
+    view.apply_fact_delta(delta_f, dim0)
+    assert _collect(view) == {
+        (1, 10, 100.0, "bronze"),
+        (2, 20, 250.0, "silver"),
+        (3, 30, 300.0, None),
+        (4, 10, 400.0, "bronze"),
+    }
+
+    # dim delta: tier change for customer 10 touches bookings 1 and 4
+    # only; the late-arriving dim row for 30 back-fills booking 3
+    fact_now = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 250.0), (3, 30, 300.0), (4, 10, 400.0)],
+        "booking_id long, customer_id long, amount double",
+    )
+    delta_d = spark.createDataFrame(
+        [(10, "gold"), (30, "bronze")], "customer_id long, tier string"
+    )
+    view.apply_dim_delta(fact_now, delta_d)
+    assert _collect(view) == {
+        (1, 10, 100.0, "gold"),
+        (2, 20, 250.0, "silver"),
+        (3, 30, 300.0, "bronze"),
+        (4, 10, 400.0, "gold"),
+    }
+
+    # fact delete
+    view.apply_fact_deletes(spark.createDataFrame([(3,)], "booking_id long"))
+    assert _collect(view) == {
+        (1, 10, 100.0, "gold"),
+        (2, 20, 250.0, "silver"),
+        (4, 10, 400.0, "gold"),
+    }
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            # fact upsert: (0, booking_id, customer_id, amount-int)
+            st.tuples(st.just(0), st.integers(0, 5), st.integers(0, 3), st.integers(0, 99)),
+            # dim upsert: (1, customer_id, tier-int)
+            st.tuples(st.just(1), st.integers(0, 3), st.integers(0, 9)),
+            # fact delete: (2, booking_id)
+            st.tuples(st.just(2), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_matview_random_interleaving(spark, tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("mvrand")
+    view = MaterializedJoinView(
+        spark, str(tmp / "mv"), ["booking_id"], "customer_id", num_buckets=4
+    )
+    fact_state: dict[int, tuple[int, float]] = {}
+    dim_state: dict[int, str] = {}
+    view.full_build(
+        spark.createDataFrame([], "booking_id long, customer_id long, amount double"),
+        spark.createDataFrame([], "customer_id long, tier string"),
+    )
+    for op in ops:
+        if op[0] == 0:
+            _, bid, cid, amt = op
+            fact_state[bid] = (cid, float(amt))
+            view.apply_fact_delta(
+                spark.createDataFrame(
+                    [(bid, cid, float(amt))],
+                    "booking_id long, customer_id long, amount double",
+                ),
+                spark.createDataFrame(
+                    list(dim_state.items()) or [],
+                    "customer_id long, tier string",
+                ),
+            )
+        elif op[0] == 1:
+            _, cid, tier = op
+            dim_state[cid] = f"t{tier}"
+            fact_now = spark.createDataFrame(
+                [(b, c, a) for b, (c, a) in fact_state.items()] or [],
+                "booking_id long, customer_id long, amount double",
+            )
+            view.apply_dim_delta(
+                fact_now,
+                spark.createDataFrame(
+                    [(cid, f"t{tier}")], "customer_id long, tier string"
+                ),
+            )
+        else:
+            _, bid = op
+            fact_state.pop(bid, None)
+            view.apply_fact_deletes(
+                spark.createDataFrame([(bid,)], "booking_id long")
+            )
+    expected = {
+        (b, c, a, dim_state.get(c)) for b, (c, a) in fact_state.items()
+    }
+    assert _collect(view) == expected
