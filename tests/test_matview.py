@@ -142,3 +142,76 @@ def test_matview_random_interleaving(spark, tmp_path_factory, ops):
         (b, c, a, dim_state.get(c)) for b, (c, a) in fact_state.items()
     }
     assert _collect(view) == expected
+
+
+def test_matview_streaming_fact_feed(spark, tmp_path):
+    """Production shape: a streaming CDC feed drives the view's
+    fact-delta path through foreachBatch — the same maintenance code,
+    exactly-once per micro-batch via the idempotent keyed merge, and
+    version-based last-writer-wins makes the result independent of the
+    file source's batch ordering (micro-batch order is an
+    implementation detail, not a guarantee)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    batches = [
+        [(1, 10, 100.0, 1), (2, 20, 200.0, 1)],
+        [(2, 20, 250.0, 2), (3, 10, 300.0, 2)],  # update + insert
+    ]
+    for i, rows in enumerate(batches):
+        with open(feed / f"b{i}.json", "w") as f:
+            for bid, cid, amt, ver in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "booking_id": bid,
+                            "customer_id": cid,
+                            "amount": amt,
+                            "updated_at": ver,
+                        }
+                    )
+                    + "\n"
+                )
+    dim = spark.createDataFrame(
+        [(10, "bronze"), (20, "silver")], "customer_id long, tier string"
+    )
+    view = MaterializedJoinView(
+        spark,
+        str(tmp_path / "mv_s"),
+        ["booking_id"],
+        "customer_id",
+        version_col="updated_at",
+        num_buckets=4,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("booking_id", T.LongType()),
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("updated_at", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: view.apply_fact_delta(batch_df, dim)
+        )
+        .option("checkpointLocation", str(tmp_path / "mv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.booking_id, r.customer_id, r.amount, r.tier)
+        for r in view.read().collect()
+    }
+    assert got == {
+        (1, 10, 100.0, "bronze"),
+        (2, 20, 250.0, "silver"),
+        (3, 10, 300.0, "bronze"),
+    }
