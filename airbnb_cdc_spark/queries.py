@@ -3452,6 +3452,51 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_DECILES_ORACLE = """
+WITH c AS (
+    SELECT o_totalprice AS v, COUNT(*) AS n FROM orders GROUP BY 1
+), s AS (
+    SELECT v, n,
+           SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS r
+    FROM c
+), t AS (SELECT SUM(n) AS total FROM c),
+qs AS (SELECT unnest(range(1, 10)) AS q)
+SELECT CAST(qs.q AS INT) AS decile, s.v AS value
+FROM qs CROSS JOIN t JOIN s
+  ON (s.r - s.n) < (qs.q * t.total + 9) // 10
+ AND (qs.q * t.total + 9) // 10 <= s.r
+"""
+
+
+@query("price_deciles_distributed", _DECILES_ORACLE)
+def q_price_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deciles WITHOUT a single-partition sort: per-value counts,
+    the distributed prefix scan ranks them, and each decile's boundary
+    rank k_q = ceil(q·N/10) (integer ceiling, percentile_disc
+    semantics) is matched to the one row whose cumulative span covers
+    it — a filter, not a sort-and-index. Second consumer of
+    operators/prefix.py; N arrives as a one-row broadcast."""
+    from airbnb_cdc_spark.operators.prefix import global_running_sum
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = global_running_sum(
+        c, order_col="v", value_col="n", tie_breaks=[], out_col="r"
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    k = F.expr("(q * total + 9) div 10")
+    return (
+        qs.crossJoin(F.broadcast(t))
+        .join(s, ((F.col("r") - F.col("n")) < k) & (k <= F.col("r")))
+        .select(F.col("q").cast("int").alias("decile"), F.col("v").alias("value"))
+    )
+
+
 _PAGERANK_ORACLE = """
 WITH e AS (
     SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
@@ -3617,7 +3662,8 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asof_next_purchase_after_view / events_resample_ffill /
 # value_trend_by_type / revenue_pareto; the sketch/retention additions
 # — cohort_retention, trailing_7d_users, distinct_users_kmv,
-# token_count_cms, user_overlap_kmv, value_outliers_by_type — are r7
+# token_count_cms, user_overlap_kmv, value_outliers_by_type,
+# supplier_customer_pagerank, price_deciles_distributed — are r7
 # rotation leads, this round verified by scripts/verify_local.py and
 # the randomized differentials), favoring the queries this round touches
 # (ann_topk_lsh rework, the jaccard family's token-combine hashing —

@@ -395,6 +395,9 @@ LI_DIFF_QUERIES = [
     # via DISTINCT, dangling customers, empty-lineitem draws) must match
     # the unrolled-CTE oracle bit-for-bit.
     "supplier_customer_pagerank",
+    # r6: distributed exact deciles — duplicate prices make the
+    # rank-span boundary matching non-trivial.
+    "price_deciles_distributed",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
