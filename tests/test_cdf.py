@@ -98,3 +98,57 @@ def test_cdf_value_to_null_transition_is_an_update(spark, tmp_path):
     cdf.merge(spark.createDataFrame([(1, "a")], "id long, v string"))
     cdf.merge(spark.createDataFrame([(1, None)], "id long, v string"))
     assert _changes(cdf, since=0) == {(1, "update", 1, None)}
+
+
+def test_cdf_feed_drives_matview(spark, tmp_path):
+    """Composition: the change feed of a fact table is exactly the
+    delta stream a downstream MaterializedJoinView needs — CDC output
+    becomes CDC input, no full-table diffing anywhere."""
+    from airbnb_cdc_spark.operators.matview import MaterializedJoinView
+
+    fact = _mk(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [(10, "bronze"), (20, "silver")], "cust long, tier string"
+    )
+    view = MaterializedJoinView(
+        spark, str(tmp_path / "mv"), ["id"], "cust", num_buckets=4
+    )
+    view.full_build(
+        spark.createDataFrame([], "id long, cust long, v string"),
+        dim,
+    )
+    seen = -1
+
+    def sync():
+        nonlocal seen
+        feed = fact.read_changes(since_seq=seen).collect()
+        if not feed:
+            return
+        for seq in sorted({r._cdf_seq for r in feed}):
+            batch = [r for r in feed if r._cdf_seq == seq]
+            ups = [
+                (r.id, r.cust, r.v)
+                for r in batch
+                if r._change_type in ("insert", "update")
+            ]
+            dels = [(r.id,) for r in batch if r._change_type == "delete"]
+            if ups:
+                view.apply_fact_delta(
+                    spark.createDataFrame(ups, "id long, cust long, v string"),
+                    dim,
+                )
+            if dels:
+                view.apply_fact_deletes(spark.createDataFrame(dels, "id long"))
+        seen = max(r._cdf_seq for r in feed)
+
+    fact.merge(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, cust long, v string"
+        )
+    )
+    sync()
+    fact.merge(spark.createDataFrame([(1, 20, "a2")], "id long, cust long, v string"))
+    fact.delete(spark.createDataFrame([(2,)], "id long"))
+    sync()
+    got = {(r.id, r.cust, r.v, r.tier) for r in view.read().collect()}
+    assert got == {(1, 20, "a2", "silver")}
