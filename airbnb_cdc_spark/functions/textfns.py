@@ -49,6 +49,30 @@ def stopword_hits(toks_col_name: str, lang: str) -> Column:
     ).cast("long")
 
 
+# Small polarity lexicon for lexicon-based sentiment scoring (SURVEY §7
+# M7). Deliberately tiny and generic — the operator is the point
+# (broadcast-free IN-list membership in codegen); swap in AFINN/VADER
+# word lists for production use.
+SENTIMENT_LEXICON: dict[str, tuple[str, ...]] = {
+    "pos": (
+        "good", "great", "excellent", "love", "best", "happy",
+        "wonderful", "amazing", "nice", "perfect",
+    ),
+    "neg": (
+        "bad", "terrible", "awful", "hate", "worst", "sad",
+        "horrible", "poor", "wrong", "broken",
+    ),
+}
+
+
+def sentiment_hits(toks_col_name: str, polarity: str) -> Column:
+    """Occurrences (not distinct) of the polarity lexicon's words."""
+    lst = _in_list(SENTIMENT_LEXICON[polarity])
+    return F.expr(
+        f"size(filter({toks_col_name}, t -> t IN ({lst})))"
+    ).cast("long")
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); empty if fewer than n tokens."""
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(

@@ -16,6 +16,7 @@ from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
     LANG_STOPWORDS,
     normalized_fingerprint,
+    sentiment_hits,
     shingles,
     stopword_hits,
     tokens,
@@ -387,4 +388,31 @@ def chunk_documents(
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
         .filter(F.col("chunk_tokens") > 0)
+    )
+
+
+def sentiment_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Lexicon-based sentiment (SURVEY §7 M7): positive/negative word
+    occurrences from the in-codegen IN-list lexicon, polarity =
+    (pos − neg) / tokens. Exact integer counts; the single double
+    division is engine-deterministic. Pure projection — no shuffle, no
+    UDF — so it runs at scan speed on any corpus size; NULL polarity
+    for empty documents."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks").cast("long")
+    pos = sentiment_hits("__toks", "pos")
+    neg = sentiment_hits("__toks", "neg")
+    return base.select(
+        id_col,
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        n.alias("n_tokens"),
+        (
+            (pos - neg).cast("double")
+            / F.nullif(n, F.lit(0)).cast("double")
+        ).alias("polarity"),
     )

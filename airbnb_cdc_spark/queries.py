@@ -3452,6 +3452,32 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+def _sentiment_oracle() -> str:
+    from airbnb_cdc_spark.functions.textfns import SENTIMENT_LEXICON
+
+    pos = ", ".join(f"'{w}'" for w in SENTIMENT_LEXICON["pos"])
+    neg = ", ".join(f"'{w}'" for w in SENTIMENT_LEXICON["neg"])
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(len(list_filter(t, x -> x IN ({pos}))) AS BIGINT) AS pos_hits,
+       CAST(len(list_filter(t, x -> x IN ({neg}))) AS BIGINT) AS neg_hits,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, x -> x IN ({pos})))
+            - len(list_filter(t, x -> x IN ({neg}))) AS DOUBLE)
+           / NULLIF(CAST(len(t) AS BIGINT), 0) AS polarity
+FROM toks
+"""
+
+
+@query("doc_sentiment", _sentiment_oracle())
+def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring (SURVEY §7 M7's named text-analysis
+    op): in-codegen IN-list membership counts, one deterministic
+    division — scan-speed projection (operators/text.py)."""
+    return _text.sentiment_score(load_table(spark, sf_dir, "documents"))
+
+
 _DECILES_ORACLE = """
 WITH c AS (
     SELECT o_totalprice AS v, COUNT(*) AS n FROM orders GROUP BY 1

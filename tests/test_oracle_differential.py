@@ -14,7 +14,10 @@ from hypothesis import strategies as st
 
 from airbnb_cdc_spark import queries as Q
 
-WORDS = ["agg", "row", "scan", "the", "a", "of", "and", "is", "to", "in", "zz"]
+# "good"/"bad" are in the sentiment lexicon, so doc_sentiment draws
+# nonzero polarity; the other queries are content-agnostic.
+WORDS = ["agg", "row", "scan", "the", "a", "of", "and", "is", "to", "in", "zz",
+         "good", "bad"]
 
 
 @st.composite
@@ -79,6 +82,7 @@ DIFF_QUERIES = [
     "bigram_pmi",
     "mixture_by_token_budget",
     "token_count_cms",
+    "doc_sentiment",
     # Arrow mapInPandas legs: deterministic fake payloads derive from
     # text, so the whole batch pipeline is differential-checkable
     "multimodal_features",
