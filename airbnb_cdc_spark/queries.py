@@ -3452,6 +3452,99 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_TS_SIM_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS s
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+), qd AS (
+    SELECT MIN(CAST(ts AS DATE)) AS qd FROM events WHERE value IS NOT NULL
+), q AS (
+    SELECT h, s AS qs FROM hourly, qd
+    WHERE event_type = 'purchase' AND d = qd.qd
+), sq2 AS (
+    SELECT COALESCE(SUM(qs * qs), 0) AS v FROM q
+), cand AS (
+    SELECT hourly.* FROM hourly, qd
+    WHERE NOT (event_type = 'purchase' AND d = qd.qd)
+), per AS (
+    SELECT c.event_type, c.d,
+           SUM(c.s * c.s) AS sc2,
+           SUM(c.s * COALESCE(q.qs, CAST(0 AS DECIMAL(19,6)))) AS dot
+    FROM cand c LEFT JOIN q ON c.h = q.h
+    GROUP BY 1, 2
+)
+SELECT event_type, d,
+       CAST(sc2 + sq2.v - 2 * dot AS DOUBLE) AS dist2
+FROM per, sq2
+ORDER BY dist2, event_type, d
+LIMIT 10
+"""
+
+
+@query("ts_profile_similarity", _TS_SIM_ORACLE)
+def q_ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the PAPERS.md EDBT'19 theme,
+    Spark-first): daily hourly-activity profiles per event type, ranked
+    by squared Euclidean distance to the query profile (first day of
+    'purchase') via the exact-decimal dot-product identity
+    d² = Σc² + Σq² − 2Σcq — every term an exact DECIMAL sum, so the
+    distances (and hence the top-k cut) are bit-deterministic across
+    engines and partitionings. The query profile and Σq² are one-row
+    broadcasts; candidates never shuffle beyond their own (type, day)
+    aggregation; the final top-k is a TakeOrdered over the aggregated
+    profile frame, not a raw-data sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(19,6)")
+            .alias("s")
+        )
+    )
+    qd = ev.agg(F.min(F.col("ts").cast("date")).alias("qd"))
+    q = (
+        hourly.join(F.broadcast(qd))
+        .filter((F.col("event_type") == "purchase") & (F.col("d") == F.col("qd")))
+        .select("h", F.col("s").alias("qs"))
+    )
+    sq2 = q.agg(
+        F.coalesce(F.sum(F.col("qs") * F.col("qs")), F.lit(0)).alias("v")
+    )
+    cand = hourly.join(F.broadcast(qd)).filter(
+        ~((F.col("event_type") == "purchase") & (F.col("d") == F.col("qd")))
+    )
+    per = (
+        cand.join(F.broadcast(q), "h", "left")
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("sc2"),
+            F.sum(
+                F.col("s")
+                * F.coalesce(F.col("qs"), F.lit(0).cast("decimal(19,6)"))
+            ).alias("dot"),
+        )
+    )
+    return (
+        per.join(F.broadcast(sq2))
+        .select(
+            "event_type",
+            "d",
+            (F.col("sc2") + F.col("v") - F.lit(2) * F.col("dot"))
+            .cast("double")
+            .alias("dist2"),
+        )
+        .orderBy("dist2", "event_type", "d")
+        .limit(10)
+    )
+
+
 def _sentiment_oracle() -> str:
     from airbnb_cdc_spark.functions.textfns import SENTIMENT_LEXICON
 

@@ -175,6 +175,9 @@ EVENT_DIFF_QUERIES = [
     "events_resample_ffill",
     "value_trend_by_type",
     "value_outliers_by_type",
+    # exact-decimal profile distances; draws without 'purchase' rows
+    # exercise the empty-query-profile leg (d² degenerates to Σc²).
+    "ts_profile_similarity",
 ]
 
 
