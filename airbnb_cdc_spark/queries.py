@@ -3782,9 +3782,10 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value_trend_by_type / revenue_pareto; the sketch/retention additions
 # — cohort_retention, trailing_7d_users, distinct_users_kmv,
 # token_count_cms, user_overlap_kmv, value_outliers_by_type,
-# supplier_customer_pagerank, price_deciles_distributed — are r7
-# rotation leads, this round verified by scripts/verify_local.py and
-# the randomized differentials), favoring the queries this round touches
+# supplier_customer_pagerank, price_deciles_distributed,
+# doc_sentiment, ts_profile_similarity — are r7 rotation leads, this
+# round verified by scripts/verify_local.py and the randomized
+# differentials), favoring the queries this round touches
 # (ann_topk_lsh rework, the jaccard family's token-combine hashing —
 # dedup_ngram_jaccard / prefix / components in the cut), the
 # equal-ts-tie-sensitive events family now exercised by the
