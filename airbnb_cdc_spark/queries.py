@@ -3452,6 +3452,51 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type AS cur,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+), pairs AS (
+    SELECT prev, cur, COUNT(*) AS n FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev, cur, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev) AS prob
+FROM pairs
+"""
+
+
+@query("event_transitions", _TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (sequence mining / next-
+    event modeling): per-user lag pairs under the (ts, event_id) total
+    order — deterministic at equal timestamps — then counts and
+    per-source-state probabilities. The probability window runs over
+    the aggregated matrix (|types|² rows), partitioned by source state;
+    the only raw-data shuffle is the per-user lag window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return pairs.withColumn(
+        "prob", F.col("n").cast("double") / F.sum("n").over(wp)
+    )
+
+
 _TS_SIM_ORACLE = """
 WITH hourly AS (
     SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,

@@ -178,6 +178,9 @@ EVENT_DIFF_QUERIES = [
     # exact-decimal profile distances; draws without 'purchase' rows
     # exercise the empty-query-profile leg (d² degenerates to Σc²).
     "ts_profile_similarity",
+    # lag pairs under the (ts, event_id) total order — forced equal-ts
+    # collisions exercise the ordering directly.
+    "event_transitions",
 ]
 
 
