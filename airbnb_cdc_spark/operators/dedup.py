@@ -161,7 +161,9 @@ def _filter_counts(
 ) -> DataFrame:
     """Rows of ``counts`` above (keep_hot) or at/below the cap. ``AUTO``
     derives the cap as ``max(2, n_docs // 100)`` via a broadcast one-row
-    count join — fully lazy, no driver-side action."""
+    count join — fully lazy, no driver-side action. Callers pass the
+    PERSISTED base as ``df`` where they have one: the count then reads
+    the cache instead of re-scanning the source."""
     if max_doc_freq == AUTO:
         total = df.select(F.count(F.lit(1)).alias("__n"))
         cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
@@ -198,7 +200,7 @@ def _hashed_shingle_sets(
         return base.select("id", F.col("hs0").alias("hs")).filter(
             F.size("hs") > 0
         )
-    hot = _filter_counts(_df_counts(base), df, max_doc_freq, keep_hot=True)
+    hot = _filter_counts(_df_counts(base), base, max_doc_freq, keep_hot=True)
     hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
     return (
         base.join(F.broadcast(hot_arr))
@@ -262,8 +264,8 @@ def ngram_jaccard_pairs(
     base = _hashed_base(df, id_col, text_col, n, token_combine=True)
     counts = _df_counts(base)
     if max_doc_freq is not None:
-        keep = _filter_counts(counts, df, max_doc_freq, keep_hot=False)
-        hot = _filter_counts(counts, df, max_doc_freq, keep_hot=True)
+        keep = _filter_counts(counts, base, max_doc_freq, keep_hot=False)
+        hot = _filter_counts(counts, base, max_doc_freq, keep_hot=True)
         hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
         sets = persist_tracked(
             base.join(F.broadcast(hot_arr))
@@ -386,7 +388,7 @@ def _index_pair_counts(
     it is an optimizer barrier (see ``_hashed_base``)."""
     base = _hashed_base(df, id_col, text_col, n, sort=False, token_combine=True)
     if max_doc_freq is not None:
-        hot = _filter_counts(_df_counts(base), df, max_doc_freq, keep_hot=True)
+        hot = _filter_counts(_df_counts(base), base, max_doc_freq, keep_hot=True)
         hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
         capped = base.join(F.broadcast(hot_arr)).select(
             "id",
