@@ -3452,6 +3452,60 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_EXPECTATIONS_ORACLE = """
+SELECT 'not_null(o_custkey)' AS "constraint",
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
+       COUNT(*) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice, 0.0, 1000000.0)',
+       CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                             AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(c), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'foreign_key(o_custkey)',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       COUNT(*)
+FROM orders
+"""
+
+
+@query("orders_expectations", _EXPECTATIONS_ORACLE)
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the fact feed: NULL-key,
+    value-range, key-uniqueness, and referential-integrity constraints
+    evaluated into one violation report — row-level checks share a
+    single aggregation pass; the FK check is one broadcast anti-join
+    (operators/expectations.py)."""
+    from airbnb_cdc_spark.operators.expectations import (
+        ForeignKey,
+        InRange,
+        NotNull,
+        Unique,
+        validate_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return validate_expectations(
+        orders,
+        [
+            NotNull("o_custkey"),
+            InRange("o_totalprice", 0.0, 1000000.0),
+            Unique(("o_orderkey",)),
+            ForeignKey(("o_custkey",), customer, ("c_custkey",)),
+        ],
+    )
+
+
 _TRANSITIONS_ORACLE = """
 WITH seq AS (
     SELECT user_id, event_type AS cur,

@@ -408,6 +408,10 @@ LI_DIFF_QUERIES = [
     # r6: distributed exact deciles — duplicate prices make the
     # rank-span boundary matching non-trivial.
     "price_deciles_distributed",
+    # the generator draws clean frames (distinct keys, in-range values,
+    # resolving custkeys), so this is the agreement-on-zero leg; actual
+    # violation counting is covered by test_expectations.py.
+    "orders_expectations",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
