@@ -170,3 +170,28 @@ def pack_sequences(
         n_tok.alias("n_tokens"),
         offset.alias("token_offset"),
     ).withColumn("seq_id", F.expr(f"token_offset div {int(budget)}"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_permille: Column,
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministic: keep a row
+    iff its key's md5 bucket in [0, 1000) falls under the row's weight
+    (integer permille — exact, no float thresholds). Quality-weighted
+    downsampling is the standard shape (weight high-quality docs up
+    without dropping the tail to zero); the weight being a COLUMN means
+    any exact-integer quality signal works. Pure filter — no shuffle,
+    stable across runs, engines, and partitionings.
+
+    DuckDB mirror of the bucket:
+    ``CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS
+    BIGINT) % 1000``.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return df.filter(bucket < weight_permille)

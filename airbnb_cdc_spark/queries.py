@@ -3452,6 +3452,35 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(LEAST(1000, len(t) * 10) AS BIGINT) AS weight
+FROM toks
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 < LEAST(1000, len(t) * 10)
+"""
+
+
+@query("weighted_sample_by_length", _WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep probability =
+    min(1, tokens/100), from exact integer permille weights and md5 key
+    buckets — quality-weighted downsampling with zero randomness
+    (operators/sampling.py weighted_sample)."""
+    from airbnb_cdc_spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    weighted = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.least(F.lit(1000), n * 10).alias("weight"),
+    )
+    return _sampling.weighted_sample(weighted, "doc_id", F.col("weight"))
+
+
 _EXPECTATIONS_ORACLE = """
 SELECT 'not_null(o_custkey)' AS "constraint",
        CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,

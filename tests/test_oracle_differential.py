@@ -83,6 +83,7 @@ DIFF_QUERIES = [
     "mixture_by_token_budget",
     "token_count_cms",
     "doc_sentiment",
+    "weighted_sample_by_length",
     # Arrow mapInPandas legs: deterministic fake payloads derive from
     # text, so the whole batch pipeline is differential-checkable
     "multimodal_features",
