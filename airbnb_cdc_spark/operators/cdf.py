@@ -108,6 +108,15 @@ class ChangeCapturingMergeTable:
         if before is None:
             self._emit(after.withColumn(TYPE_COL, F.lit("insert")))
             return
+        # Schema evolution: a widening merge makes `after` carry columns
+        # `before` never had — align the pre-image with NULLs so the
+        # struct compare is well-typed (a value appearing in a new
+        # column then correctly reads as an update).
+        for c in after.columns:
+            if c not in before.columns:
+                before = before.withColumn(
+                    c, F.lit(None).cast(after.schema[c].dataType)
+                )
         cols = after.columns
         b = before.select(
             *keys, F.struct(*[c for c in cols if c not in keys]).alias("__b")
@@ -154,6 +163,10 @@ class ChangeCapturingMergeTable:
             ).limit(0)
         return (
             self.spark.read.option("basePath", self.changes_path)
+            # mergeSchema: feed partitions written before a widening
+            # merge lack the evolved columns; reconcile like the table
+            # itself does (pre-evolution change rows read NULL there).
+            .option("mergeSchema", "true")
             .parquet(self.changes_path)
             .filter(F.col(SEQ_COL) > since_seq)
         )

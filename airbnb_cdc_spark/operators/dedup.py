@@ -261,7 +261,10 @@ def ngram_jaccard_pairs(
         )
     if strategy != "prefix":
         raise ValueError(f"unknown strategy {strategy!r}; use 'count' or 'prefix'")
-    base = _hashed_base(df, id_col, text_col, n, token_combine=True)
+    # sort=False: the prefix path's verify is array_intersect over the
+    # hash sets — order-insensitive — and the window rank orders by
+    # (df, h), not array position; the per-doc sort_array is dead cost.
+    base = _hashed_base(df, id_col, text_col, n, sort=False, token_combine=True)
     counts = _df_counts(base)
     if max_doc_freq is not None:
         keep = _filter_counts(counts, base, max_doc_freq, keep_hot=False)

@@ -201,3 +201,25 @@ def test_cdf_capture_from_streaming_feed(spark, tmp_path):
     assert any(t == ("update", 2, "b2") or t == ("insert", 2, "b2") for t in ops)
     final = {(r.id, r.v) for r in cdf.read().collect()}
     assert final == {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_cdf_schema_evolution_merge(spark, tmp_path):
+    """A widening merge still diffs cleanly: the pre-image is aligned
+    with NULL for the new column, so rows gaining a value there emit as
+    updates."""
+    cdf = _mk(spark, tmp_path)
+    cdf.merge(spark.createDataFrame([(1, "a")], "id long, v string"))
+    cdf.table.merge(
+        spark.createDataFrame([(9, "x", 1)], "id long, v string, extra long"),
+        allow_schema_evolution=True,
+    )
+    # now capture a change that sets `extra` on row 1
+    cdf.merge(
+        spark.createDataFrame([(1, "a", 7)], "id long, v string, extra long"),
+        allow_schema_evolution=True,
+    )
+    rows = {
+        (r._change_type, r.id, r.extra)
+        for r in cdf.read_changes(since_seq=0).collect()
+    }
+    assert ("update", 1, 7) in rows
