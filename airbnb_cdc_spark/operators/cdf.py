@@ -19,12 +19,16 @@ Both diff reads are bucket-pruned to the operation's touched buckets
 (the same pruning the merge itself uses), so CDF capture costs two
 extra bucket-wave scans — proportional to the wave, not the table.
 
-The feed lives at ``<table>/_changes/_cdf_seq=K/`` — the underscore
-prefix keeps Spark's parquet reader from sweeping it into table scans;
+The feed lives at ``<table>__changes/_cdf_seq=K/`` — a SIBLING of the
+table dir, not inside it: ``ParquetMergeTable`` recovers a
+fully-deleted table by routing the next merge through ``overwrite``,
+which recursively replaces the table path — a feed stored inside the
+table would be wiped (and its sequence reset) by exactly that path.
 ``_cdf_seq`` is a per-operation commit sequence (monotone, driver-side
-listing of ≤ #commits dirs). Rows carry the full image plus
-``_change_type``; replaying the feed in sequence order onto an empty
-table reconstructs the table exactly (tested).
+listing of ≤ #commits dirs; single-writer, like the table itself).
+Rows carry the full image plus ``_change_type``; replaying the feed in
+sequence order onto an empty table reconstructs the table exactly
+(tested, including across delete-all + reload).
 """
 
 from __future__ import annotations
@@ -44,19 +48,22 @@ class ChangeCapturingMergeTable:
     def __init__(self, table: ParquetMergeTable) -> None:
         self.table = table
         self.spark = table.spark
-        self.changes_path = f"{table.path}/_changes"
+        self.changes_path = f"{table.path}__changes"
 
     # -- feed bookkeeping --------------------------------------------------
 
-    def _next_seq(self) -> int:
+    def _seq_dirs(self) -> list[int]:
         fs, jpath = _fs(self.spark, self.changes_path)
         if not fs.exists(jpath):
-            return 0
-        seqs = [
+            return []
+        return [
             int(f.getPath().getName().split("=", 1)[1])
             for f in fs.listStatus(jpath)
             if f.getPath().getName().startswith(f"{SEQ_COL}=")
         ]
+
+    def _next_seq(self) -> int:
+        seqs = self._seq_dirs()
         return max(seqs) + 1 if seqs else 0
 
     def _affected(self, keys_df: DataFrame) -> DataFrame:
@@ -152,8 +159,9 @@ class ChangeCapturingMergeTable:
         incremental consumer contract (remember the max seq you saw,
         pass it back next poll; seq partition pruning makes the read
         proportional to the unseen tail)."""
-        fs, jpath = _fs(self.spark, self.changes_path)
-        if not fs.exists(jpath):
+        # A zero-row _emit (idempotent retry, delete of absent keys)
+        # leaves the feed dir with no seq partitions — same as no feed.
+        if not self._seq_dirs():
             schema = self.table._load_schema()
             empty = self.spark.createDataFrame([], schema) if schema else None
             if empty is None:

@@ -141,7 +141,9 @@ def validate_expectations(
         miss = (
             df.join(F.broadcast(dim_keys), list(fk.cols), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_violations"))
-            .join(F.broadcast(df.agg(F.count(F.lit(1)).alias("n_checked"))))
+            # n_checked rides the shared row-level aggregate — FKs add
+            # only their anti-join, never another full count scan
+            .join(F.broadcast(base.select(F.col("__n").alias("n_checked"))))
             .select(
                 F.lit(fk.name).alias("constraint"), "n_violations", "n_checked"
             )

@@ -38,12 +38,16 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+from airbnb_cdc_spark.operators.merge import create_merge_table
 
 
 class MaterializedJoinView:
     """FACT ⋈ DIM (left join on ``join_key``), stored keyed by
-    ``fact_keys`` and maintained by delta."""
+    ``fact_keys`` and maintained by delta.
+
+    The view table comes from ``create_merge_table`` — Delta (atomic
+    commits) where the jar exists, the bucketed parquet shim otherwise;
+    ``backend`` forces a choice."""
 
     def __init__(
         self,
@@ -53,11 +57,17 @@ class MaterializedJoinView:
         join_key: str,
         version_col: str | None = None,
         num_buckets: int = 16,
+        backend: str = "auto",
     ) -> None:
         self.spark = spark
         self.join_key = join_key
-        self.table = ParquetMergeTable(
-            spark, path, fact_keys, version_col=version_col, num_buckets=num_buckets
+        self.table = create_merge_table(
+            spark,
+            path,
+            fact_keys,
+            version_col=version_col,
+            num_buckets=num_buckets,
+            backend=backend,
         )
 
     def _enrich(self, fact: DataFrame, dim: DataFrame) -> DataFrame:

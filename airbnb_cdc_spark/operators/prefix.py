@@ -91,7 +91,13 @@ def global_running_sum(
     for p, off in offsets.items():
         if off is not None:
             offset_expr = F.when(F.col("__pid") == p, F.lit(off)).otherwise(offset_expr)
-    return bucketed.withColumn(
-        out_col,
-        (F.sum(F.col(value_col)).over(w) + F.coalesce(offset_expr, F.lit(0))).cast(sum_type),
-    ).drop("__pid")
+    local = F.sum(F.col(value_col)).over(w)
+    # SQL window-sum NULL semantics, matched exactly: a row whose frame
+    # holds only NULLs gets NULL from the sequential global scan ONLY
+    # when no prior bucket contributed either — with a prior offset the
+    # carried total must flow through (a bucket-local all-NULL prefix
+    # must not blank it).
+    running = F.when(
+        local.isNull() & offset_expr.isNull(), F.lit(None).cast(sum_type)
+    ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(offset_expr, F.lit(0)))
+    return bucketed.withColumn(out_col, running.cast(sum_type)).drop("__pid")

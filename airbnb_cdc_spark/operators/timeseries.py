@@ -48,10 +48,22 @@ def resample_ffill(
     Returns (key, bucket, reading, is_gap). The leading bucket of each
     key always has a reading (the span starts at the first observation).
     """
-    bucket = F.date_trunc(
-        {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}[step],
-        F.col(ts_col),
-    ).cast("timestamp_ntz")
+    # Epoch-floor bucketing: floor(epoch / step_s) * step_s — works for
+    # any "N unit" step ("15 minutes", "2 hours"), and for unit steps
+    # equals date_trunc under the pinned-UTC session (which is what the
+    # driver oracle uses for the hourly grid).
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    try:
+        count_str, unit = step.split()
+        step_s = int(count_str) * units[unit.rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"step must be 'N second|minute|hour|day|week[s]', got {step!r}"
+        ) from None
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = F.timestamp_seconds(epoch - epoch % F.lit(step_s)).cast(
+        "timestamp_ntz"
+    )
     # Latest non-NULL reading per bucket: max_by over the unique
     # (ts, *tie_breaks) tuple — exact, no ordering sensitivity.
     ordk = F.struct(F.col(ts_col), *[F.col(c) for c in tie_breaks])

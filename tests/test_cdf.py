@@ -223,3 +223,30 @@ def test_cdf_schema_evolution_merge(spark, tmp_path):
         for r in cdf.read_changes(since_seq=0).collect()
     }
     assert ("update", 1, 7) in rows
+
+
+def test_cdf_feed_survives_delete_all_then_reload(spark, tmp_path):
+    """Delete-all routes the next merge through the table's overwrite
+    recovery path; the feed lives in a sibling dir, so history and the
+    sequence survive."""
+    cdf = _mk(spark, tmp_path)
+    cdf.merge(spark.createDataFrame([(1, "a")], "id long, v string"))
+    cdf.delete(spark.createDataFrame([(1,)], "id long"))
+    cdf.merge(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert _changes(cdf) == {
+        (0, "insert", 1, "a"),
+        (1, "delete", 1, "a"),
+        (2, "insert", 2, "b"),
+    }
+
+
+def test_cdf_noop_first_capture_keeps_feed_readable(spark, tmp_path):
+    """A zero-row first capture (idempotent retry) must not brick
+    read_changes — and later real changes start at seq 0."""
+    plain = ParquetMergeTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    plain.merge(spark.createDataFrame([(1, "a")], "id long, v string"))
+    cdf = ChangeCapturingMergeTable(plain)
+    cdf.merge(spark.createDataFrame([(1, "a")], "id long, v string"))  # no-op
+    assert cdf.read_changes().collect() == []
+    cdf.merge(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert _changes(cdf) == {(0, "insert", 2, "b")}

@@ -25,7 +25,15 @@ T0 = datetime(2025, 3, 1)
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
-        st.tuples(st.integers(0, 9), st.decimals("-99.99", "99.99", places=2)),
+        st.tuples(
+            st.integers(0, 9),
+            # NULL values included: the two-phase scan must reproduce
+            # SQL window-sum NULL semantics (NULL only while no
+            # non-NULL value has appeared in the GLOBAL order)
+            st.one_of(
+                st.none(), st.decimals("-99.99", "99.99", places=2)
+            ),
+        ),
         min_size=1,
         max_size=40,
     ),
@@ -33,7 +41,10 @@ T0 = datetime(2025, 3, 1)
 )
 def test_running_sum_matches_sequential(spark, rows, descending):
     df = spark.createDataFrame(
-        [(i, int(k), Decimal(v)) for i, (k, v) in enumerate(rows)],
+        [
+            (i, int(k), None if v is None else Decimal(v))
+            for i, (k, v) in enumerate(rows)
+        ],
         "rid long, k long, v decimal(8,2)",
     )
     got = {
@@ -96,3 +107,28 @@ def test_resample_ffill_fills_interior_gaps(spark):
         ("a", 3): (40.0, False),
         ("b", 0): (2.0, False),
     }
+
+
+def test_resample_ffill_15_minute_grid(spark):
+    rows = [
+        (1, T0, "a", 10.0),
+        (2, T0 + timedelta(minutes=40), "a", 20.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    out = {
+        r.bucket.minute: (r.reading, r.is_gap)
+        for r in resample_ffill(events, step="15 minutes").collect()
+    }
+    assert out == {0: (10.0, False), 15: (10.0, True), 30: (20.0, False)}
+
+
+def test_resample_ffill_rejects_bad_step(spark):
+    import pytest as _pytest
+
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    with _pytest.raises(ValueError, match="step must be"):
+        resample_ffill(events, step="fortnight")
