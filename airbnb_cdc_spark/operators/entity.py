@@ -39,8 +39,13 @@ def _deletion_keys(col):
             col.substr(i + F.lit(1), F.length(col)),
         ),
     )
-    return F.when(F.length(col) == 0, F.array(col)).otherwise(
-        F.concat(F.array(col), variants)
+    # array_distinct: runs of repeated characters emit the same variant
+    # once per run position ('aaaa' → 'aaa' ×4); without dedup the
+    # self-join multiplies those quadratically before the min-agg.
+    return F.array_distinct(
+        F.when(F.length(col) == 0, F.array(col)).otherwise(
+            F.concat(F.array(col), variants)
+        )
     )
 
 
@@ -52,6 +57,10 @@ def canonicalize_keys(
     """``df`` + ``out_col``: the minimum key string among all keys
     within Levenshtein distance 1 of the row's key (single-hop
     neighborhood, deterministic)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists on the input frame"
+        )
     distinct = (
         df.select(F.col(key_col).alias("__k"))
         .filter(F.col("__k").isNotNull())

@@ -64,8 +64,13 @@ def connected_components(
     # checkpoints its own frames.
     from airbnb_cdc_spark.session import persist_tracked
 
+    # NULL endpoints: a null id never equi-joins in the distributed
+    # loop (silently inert) but would crash the driver union-find's
+    # rank comparison — drop them up front so both paths agree.
     pairs = persist_tracked(
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst")).filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        )
     )
     n_pairs = pairs.count()
     if 2 * n_pairs <= small_graph_threshold:

@@ -24,14 +24,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket100(key: Column) -> Column:
-    """Deterministic [0, 100) bucket from md5 of the stringified key.
+def _bucket(key: Column, mod: int) -> Column:
+    """Deterministic [0, mod) bucket from md5 of the stringified key.
     DuckDB mirror: CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1,
-    15)) AS BIGINT) % 100."""
+    15)) AS BIGINT) % mod. NULL keys hash to NULL — every consumer
+    states its own NULL-key policy."""
     return (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-        % 100
+        % mod
     )
+
+
+def _bucket100(key: Column) -> Column:
+    return _bucket(key, 100)
 
 
 def stratified_sample(
@@ -48,7 +53,9 @@ def stratified_sample(
 
     Deterministic: the same key always lands in the same bucket, so the
     sample is stable across runs, engines, and partitionings. Pure
-    filter — no shuffle, no driver-side state."""
+    filter — no shuffle, no driver-side state. NULL keys hash to NULL
+    and are DROPPED regardless of rate (no stable identity → no stable
+    sample membership)."""
     rate = F.lit(default_pct)
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
@@ -67,7 +74,9 @@ def split_assign(
     [0, train_pct), 'valid' for [train_pct, train_pct+valid_pct),
     'test' for the rest. Hash-of-key assignment keeps a document in the
     same split forever (corpus grows, splits stay disjoint) — the
-    property random assignment loses."""
+    property random assignment loses. NULL keys land in 'test' (both
+    when() conditions are NULL-false): never in training, and the
+    policy is explicit rather than a silent drop."""
     b = _bucket100(F.col(key_col))
     return df.withColumn(
         "split",
@@ -92,10 +101,14 @@ def mixture_by_token_budget(
 
     Documents are walked per source in md5-of-key order (reproducible,
     engine-mirrorable, uncorrelated with any corpus ordering) and a doc
-    is kept iff its starting offset lies inside the budget — so the
-    selected set is a stable hash-prefix: growing the corpus only
-    appends candidates, it does not reshuffle what was already chosen
-    for unchanged keys ahead of them.
+    is kept iff its starting offset lies inside the budget. Stability,
+    stated precisely: re-running on the SAME corpus always selects the
+    same set (pure function of keys and budgets). Growing the corpus is
+    NOT append-only for the selection — a new doc hashing ahead of a
+    previously-kept one shifts offsets behind it and can push boundary
+    docs out. For mixtures that must stay frozen across ingests, pin
+    the corpus snapshot (or record the kept id list) rather than
+    re-carving.
 
     Scale shape: ONE window per source (running sum inside each
     source's partition — exactly ``pack_sequences``' shard shape), no
@@ -153,6 +166,11 @@ def pack_sequences(
     column without re-tokenizing."""
     from pyspark.sql import Window
 
+    if budget <= 0:
+        # fail fast here, not as a DIVIDE_BY_ZERO from deep inside the
+        # lazy plan at action time
+        raise ValueError(f"budget must be a positive token count, got {budget}")
+
     w = (
         Window.partitionBy(shard_col)
         .orderBy(F.col(order_col).asc())
@@ -189,9 +207,4 @@ def weighted_sample(
     ``CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS
     BIGINT) % 1000``.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 1000
-    )
-    return df.filter(bucket < weight_permille)
+    return df.filter(_bucket(F.col(key_col), 1000) < weight_permille)

@@ -28,11 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _h60(col: Column) -> Column:
-    """60-bit integer from md5 — mirrors the oracle's
-    CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# The ONE engine-exactness-critical hash, shared with the dedup family
+# (a second definition could silently drift from the oracle convention).
+from airbnb_cdc_spark.operators.dedup import _h60  # noqa: F401
 
 
 def cms_bucket(item: Column, j: int, width: int) -> Column:
@@ -87,12 +85,17 @@ def read_cms(spark, sketch_dir: str) -> DataFrame:
     """(j, bucket, c): the merged sketch — cells summed across every
     batch partition. The scan is at most ``n_batches·depth·width`` rows
     of three integers; compact by rewriting the summed frame as a
-    single ``batch_id=-1`` partition if batch count ever matters."""
-    return (
-        spark.read.parquet(sketch_dir)
-        .groupBy("j", "bucket")
-        .agg(F.sum("c").alias("c"))
-    )
+    single ``batch_id=-1`` partition if batch count ever matters.
+    Before the first batch commits, the dir does not exist — return the
+    typed empty sketch instead of failing schema inference (a monitor
+    may poll during stream startup)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(sketch_dir)
+    except AnalysisException:  # PATH_NOT_FOUND: no batch committed yet
+        return spark.createDataFrame([], "j long, bucket long, c long")
+    return raw.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
 
 
 def streaming_cms(
@@ -220,7 +223,11 @@ def cms_lookup(
 ) -> DataFrame:
     """Point queries: each probe item joined to its ``depth`` cells,
     estimate = MIN over them. The sketch is sketch-sized (broadcast);
-    probes fan out ``depth``-way only."""
+    probes fan out ``depth``-way only. The join is LEFT with a zero
+    fill: a cell absent from the sparse sketch means nothing ever
+    hashed there, so its count is 0 — an inner join would drop (or
+    over-estimate) items outside the sketched corpus instead of
+    returning the correct estimate 0."""
     cells = F.array(
         *[
             F.struct(
@@ -234,7 +241,7 @@ def cms_lookup(
         F.col(item_col), F.explode(cells).alias("cell")
     ).select(item_col, F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
     return (
-        fanned.join(F.broadcast(sketch), on=["j", "bucket"])
+        fanned.join(F.broadcast(sketch), on=["j", "bucket"], how="left")
         .groupBy(item_col)
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )

@@ -984,8 +984,8 @@ probe AS (
     FROM top t, unnest(range(0, 4)) AS j(j)
 )
 SELECT p.token AS token, CAST(max(p.exact_count) AS BIGINT) AS exact_count,
-       CAST(min(s.c) AS BIGINT) AS cms_estimate
-FROM probe p JOIN sketch s USING (j, bucket)
+       CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS cms_estimate
+FROM probe p LEFT JOIN sketch s USING (j, bucket)
 GROUP BY 1
 """
 
