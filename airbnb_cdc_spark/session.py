@@ -161,10 +161,20 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
             ),
             134217728,
         )
+        from urllib.parse import unquote
+
         total = 0
         for uri in files:
-            path = uri[len("file:") :] if uri.startswith("file:") else None
-            total += os.path.getsize(path) if path and os.path.exists(path) else mpb
+            # inputFiles returns percent-encoded URIs; decode before stat
+            path = unquote(uri[len("file:") :]) if uri.startswith("file:") else None
+            if path is None or not os.path.exists(path):
+                # Remote / unstattable file (hdfs://, s3a://): its size is
+                # unknown, so the estimate would be a guess — and guessing
+                # NARROW adds a full-data shuffle to a possibly-huge scan.
+                # Skip widening entirely: real deployments at that scale
+                # arrive in many files and don't need this helper.
+                return None
+            total += os.path.getsize(path)
         return max(1, -(-total // mpb))
     except Exception:
         return len(files)

@@ -63,7 +63,11 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001 — keep benching
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                # record the error only if NO rep succeeded: a transient
+                # failure on a noise-guard extra rep must not discard the
+                # valid best timing already measured
+                if best == float("inf"):
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 release_cached()
                 break
             best = min(best, time.perf_counter() - t0)
@@ -85,7 +89,7 @@ def main() -> None:
                 and best - old > 0.3
             ):
                 reps += 2
-        if name not in errors:
+        if best != float("inf"):
             timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,7 +102,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    regs = _regressions_vs_prior(timings)
+    regs = _regressions_vs_prior(timings, prior_q)
     if regs is not None:
         out["regressions"] = regs
     print(json.dumps(out))
@@ -133,13 +137,16 @@ def _prior_timings() -> dict[str, float] | None:
         return None
 
 
-def _regressions_vs_prior(timings: dict[str, float]) -> list[dict] | None:
+def _regressions_vs_prior(
+    timings: dict[str, float], prior_q: dict[str, float] | None
+) -> list[dict] | None:
     """Per-query regression gate: compare against the most recent
     BENCH_r{N}.json in the repo and list queries >1.5x slower (and
     >0.3s absolute, to ignore sub-second scheduling jitter). Round 2
     shipped two silent 2-3.5x regressions; this makes the next one
-    impossible to miss. Returns None when no prior bench exists."""
-    prior_q = _prior_timings()
+    impossible to miss. ``prior_q`` is the same snapshot the noise
+    guard used — one read, one consistent baseline. Returns None when
+    no prior bench exists."""
     if not prior_q:
         return None
     regs = []
