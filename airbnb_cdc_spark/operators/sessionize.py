@@ -37,11 +37,17 @@ def sessionize_batch(
 ) -> DataFrame:
     """Session aggregates per (user, gap-delimited session)."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap_sec = gap_minutes * 60
+    # Gap compared in exact MICROSECONDS: unix_timestamp truncates to
+    # whole seconds while event timestamps carry microseconds, so a gap
+    # within 1s of the threshold would split sessions differently from
+    # the fractional-epoch oracle (latent — driver data has no such gap;
+    # the review pass caught it before the differential did).
+    gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
     is_new = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_sec),
+        prev_ts.isNull() | ((ts_us - prev_us) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     with_session = events.withColumn("__new", is_new).withColumn(
@@ -91,15 +97,23 @@ def sessionize_stream(
             return
         ts_us = []
         for pdf in pdfs:
-            ts_us.extend(int(t.value // 1000) for t in pdf[ts_col])
+            # drop NaT: a null-ts event has no position in gap time and
+            # pd.NaT.value is INT64_MIN — one such row would seed state
+            # with year-1677 garbage and instantly close every session
+            ts_us.extend(
+                int(t.value // 1000) for t in pdf[ts_col] if not pd.isna(t)
+            )
         ts_us.sort()
+        if not ts_us:
+            if state.exists:
+                state.setTimeoutDuration(gap_ms)
+            return
         closed = []
         if state.exists:
             start, end, n = state.get
         else:
             start = end = ts_us[0]
             n = 0
-            ts_us = ts_us[:]
         for t in ts_us:
             if t - end > gap_ms * 1000:
                 closed.append((start, end, n))

@@ -79,6 +79,22 @@ def _pair_cosine(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
     return qdot(qa, qb).cast("double") / (na * nb)
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k cut: rank (cosine desc, neighbor_id asc) per query,
+    keep k. One definition so the exact and ANN variants can never
+    desynchronize their tie-break or k semantics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,16 +124,7 @@ def brute_force_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def auto_bits(n_rows: int, target_bucket: int = 256, lo: int = 2, hi: int = 16) -> int:
@@ -177,6 +184,20 @@ def lsh_probe_buckets(qvec: Column, planes: list[list[int]], nprobe: int) -> Col
     return F.concat(F.array(own), flips)
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail fast when the configured plane dimension doesn't match the
+    data: a too-large ``dim`` makes every zip_with projection NULL,
+    silently collapsing ALL vectors into bucket 0 — the bucket join
+    then degenerates to the full cross product the LSH exists to avoid.
+    One LIMIT-1 row is read (bounded metadata, like auto_bits' count)."""
+    row = df.select(F.size(F.col(vec_col)).alias("s")).limit(1).collect()
+    if row and row[0].s != dim:
+        raise ValueError(
+            f"hyperplane dim={dim} but {vec_col!r} vectors have "
+            f"{row[0].s} components"
+        )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,6 +221,7 @@ def lsh_topk(
     if bits is None:
         bits = auto_bits(corpus.count())
     nprobe = max(1, min(nprobe, bits + 1))
+    _check_dim(corpus, vec_col, dim)
     planes = [hyperplane(j, dim) for j in range(bits)]
     c = _with_quant(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -230,16 +252,7 @@ def lsh_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_neardup_pairs(
@@ -257,6 +270,7 @@ def cosine_neardup_pairs(
     ``bits=None`` derives the width from the corpus size (one count)."""
     if bits is None:
         bits = auto_bits(df.count())
+    _check_dim(df, vec_col, dim)
     planes = [hyperplane(j, dim) for j in range(bits)]
     base = persist_tracked(
         _with_quant(df, id_col, vec_col).select(
@@ -283,8 +297,10 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )
+    # no .distinct(): each vector lives in exactly ONE bucket, so the
+    # bucket self-join emits every (id_a, id_b) pair at most once — the
+    # old dedup shuffled all surviving pairs for no semantic effect
 
 
 def ivf_topk(
@@ -333,6 +349,13 @@ def ivf_topk(
         F.col("__q").alias("__qc"),
         F.col("__norm").alias("__nc"),
     )
+    if cents_df.limit(1).count() == 0:
+        # same silent-empty harm build_ivf_index guards: no centroid →
+        # no assignments → every query "has no neighbors" with no error
+        raise ValueError(
+            f"no vec id satisfies id % {centroid_mod} == {centroid_rem}; "
+            "pass centroid_mod=None to derive centroids from corpus size"
+        )
 
     def assign_to(cents_b, side: DataFrame, out_id: str, n: int) -> DataFrame:
         scored = side.crossJoin(cents_b).withColumn(
@@ -415,14 +438,7 @@ def ivf_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def build_ivf_index(
@@ -521,6 +537,10 @@ def query_ivf_index(
             F.col("__norm").alias("__nq"),
         )
     )
+    # persist: the cid collect below and the broadcast join both consume
+    # this frame — unpersisted, the |queries|x|centroids| scoring pass
+    # (the expensive query-side stage) would execute twice
+    probes = persist_tracked(probes)
     probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
     lists = spark.read.parquet(os.path.join(path, "lists")).filter(
         F.col("cid").isin(probe_cids)
@@ -534,11 +554,4 @@ def query_ivf_index(
         )
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(joined, k)

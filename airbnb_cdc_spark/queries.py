@@ -1302,7 +1302,9 @@ _SESSION_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  OR epoch_us(ts)
+                     - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
 ), numbered AS (

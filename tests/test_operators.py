@@ -530,3 +530,30 @@ def test_kmv_intersection_accuracy(spark):
     sk = kmv_minhashes(df, "user_id", "grp", k=256)
     est = kmv_intersection_estimate(sk, "a", "b", k=256).collect()[0].est_intersection
     assert abs(est - 500) / 500 < 0.25, f"estimate {est} vs exact 500"
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    """Gap decided in exact microseconds: 1800.5s apart splits the
+    session, 1799.5s does not — whole-second truncation (the pre-r6
+    unix_timestamp formulation) got both wrong within 1s of the
+    threshold."""
+    from datetime import datetime, timedelta
+
+    from airbnb_cdc_spark.operators.sessionize import sessionize_batch
+
+    t0 = datetime(2025, 5, 1, 0, 0, 0, 200000)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + timedelta(seconds=1800, microseconds=500000)),  # split
+        (3, 2, t0),
+        (4, 2, t0 + timedelta(seconds=1799, microseconds=500000)),  # same
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    out = sessionize_batch(events, gap_minutes=30)
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 1]
+    assert per_user[2] == [2]
