@@ -24,6 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _validate_steps(steps: Sequence[str]) -> None:
+    if not steps:
+        raise ValueError("need at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {list(steps)}")
+    for s in steps:
+        if not s.replace("_", "").isalnum():
+            raise ValueError(
+                f"step {s!r} is not identifier-safe (it becomes a column "
+                "name and a stack() literal)"
+            )
+
+
 def funnel_stage_times(
     events: DataFrame,
     steps: Sequence[str],
@@ -33,8 +46,15 @@ def funnel_stage_times(
 ) -> DataFrame:
     """Per-user first-completion timestamp of every funnel prefix:
     columns (user, ts_<step0>, ts_<step1>, ...), NULL once a stage was
-    never reached in order."""
-    assert steps, "need at least one step"
+    never reached in order.
+
+    Step names become column names and stack() literals, so they must
+    be distinct identifier-safe strings — a repeated step would create
+    two ``ts_<step>`` columns (ambiguous-reference downstream) and a
+    quote/dot would break the generated SQL; validated up front. For a
+    re-engagement funnel (view → click → view), alias the repeat
+    ("view_again") in a pre-projection."""
+    _validate_steps(steps)
     cur = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)

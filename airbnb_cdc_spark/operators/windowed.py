@@ -62,6 +62,7 @@ def tumbling_event_agg(
     value_col: str = "value",
     window_duration: str = "1 day",
     watermark: str | None = None,
+    user_col: str = "user_id",
 ) -> DataFrame:
     """Tumbling-window counts + exact-decimal value sums per key.
 
@@ -74,9 +75,9 @@ def tumbling_event_agg(
     # Streaming state cannot hold exact distinct sets — use the HLL
     # sketch there (the standard scale answer too); batch stays exact.
     distinct_users = (
-        F.approx_count_distinct("user_id")
+        F.approx_count_distinct(user_col)
         if events.isStreaming
-        else F.count_distinct(F.col("user_id"))
+        else F.count_distinct(F.col(user_col))
     )
     return (
         events.groupBy(win.alias("w"), F.col(key_col))
