@@ -29,23 +29,37 @@ LANG_PRIORITY: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens, empties dropped."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    """Lowercased whitespace tokens, empties dropped. NULL text reads
+    as the EMPTY document (coalesce) — without it every downstream
+    ``size()`` returns -1 (Spark's sizeOfNull) and language-ID's argmax
+    misfires; the whole text family shares this one normalization."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def h60(col: Column) -> Column:
+    """60-bit integer hash: first 15 hex digits of md5 — THE shared
+    engine-exactness-critical string hash (dedup sets, sketch cells,
+    decontamination). DuckDB mirror:
+    ``CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)``. Lives here,
+    not in an operator module, because three operator families depend
+    on the exact convention."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
-def _in_list(items: tuple[str, ...]) -> str:
-    return ", ".join(f"'{w}'" for w in items)
-
-
-def stopword_hits(toks_col_name: str, lang: str) -> Column:
-    """Occurrences (not distinct) of the language's stopwords."""
-    lst = _in_list(LANG_STOPWORDS[lang])
-    return F.expr(
-        f"size(filter({toks_col_name}, t -> t IN ({lst})))"
+def stopword_hits(toks: str | Column, lang: str) -> Column:
+    """Occurrences (not distinct) of the language's stopwords.
+    Accepts a column name OR a Column so inline consumers
+    (quality_predicate) share this one lexicon-count definition."""
+    col = F.col(toks) if isinstance(toks, str) else toks
+    return F.size(
+        F.filter(col, lambda t: t.isin(*LANG_STOPWORDS[lang]))
     ).cast("long")
 
 
@@ -65,11 +79,11 @@ SENTIMENT_LEXICON: dict[str, tuple[str, ...]] = {
 }
 
 
-def sentiment_hits(toks_col_name: str, polarity: str) -> Column:
+def sentiment_hits(toks: str | Column, polarity: str) -> Column:
     """Occurrences (not distinct) of the polarity lexicon's words."""
-    lst = _in_list(SENTIMENT_LEXICON[polarity])
-    return F.expr(
-        f"size(filter({toks_col_name}, t -> t IN ({lst})))"
+    col = F.col(toks) if isinstance(toks, str) else toks
+    return F.size(
+        F.filter(col, lambda t: t.isin(*SENTIMENT_LEXICON[polarity]))
     ).cast("long")
 
 
@@ -113,5 +127,8 @@ def xxh_shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
 
 def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
-    text (the rolling-hash fingerprint's exact-match core)."""
+    text (the rolling-hash fingerprint's exact-match core). NULL text
+    fingerprints as the empty document — deliberate (the ``tokens``
+    normalization) and engine-consistent: DuckDB's concat_ws also skips
+    NULLs, so both sides agree that a NULL doc ≡ '' for dedup."""
     return F.md5(F.concat_ws(" ", tokens(text)))

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airbnb_cdc_spark.functions.textfns import (
+    h60,
     normalized_fingerprint,
     shingles,
     tokens,
@@ -57,13 +58,10 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 AUTO = "auto"
 
 
-def _h60(col: Column) -> Column:
-    """60-bit integer shingle hash: first 15 hex digits of md5. The ONE
-    string hash evaluation per shingle — everything downstream (set
-    representation, Jaccard verify, doc-frequency cap, MinHash base)
-    derives from this integer. DuckDB mirror:
-    ``CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)``."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# The 60-bit md5 hash convention lives in functions/textfns.h60 (shared
+# with the sketch and decontamination families); re-exported under the
+# historical name for this module's callers.
+_h60 = h60
 
 
 def _hashed_base(
@@ -174,6 +172,19 @@ def _filter_counts(
     return counts.filter(cond)
 
 
+def _cap_arrays(base: DataFrame, hot: DataFrame) -> DataFrame:
+    """(id, hs): per-doc arrays with the hot (over-cap) shingles removed
+    via a one-row broadcast ``array_except`` — the shared capped-set
+    construction (one definition; three strategies consume it)."""
+    hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
+    return base.join(F.broadcast(hot_arr)).select(
+        "id",
+        F.array_except(
+            "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
+        ).alias("hs"),
+    )
+
+
 def _hashed_shingle_sets(
     df: DataFrame,
     id_col: str,
@@ -201,17 +212,7 @@ def _hashed_shingle_sets(
             F.size("hs") > 0
         )
     hot = _filter_counts(_df_counts(base), base, max_doc_freq, keep_hot=True)
-    hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
-    return (
-        base.join(F.broadcast(hot_arr))
-        .select(
-            "id",
-            F.array_except(
-                "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
-            ).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)
-    )
+    return _cap_arrays(base, hot).filter(F.size("hs") > 0)
 
 
 def ngram_jaccard_pairs(
@@ -265,19 +266,15 @@ def ngram_jaccard_pairs(
     # hash sets — order-insensitive — and the window rank orders by
     # (df, h), not array position; the per-doc sort_array is dead cost.
     base = _hashed_base(df, id_col, text_col, n, sort=False, token_combine=True)
-    counts = _df_counts(base)
+    # persisted: keep (joined into the exploded index) and hot (the
+    # broadcast array) both consume it — unpersisted, the corpus-sized
+    # doc-frequency shuffle ran twice
+    counts = persist_tracked(_df_counts(base))
     if max_doc_freq is not None:
         keep = _filter_counts(counts, base, max_doc_freq, keep_hot=False)
         hot = _filter_counts(counts, base, max_doc_freq, keep_hot=True)
-        hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
         sets = persist_tracked(
-            base.join(F.broadcast(hot_arr))
-            .select(
-                "id",
-                F.array_except(
-                    "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
-                ).alias("hs"),
-            )
+            _cap_arrays(base, hot)
             .withColumn("sz", F.size("hs"))
             .filter(F.col("sz") > 0)
         )
@@ -392,13 +389,7 @@ def _index_pair_counts(
     base = _hashed_base(df, id_col, text_col, n, sort=False, token_combine=True)
     if max_doc_freq is not None:
         hot = _filter_counts(_df_counts(base), base, max_doc_freq, keep_hot=True)
-        hot_arr = hot.agg(F.collect_set("h").alias("__hot"))
-        capped = base.join(F.broadcast(hot_arr)).select(
-            "id",
-            F.array_except(
-                "hs0", F.coalesce("__hot", F.array().cast("array<long>"))
-            ).alias("hs"),
-        )
+        capped = _cap_arrays(base, hot)
     else:
         capped = base.select("id", F.col("hs0").alias("hs"))
     docs = capped.select(
@@ -607,6 +598,13 @@ def minhash_lsh_pairs(
     # Persisted: three consumers (band explode, verify id_a, verify
     # id_b) would otherwise each re-run the cap broadcast + signature
     # transforms (~1s at sf0.1).
+    if band_size <= 0 or k % band_size != 0:
+        # leftover signatures would be silently dropped (k=8, band=3 →
+        # only 6 used), and band_size > k would band NOTHING and return
+        # an empty result with no error
+        raise ValueError(
+            f"band_size must divide k: k={k}, band_size={band_size}"
+        )
     sets = _hashed_shingle_sets(df, id_col, text_col, n, max_doc_freq)
     combined = persist_tracked(
         sets.select(
@@ -668,7 +666,13 @@ def simhash_cluster(
     ``max_hamming`` must be < ``n_bands`` for losslessness (asserted).
     The per-band duplicates collapse inside the min() aggregation — no
     distinct needed."""
-    assert max_hamming < n_bands, "pigeonhole requires max_hamming < n_bands"
+    if max_hamming >= n_bands:
+        # not assert: stripped under python -O, and a silently lossy
+        # band blocking returns wrong clusters with no error
+        raise ValueError(
+            f"pigeonhole requires max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sims = simhash(df, id_col, text_col, bits)
@@ -751,6 +755,10 @@ def simhash(
     many expressions materialized, and codegen CSE doesn't reach inside
     lambda bodies), and the ``bits`` bit-votes are derived from the
     cached hex strings with cheap substring compares."""
+    if not 1 <= bits <= 32:
+        # md5 has 32 hex digits; bit i > 31 would read substring('')
+        # and vote a constant -1 — silently half-entropy fingerprints
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
     hexed = base.select(

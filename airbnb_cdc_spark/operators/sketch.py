@@ -28,9 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# The ONE engine-exactness-critical hash, shared with the dedup family
+# The ONE engine-exactness-critical hash, shared across families
 # (a second definition could silently drift from the oracle convention).
-from airbnb_cdc_spark.operators.dedup import _h60  # noqa: F401
+from airbnb_cdc_spark.functions.textfns import h60 as _h60
 
 
 def cms_bucket(item: Column, j: int, width: int) -> Column:

@@ -132,9 +132,9 @@ def quality_predicate(
     toks = tokens(F.col(text_col))
     n = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
-    ).cast("long")
+    # same definition as text_stats (stopword_hits accepts Columns), so
+    # the two gates can never desynchronize their lexicon count
+    n_stop = stopword_hits(toks, "en")
     # same division-form ratios as text_stats/quality_filter, so the
     # kept set is identical to quality_filter's
     return (
@@ -188,9 +188,9 @@ def benchmark_overlap(
     ``array_intersect`` inside each corpus doc's own row: zero shuffles
     over the corpus, scan-speed. Both sides hash shingles with the same
     60-bit md5 scheme as the dedup family."""
-    from airbnb_cdc_spark.operators.dedup import _h60
+    from airbnb_cdc_spark.functions.textfns import h60
 
-    hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), _h60))
+    hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), h60))
     bench_set = benchmark.select(F.explode(hashed).alias("h")).agg(
         F.collect_set("h").alias("__bench")
     )

@@ -339,10 +339,13 @@ from airbnb_cdc_spark.functions.textfns import LANG_PRIORITY, LANG_STOPWORDS  # 
 _TOKS_CTE = """
 toks AS (
     SELECT doc_id, length(text) AS n_chars,
-           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       t -> t <> '') AS t
     FROM documents
 )
 """
+# coalesce mirrors textfns.tokens' NULL≡empty normalization, so the
+# token oracles stay aligned if the differential ever draws NULL text.
 
 _SH_CTE = """
 sh AS (
