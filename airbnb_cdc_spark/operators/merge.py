@@ -71,6 +71,10 @@ def merge_dataframes(
     WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT."""
     if version_col is not None:
         updates = latest_per_key(updates, keys, version_col)
+    else:
+        # in-batch duplicate keys would BOTH survive the union — the
+        # same dedup ParquetMergeTable.merge applies
+        updates = updates.dropDuplicates(list(keys))
     kept = existing.join(updates.select(*keys), on=list(keys), how="left_anti")
     return kept.unionByName(updates.select(kept.columns))
 
@@ -79,6 +83,15 @@ def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports most failures by returning
+    FALSE, not raising — an unchecked call turns a failed swap into
+    silent data loss (the pre-swap copy is already deleted). Every
+    rename in the write paths goes through this guard."""
+    if not fs.rename(src, dst):
+        raise IOError(f"filesystem rename failed: {src} -> {dst}")
 
 
 class ParquetMergeTable:
@@ -113,6 +126,54 @@ class ParquetMergeTable:
     # underscore-prefixed files in the table dir.
     def _schema_path(self) -> str:
         return f"{self.path}/_schema.json"
+
+    # num_buckets sidecar: the bucket expression is pmod(hash, N) — a
+    # reattach with a DIFFERENT N would route an existing key to a
+    # bucket the merge never reads, silently inserting duplicates
+    # instead of upserting. The table remembers its N and refuses a
+    # mismatched handle.
+    def _meta_path(self) -> str:
+        return f"{self.path}/_table_meta.json"
+
+    def _save_meta(self) -> None:
+        fs, _ = _fs(self.spark, self.path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        out = fs.create(Path(self._meta_path()), True)
+        out.write(
+            bytearray(
+                __import__("json").dumps({"num_buckets": self.num_buckets}),
+                "utf-8",
+            )
+        )
+        out.close()
+
+    def _check_meta(self) -> None:
+        fs, _ = _fs(self.spark, self.path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        p = Path(self._meta_path())
+        if not fs.exists(p):
+            # pre-meta table: adopt the current handle's N and record it
+            if self.exists():
+                self._save_meta()
+            return
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+        stored = __import__("json").loads(data.decode("utf-8"))["num_buckets"]
+        if stored != self.num_buckets:
+            raise ValueError(
+                f"table at {self.path} was created with num_buckets="
+                f"{stored}; this handle has {self.num_buckets} — a merge "
+                "would route existing keys to unread buckets and insert "
+                "duplicates (run compact() via a correctly-configured "
+                "handle to change the bucket count)"
+            )
 
     def _save_schema(self, df: DataFrame) -> None:
         fs, _ = _fs(self.spark, self.path)
@@ -177,8 +238,12 @@ class ParquetMergeTable:
         _, jtmp = _fs(self.spark, tmp)
         if fs.exists(jpath):
             fs.delete(jpath, True)
-        fs.rename(jtmp, jpath)
+        # raise on a false-returning rename: the old table is already
+        # gone, and proceeding to _save_schema would leave a path that
+        # READS as a valid empty table with the data stranded in tmp
+        _rename_or_raise(fs, jtmp, jpath)
         self._save_schema(df)
+        self._save_meta()
 
     # -- merge -------------------------------------------------------------
 
@@ -194,6 +259,7 @@ class ParquetMergeTable:
         table has evolved, a merge whose updates *lack* the evolved
         columns fails fast (S5 contract) unless
         ``allow_schema_evolution=True``, which fills them with NULL."""
+        self._check_meta()
         if self.version_col is not None:
             updates = latest_per_key(updates, self.keys, self.version_col)
         else:
@@ -263,7 +329,9 @@ class ParquetMergeTable:
             if fs.exists(dst):
                 fs.delete(dst, True)
             if fs.exists(src):
-                fs.rename(src, dst)
+                # a false-returning rename here would lose bucket b
+                # entirely once the tmp delete below runs
+                _rename_or_raise(fs, src, dst)
         fs.delete(Path(tmp), True)
 
     def delete(self, keys_df: DataFrame) -> None:
@@ -273,6 +341,7 @@ class ParquetMergeTable:
         bucket-pruned rewrite as merge."""
         if not self._has_buckets():
             return
+        self._check_meta()
         keyed = keys_df.select(*self.keys).dropDuplicates(self.keys)
         keyed = keyed.withColumn(BUCKET_COL, self._bucket_expr())
         touched = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
@@ -453,7 +522,11 @@ def delta_available(spark: SparkSession | None = None) -> bool:
     if spark is None:
         return True
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+        # Class.forName, not bare attribute access: py4j answers any
+        # unknown FQN with a JavaPackage instead of raising, so the old
+        # probe returned True with no jar on the classpath and auto
+        # backend selection then crashed on first use.
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
         return True
     except Exception:
         return False
@@ -521,7 +594,16 @@ class DeltaMergeTable:
             builder = builder.withSchemaEvolution()
         if self.version_col is not None:
             builder = builder.whenMatchedUpdateAll(
-                condition=f"s.`{self.version_col}` >= t.`{self.version_col}`"
+                # OR t.version IS NULL: the shim's desc_nulls_last
+                # ordering lets a real version displace a NULL-version
+                # stored row (malformed-timestamp ingests); a bare >=
+                # evaluates NULL there and would keep the stale row
+                # forever — same table, different backend, different
+                # contents.
+                condition=(
+                    f"s.`{self.version_col}` >= t.`{self.version_col}` "
+                    f"OR t.`{self.version_col}` IS NULL"
+                )
             )
         else:
             builder = builder.whenMatchedUpdateAll()

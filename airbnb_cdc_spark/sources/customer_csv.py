@@ -54,10 +54,8 @@ def read_customer_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+# shared Hadoop filesystem helpers — one definition (operators/merge.py)
+from airbnb_cdc_spark.operators.merge import _fs, _rename_or_raise  # noqa: E402
 
 
 def list_files(spark: SparkSession, folder: str, suffix: str = ".csv") -> list[str]:
@@ -107,7 +105,9 @@ def archive_file(
     if not rewrite_quoted:
         if fs.exists(dst):
             fs.delete(dst, False)
-        fs.rename(src, dst)
+        # checked rename: a false return here would otherwise report
+        # success while the raw file was never archived
+        _rename_or_raise(fs, src, dst)
         return
     # Write-tmp-then-swap: the previous archive copy survives until the
     # rewrite has fully succeeded (a mid-write failure used to lose it
@@ -138,7 +138,10 @@ def archive_file(
         )
         if fs.exists(dst):
             fs.delete(dst, False)
-        fs.rename(part, dst)
+        # checked: the old archive copy is already deleted, and the
+        # finally below destroys tmp — an unchecked false return would
+        # lose every copy (the raw delete after this would finish it)
+        _rename_or_raise(fs, part, dst)
     finally:
         fs.delete(Path(tmp), True)
     fs.delete(src, False)

@@ -96,16 +96,20 @@ def transform_booking_batch(raw: DataFrame, current_fact: DataFrame | None) -> D
     _bad, accepted = split_booking_batch(raw)
 
     if current_fact is not None:
-        probe = current_fact.select(
-            F.col("booking_id"), F.col("updated_at").alias("t_updated_at")
-        )
+        # The insert/update decision probes KEY EXISTENCE (the
+        # reference's isNull(target.booking_id)), so the probe carries a
+        # guaranteed-non-null marker: probing t_updated_at would
+        # misclassify an existing row whose updated_at is NULL
+        # (malformed timestamp through try_cast) as an insert.
         looked_up = lookup_latest(
             accepted,
-            probe.withColumnRenamed("t_updated_at", "updated_at"),
+            current_fact.select(
+                "booking_id", "updated_at", F.lit(1).alias("exists_marker")
+            ),
             keys=["booking_id"],
             version_col="updated_at",
         )
-        flagged = with_action_flags(looked_up, target_probe_col="t_updated_at")
+        flagged = with_action_flags(looked_up, target_probe_col="t_exists_marker")
     else:
         flagged = accepted.withColumn(ACTION_COL, F.lit("insert"))
 

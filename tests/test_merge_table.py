@@ -260,3 +260,21 @@ def test_scd2_multi_change_batch_and_late_discard(spark, tmp_path):
     # the previously-open gold row is now closed at t(9)
     gold = out.filter("status = 'gold'").collect()[0]
     assert gold.is_current == 0 and str(gold.valid_to) == str(t(9))
+
+
+def test_reattach_with_wrong_num_buckets_refused(spark, tmp_path):
+    """The table remembers its bucket count: a mismatched handle would
+    route existing keys to unread buckets and silently insert
+    duplicates instead of upserting."""
+    import pytest as _pytest
+
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), ["id"], num_buckets=8)
+    t.merge(spark.createDataFrame([(1, "a")], "id long, v string"))
+    wrong = ParquetMergeTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        wrong.merge(spark.createDataFrame([(1, "b")], "id long, v string"))
+    # the correctly-configured handle still works
+    t.merge(spark.createDataFrame([(1, "b")], "id long, v string"))
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "b")}

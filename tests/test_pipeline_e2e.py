@@ -230,3 +230,38 @@ def test_run_all_orchestrator(spark, tmp_path):
     total = agg.agg(F.sum("total_bookings")).collect()[0][0]
     # fact rows with customer_id > 60 fall out of the inner join
     assert 0 < total <= 80
+
+
+def test_action_flag_probes_key_existence_not_version(spark):
+    """An existing fact row whose updated_at is NULL (malformed
+    timestamp through try_cast) must still classify a re-arrival as
+    'update' — the reference's predicate is key existence
+    (isNull(target.booking_id)), not version presence."""
+    import json as _json
+    import random
+    from datetime import datetime
+
+    from airbnb_cdc_spark.streaming.cdc import (
+        ACTION_COL,
+        BOOKING_RAW_SCHEMA,
+        transform_booking_batch,
+    )
+    from tests.fixtures import booking_doc
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    doc = booking_doc(rng, [1], datetime(2025, 1, 1))
+    doc["booking_id"] = "B1"
+    raw = spark.read.json(
+        spark.sparkContext.parallelize([_json.dumps(doc)]),
+        schema=BOOKING_RAW_SCHEMA,
+    )
+    # current fact knows B1 but with NULL updated_at
+    current = (
+        transform_booking_batch(raw, None)
+        .drop(ACTION_COL)
+        .withColumn("updated_at", F.lit(None).cast("timestamp"))
+    )
+    out = transform_booking_batch(raw, current).collect()
+    assert [r[ACTION_COL] for r in out] == ["update"]
