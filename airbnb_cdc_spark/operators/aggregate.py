@@ -76,7 +76,9 @@ def booking_customer_aggregation(
     conf_amt_sum = dsum(F.when(is_conf, amt).otherwise(F.lit(0).cast("decimal(18,2)")))
     canc_amt_sum = dsum(F.when(is_canc, amt).otherwise(F.lit(0).cast("decimal(18,2)")))
 
-    out = joined.groupBy(F.col(group_col).alias("country")).agg(
+    # output keeps the caller's group column name (a custom group_col
+    # used to come back silently labeled "country")
+    out = joined.groupBy(F.col(group_col)).agg(
         total_n.alias("total_bookings"),
         conf_n.alias("confirmed_bookings"),
         canc_n.alias("cancelled_bookings"),
@@ -105,4 +107,4 @@ def booking_customer_aggregation(
             / total_n.cast("double")
         ).alias("avg_stay_duration"),
     )
-    return out.select(*AGG_COLUMNS)
+    return out.select(group_col, *[c for c in AGG_COLUMNS if c != "country"])

@@ -37,7 +37,14 @@ def latest_per_key(
     tie_breaks: Sequence[str] = (),
 ) -> DataFrame:
     """Keep the single latest row per key (descending version, then
-    descending tie-break columns for determinism)."""
+    descending tie-break columns for determinism).
+
+    Determinism requires the (version, *tie_breaks) order to be TOTAL
+    within each key: with the empty default, exact version ties (shared
+    commit timestamps; NULL versions, which all sort last) pick an
+    arbitrary winner per run. Pass a unique column (event_id, file
+    offset) whenever the right side can carry duplicates per key —
+    sides already unique per key (e.g. a merge table read) need none."""
     order = [F.col(version_col).desc_nulls_last()] + [
         F.col(c).desc_nulls_last() for c in tie_breaks
     ]

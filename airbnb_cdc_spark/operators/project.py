@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 def select_columns(df: DataFrame, mapping: Mapping[str, str] | Sequence[str]) -> DataFrame:
     """Project + rename. ``mapping`` is either an ordered ``{src: dst}``
     dict or a plain sequence of column names (identity projection)."""
+    if isinstance(mapping, str):
+        # a bare string satisfies Sequence[str] and would be iterated
+        # CHARACTER BY CHARACTER
+        raise TypeError("pass a sequence of column names, not a bare string")
     if isinstance(mapping, Mapping):
         return df.select([F.col(src).alias(dst) for src, dst in mapping.items()])
     return df.select([F.col(c) for c in mapping])
@@ -34,7 +38,12 @@ def select_columns(df: DataFrame, mapping: Mapping[str, str] | Sequence[str]) ->
 
 def cast_to_contract(df: DataFrame, contract: Mapping[str, str]) -> DataFrame:
     """Cast each column in ``contract`` ({col: spark_type_ddl}) leniently
-    (NULL on failure), leaving other columns untouched."""
+    (NULL on failure), leaving other columns untouched. Every contract
+    column must exist on the frame — a typo'd or upstream-dropped column
+    fails HERE, not as a sink schema mismatch three stages later."""
+    missing = set(contract) - {f.name for f in df.schema.fields}
+    if missing:
+        raise ValueError(f"contract columns absent from frame: {sorted(missing)}")
     exprs = []
     for field in df.schema.fields:
         if field.name in contract:

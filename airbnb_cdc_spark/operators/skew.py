@@ -28,6 +28,11 @@ def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
     """Uniform random salt in [0, n_salts) — deterministic per row via
     hash of all columns would also work; random is fine because the salt
     never affects results, only placement."""
+    if SALT_COL in df.columns:
+        raise ValueError(
+            f"input already carries a {SALT_COL!r} column — salting "
+            "would overwrite it and the join would silently drop it"
+        )
     return df.withColumn(
         SALT_COL, (F.rand(seed=42) * n_salts).cast("int")
     )
@@ -72,7 +77,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
-    across all salts, join on keys + salt."""
+    across all salts, join on keys + salt.
+
+    ``how`` is restricted to inner/left (big side preserved): a right or
+    full outer join would emit every unmatched SMALL-side row once per
+    salt copy — n_salts duplicates. Outer-preserve-small under salting
+    needs a post-join dedup this operator deliberately doesn't hide."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(an outer join would duplicate unmatched small-side rows "
+            "once per salt)"
+        )
     salted_big = with_salt(big, n_salts)
     replicated = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -23,7 +23,20 @@ from pyspark.sql import functions as F
 
 
 def conditional_split(df: DataFrame, condition: Column) -> tuple[DataFrame, DataFrame]:
-    """Return ``(matched, rest)`` — disjoint; NULL-condition rows go to rest."""
+    """Return ``(matched, rest)`` — disjoint; NULL-condition rows go to
+    rest. The condition must be DETERMINISTIC: the two branches evaluate
+    it in independent filters, so a non-deterministic expression (rand,
+    a stateful UDF) could route a row into both branches or neither —
+    rejected up front rather than silently violating `disjoint: true`."""
+    try:
+        deterministic = condition._jc.expr().deterministic()
+    except Exception:
+        deterministic = True  # can't introspect (e.g. Connect) — trust caller
+    if not deterministic:
+        raise ValueError(
+            "conditional_split requires a deterministic condition; "
+            "materialize the non-deterministic value into a column first"
+        )
     matched = df.filter(condition)
     rest = df.filter(~F.coalesce(condition, F.lit(False)))
     return matched, rest
