@@ -29,7 +29,13 @@ def conditional_split(df: DataFrame, condition: Column) -> tuple[DataFrame, Data
     a stateful UDF) could route a row into both branches or neither —
     rejected up front rather than silently violating `disjoint: true`."""
     try:
-        deterministic = condition._jc.expr().deterministic()
+        # analysis-only probe (no job): Spark 4's Column wraps a
+        # ColumnNode, so the expression is inspected via an analyzed
+        # single-column plan
+        probe = df.select(condition.alias("__c"))
+        deterministic = (
+            probe._jdf.queryExecution().analyzed().expressions().head().deterministic()
+        )
     except Exception:
         deterministic = True  # can't introspect (e.g. Connect) — trust caller
     if not deterministic:

@@ -557,3 +557,27 @@ def test_sessionize_subsecond_gap_boundary(spark):
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(per_user[1]) == [1, 1]
     assert per_user[2] == [2]
+
+
+def test_review_guards_raise(spark):
+    """The r6 review-pass guards: misuse fails fast instead of
+    silently corrupting results."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.project import cast_to_contract, select_columns
+    from airbnb_cdc_spark.operators.skew import salted_join, with_salt
+    from airbnb_cdc_spark.operators.split import conditional_split
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+
+    with _pytest.raises(TypeError, match="bare string"):
+        select_columns(df, "id")
+    with _pytest.raises(ValueError, match="absent from frame"):
+        cast_to_contract(df, {"id": "long", "missing_col": "string"})
+    with _pytest.raises(ValueError, match="deterministic"):
+        conditional_split(df, F.rand() < 0.5)
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, ["id"], how="full")
+    with _pytest.raises(ValueError, match="__salt"):
+        with_salt(df.withColumn("__salt", F.lit(1)), 4)
