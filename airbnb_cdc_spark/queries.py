@@ -305,7 +305,7 @@ WITH base AS (
     ) WHERE rn = 1
 )
 SELECT b.user_id, b.ts, b.event_type, b.value FROM base b
-WHERE b.user_id NOT IN (SELECT user_id FROM upd)
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = b.user_id)
 UNION ALL
 SELECT u.user_id, u.ts, u.event_type, u.value FROM upd u
 """
@@ -478,7 +478,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_ORACLE = f"""
 WITH {_TOKS_CTE}
-SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
+SELECT doc_id, md5(coalesce(array_to_string(t, ' '), '')) AS fingerprint FROM toks
 """
 
 
@@ -489,7 +489,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_EXACT_ORACLE = f"""
 WITH {_TOKS_CTE}, fp AS (
-    SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
+    SELECT doc_id, md5(coalesce(array_to_string(t, ' '), '')) AS fingerprint FROM toks
 )
 SELECT doc_id, fingerprint FROM (
     SELECT doc_id, fingerprint,
@@ -570,8 +570,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCREMENTAL_ORACLE = """
 WITH fp AS (
     SELECT doc_id,
-           md5(array_to_string(list_filter(
-               regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''), ' '))
+           md5(coalesce(array_to_string(list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), t -> t <> ''), ' '),
+               ''))
                AS fingerprint
     FROM documents
 ),
@@ -786,7 +787,7 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
     FROM scored
 ) WHERE rank <= 5
-""".replace("{_bucket_sql('q')}", _bucket_sql("q"))
+"""
 
 
 @query("ann_topk_lsh", _ANN_LSH_ORACLE)
@@ -963,7 +964,7 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argument (cells sum across shards/batches).
 _CMS_ORACLE = """
 WITH toks AS (
-    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+    SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), t -> t <> '') AS t
     FROM documents
 ),
 vocab AS (
@@ -1163,11 +1164,14 @@ GROUP BY 1, 2
 @query("cohort_retention", _COHORT_ORACLE)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # date_trunc yields LTZ timestamp; normalize to ntz like every other
+    # events query so the driver schema compare sees one timestamp type
     firsts = events.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+        F.date_trunc("month", F.min("ts")).cast("timestamp_ntz").alias("cohort_month")
     )
     activity = events.select(
-        "user_id", F.date_trunc("month", F.col("ts")).alias("activity_month")
+        "user_id",
+        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("activity_month"),
     ).distinct()
     return (
         firsts.join(activity, "user_id")
@@ -1273,8 +1277,9 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ORACLE = r"""
 SELECT doc_id,
-       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_token_count,
-       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_token_count
+       CAST(length(coalesce(text, '')) - length(replace(coalesce(text, ''), ' ', '')) + 1
+            AS BIGINT) AS ws_token_count,
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_token_count
 FROM documents
 """
 
@@ -1282,14 +1287,15 @@ FROM documents
 @query("token_counts", _BPE_ORACLE)
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
+    # NULL text ≡ empty document, matching the textfns.tokens family
+    # normalization (the oracle coalesces identically)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ws = (F.length(txt) - F.length(F.replace(txt, F.lit(" "), F.lit(""))) + 1).cast(
+        "long"
+    )
     bpe = F.size(
         F.regexp_extract_all(
-            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+            F.lower(txt), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
         )
     ).cast("long")
     return docs.select(
@@ -1713,7 +1719,7 @@ def q_salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), t -> t <> '') AS t
     FROM documents
 ), hashes AS (
     SELECT doc_id,
@@ -2411,8 +2417,8 @@ stats AS (
       AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.35
 ),
 fp AS (
-    SELECT doc_id, n_tokens, md5(array_to_string(t, ' ')) AS fingerprint,
-           row_number() OVER (PARTITION BY md5(array_to_string(t, ' '))
+    SELECT doc_id, n_tokens, md5(coalesce(array_to_string(t, ' '), '')) AS fingerprint,
+           row_number() OVER (PARTITION BY md5(coalesce(array_to_string(t, ' '), ''))
                               ORDER BY doc_id) AS rn
     FROM stats
 ),
@@ -2503,7 +2509,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_ORACLE = """
 WITH tk AS (
     SELECT doc_id, source,
-           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
                 t -> t <> '')) AS BIGINT) AS n_tokens
     FROM documents
 )
@@ -3299,7 +3305,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_ORACLE = """
 WITH tk AS (
     SELECT doc_id, source,
-           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
                 t -> t <> '')) AS BIGINT) AS n_tokens,
            md5(CAST(doc_id AS VARCHAR)) AS ok
     FROM documents
@@ -3805,7 +3811,7 @@ def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_quantized(edges)
 
 
-_OUTLIER_ORACLE = """
+_VALUE_OUTLIER_ORACLE = """
 WITH yi AS (
     SELECT event_id, event_type, value,
            CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
@@ -3821,7 +3827,7 @@ FROM yi e JOIN s USING (event_type)
 """
 
 
-@query("value_outliers_by_type", _OUTLIER_ORACLE)
+@query("value_outliers_by_type", _VALUE_OUTLIER_ORACLE)
 def q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type 3-sigma outlier flag decided entirely in exact integer
     arithmetic (cross-multiplied z-score test — no epsilon at the

@@ -647,3 +647,38 @@ def test_flagship_oracle_differential(spark, tmp_path_factory, tables):
         assert s_rows == d_rows, "flagship value mismatch"
     finally:
         release_cached()
+
+
+# NULL-text documents: the whole token family normalizes NULL ≡ empty
+# (textfns.tokens' coalesce, mirrored in every oracle after the r6
+# review pass) — pinned deterministically here because the randomized
+# generator draws only non-NULL text.
+_NULL_TEXT_ROWS = [
+    (0, None, "en", "s1", 0),
+    (1, "the good row", "en", "s1", 12),
+    (2, "", "fr", "s2", 0),
+]
+
+NULL_TEXT_QUERIES = [
+    "text_stats",
+    "token_counts",
+    "doc_sentiment",
+    "language_id",
+    "dedup_exact",
+    "doc_fingerprint",
+    "repetition_filter",
+    "pack_sequences",
+    "mixture_by_token_budget",
+    "weighted_sample_by_length",
+]
+
+
+@pytest.mark.parametrize("qname", NULL_TEXT_QUERIES)
+def test_null_text_documents(spark, tmp_path_factory, qname):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("nulltext")
+    try:
+        _run_both(spark, tmp, _NULL_TEXT_ROWS, qname)
+    finally:
+        release_cached()
