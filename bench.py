@@ -93,23 +93,48 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver's BENCH_r{N}.json preserves only the LAST 2000 chars of
+    # stdout (r6's tail starts mid-dict: the FRONT of the line was lost,
+    # taking ~35 per-query timings with it). A compact full line is
+    # ~2.8k chars — it cannot fit — so: (a) emit the queries dict
+    # fastest-first, putting the slowest queries (the perf signal) in
+    # the preserved tail; (b) put the small scalar fields after the
+    # dict so they always survive; (c) drop JSON spaces; and (d) write
+    # the complete record to BENCH_FULL.json in the repo, which the
+    # driver's end-of-round commit preserves in git — every registered
+    # query's timing is recoverable from there even when the stdout
+    # capture truncates.
     out = {
         "metric": "headline_queries_total_wall_sec",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "value": round(sum(timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        out["errors"] = {k: v[:120] for k, v in errors.items()}
     regs = _regressions_vs_prior(timings, prior_q)
     if regs is not None:
         out["regressions"] = regs
-    print(json.dumps(out))
+    try:
+        (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench line
+    print(json.dumps(out, separators=(",", ":")))
 
 
 def _prior_timings() -> dict[str, float] | None:
-    """Most recent BENCH_r{N}.json's per-query seconds, or None."""
+    """Most recent complete per-query seconds: BENCH_FULL.json (written
+    by the previous bench run, complete by construction) first, else the
+    newest driver BENCH_r{N}.json snapshot (tail-truncated)."""
+    full = REPO / "BENCH_FULL.json"
+    if full.exists():
+        try:
+            prior_q = json.loads(full.read_text()).get("queries")
+            if prior_q:
+                return prior_q
+        except Exception:
+            pass
     priors = sorted(REPO.glob("BENCH_r*.json"))
     if not priors:
         return None
