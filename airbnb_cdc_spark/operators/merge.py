@@ -72,11 +72,32 @@ def merge_dataframes(
     if version_col is not None:
         updates = latest_per_key(updates, keys, version_col)
     else:
-        # in-batch duplicate keys would BOTH survive the union — the
-        # same dedup ParquetMergeTable.merge applies
-        updates = updates.dropDuplicates(list(keys))
+        # in-batch duplicate keys would BOTH survive the union — dedup
+        # deterministically (dropDuplicates keeps whichever row a
+        # partitioning happens to deliver first, breaking the repo's
+        # bit-determinism contract)
+        updates = dedup_keys_deterministic(updates, keys)
     kept = existing.join(updates.select(*keys), on=list(keys), how="left_anti")
     return kept.unionByName(updates.select(kept.columns))
+
+
+def dedup_keys_deterministic(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row per key with a partitioning-independent survivor: the
+    max over the whole-row struct of non-key columns (Spark's struct
+    ordering is total, so the winner is a pure function of the data —
+    unlike ``dropDuplicates``, whose keeper depends on which partition
+    delivers first). Used wherever a merge receives duplicate in-batch
+    keys WITHOUT a version column to arbitrate them."""
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(list(keys))  # rows are identical
+    packed = df.groupBy(*keys).agg(F.max(F.struct(*others)).alias("__row"))
+    return packed.select(
+        *[
+            F.col("__row").getField(c).alias(c) if c in others else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _fs(spark: SparkSession, path: str):
@@ -263,7 +284,7 @@ class ParquetMergeTable:
         if self.version_col is not None:
             updates = latest_per_key(updates, self.keys, self.version_col)
         else:
-            updates = updates.dropDuplicates(self.keys)
+            updates = dedup_keys_deterministic(updates, self.keys)
 
         if not self._has_buckets():
             # Missing table, or one whose every row was deleted (only the
@@ -441,6 +462,11 @@ class Scd2MergeTable(ParquetMergeTable):
         history would need backfilling) — the flag is accepted for
         interface parity and must be False."""
         assert not allow_schema_evolution, "SCD2 merge does not evolve schemas"
+        # Same bucket-count guard as ParquetMergeTable.merge: a handle
+        # with a mismatched num_buckets would route existing keys to
+        # unread buckets and duplicate open SCD2 rows (delete() inherits
+        # the check; this override must apply it itself).
+        self._check_meta()
         attrs = self._attr_cols(updates)
         fresh = updates.select(
             *self.keys, F.col(self.ts_col).alias("valid_from"), *attrs
@@ -584,7 +610,7 @@ class DeltaMergeTable:
         if self.version_col is not None:
             updates = latest_per_key(updates, self.keys, self.version_col)
         else:
-            updates = updates.dropDuplicates(self.keys)
+            updates = dedup_keys_deterministic(updates, self.keys)
         if not self.exists():
             self.overwrite(updates)
             return

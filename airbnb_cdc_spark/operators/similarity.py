@@ -184,12 +184,26 @@ def lsh_probe_buckets(qvec: Column, planes: list[list[int]], nprobe: int) -> Col
     return F.concat(F.array(own), flips)
 
 
-def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+def _check_dim(df: DataFrame, vec_col: str, dim: int, full: bool = False) -> None:
     """Fail fast when the configured plane dimension doesn't match the
     data: a too-large ``dim`` makes every zip_with projection NULL,
     silently collapsing ALL vectors into bucket 0 — the bucket join
     then degenerates to the full cross product the LSH exists to avoid.
-    One LIMIT-1 row is read (bounded metadata, like auto_bits' count)."""
+    Default: one LIMIT-1 row is read (bounded metadata, like auto_bits'
+    count — the right cost for a 100 TB corpus side). ``full=True``
+    scans min AND max vector size, catching mixed-dimension frames —
+    use it on the small/broadcast query side only."""
+    if full:
+        row = df.agg(
+            F.min(F.size(F.col(vec_col))).alias("mn"),
+            F.max(F.size(F.col(vec_col))).alias("mx"),
+        ).collect()
+        if row and row[0].mn is not None and not (row[0].mn == row[0].mx == dim):
+            raise ValueError(
+                f"hyperplane dim={dim} but {vec_col!r} vectors have "
+                f"{row[0].mn}..{row[0].mx} components"
+            )
+        return
     row = df.select(F.size(F.col(vec_col)).alias("s")).limit(1).collect()
     if row and row[0].s != dim:
         raise ValueError(
@@ -222,6 +236,11 @@ def lsh_topk(
         bits = auto_bits(corpus.count())
     nprobe = max(1, min(nprobe, bits + 1))
     _check_dim(corpus, vec_col, dim)
+    # Queries go through the same zip_with projection, so a wrong-dim
+    # query vector would also NULL out and silently collapse into
+    # bucket 0; the query side is the small (broadcast) side, so the
+    # full min/max scan is cheap and catches mixed-dimension frames.
+    _check_dim(queries, vec_col, dim, full=True)
     planes = [hyperplane(j, dim) for j in range(bits)]
     c = _with_quant(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

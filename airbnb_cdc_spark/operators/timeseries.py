@@ -49,9 +49,13 @@ def resample_ffill(
     key always has a reading (the span starts at the first observation).
     """
     # Epoch-floor bucketing: floor(epoch / step_s) * step_s — works for
-    # any "N unit" step ("15 minutes", "2 hours"), and for unit steps
-    # equals date_trunc under the pinned-UTC session (which is what the
-    # driver oracle uses for the hourly grid).
+    # any "N unit" step ("15 minutes", "2 hours"), and for sub-week unit
+    # steps equals date_trunc under the pinned-UTC session (which is
+    # what the driver oracle uses for the hourly grid). NOT for week:
+    # epoch 0 is a Thursday, so '1 week' grids align to Thursday
+    # boundaries while date_trunc('week') aligns to Monday — a weekly
+    # oracle must bucket by epoch floor too (or offset by 4 days), not
+    # by date_trunc.
     units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
     try:
         count_str, unit = step.split()
