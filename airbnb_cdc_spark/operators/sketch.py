@@ -173,25 +173,27 @@ def kmv_intersection_estimate(
     Input is ``kmv_minhashes`` output; the whole computation touches
     2k rows — driver-free, broadcast-sized, usable as a join-size
     planning primitive at any corpus scale."""
-    from pyspark.sql import Window
-
     pair = sketches.filter(F.col("group").isin([group_a, group_b]))
-    # pooled k-min of the union: <=2k input rows, one constant-key
-    # window (no data movement at this size), keep the k smallest; the
-    # k-th smallest is then simply max(h) of the kept rows
-    pooled = (
-        pair.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("sides"))
-        .withColumn(
-            "prn",
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("h")),
-        )
-        .filter(F.col("prn") <= k)
+    # pooled k-min of the union, as ONE global aggregate: the per-hash
+    # side-count frame is <= 2k rows by construction, so
+    # sort_array(collect_list(...))[1:k] partial-aggregates map-side and
+    # never plans the single-partition WindowExec a constant-key
+    # row_number would (the list is bounded at 2k structs; hashes are
+    # distinct after the groupBy, so the struct sort is a total order).
+    pooled = pair.groupBy("h").agg((F.count(F.lit(1)) == 2).alias("both"))
+    kept = pooled.agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("h"), F.col("both")))),
+            1,
+            k,
+        ).alias("__kmin")
     )
-    return pooled.agg(
-        F.max("h").alias("hk"),
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("rho_k"),
+    return kept.select(
+        F.element_at(F.col("__kmin"), -1).getField("h").alias("hk"),
+        F.size("__kmin").alias("m"),
+        F.size(F.filter(F.col("__kmin"), lambda s: s.getField("both"))).alias(
+            "rho_k"
+        ),
     ).select(
         # m = 0 (both sides empty) must not reach the division — Spark's
         # ANSI mode throws DIVIDE_BY_ZERO even for doubles
