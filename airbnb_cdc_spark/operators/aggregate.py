@@ -108,3 +108,32 @@ def booking_customer_aggregation(
         ).alias("avg_stay_duration"),
     )
     return out.select(group_col, *[c for c in AGG_COLUMNS if c != "country"])
+
+
+def rank_bounded(
+    df: DataFrame, *order: Column, rank_col: str = "rnk"
+) -> DataFrame:
+    """Attach a 1-based rank to an already-bounded frame (a top-k cut,
+    <= a few thousand rows) WITHOUT a window: pack the frame into one
+    sorted array and posexplode it back out.
+
+    An unpartitioned (or constant-key — Catalyst constant-folds the
+    literal away) row_number window plans the single-partition
+    WindowExec and warns "Moving all data to a single partition" on
+    every run. For a frame that a TakeOrdered limit has already cut to
+    k rows, the global aggregate below moves exactly the same k rows
+    but through a partial-combining collect_list — no WindowExec, no
+    warning, same determinism (``order`` must be a total order; pass
+    negated numeric columns for DESC keys).
+    """
+    cols = df.columns
+    packed = df.agg(
+        F.sort_array(
+            F.collect_list(F.struct(*order, F.struct(*cols).alias("__row")))
+        ).alias("__s")
+    )
+    exploded = packed.select(F.posexplode(F.col("__s")).alias("__pos", "__item"))
+    return exploded.select(
+        *[F.col(f"__item.__row.{c}").alias(c) for c in cols],
+        (F.col("__pos") + 1).cast("int").alias(rank_col),
+    )

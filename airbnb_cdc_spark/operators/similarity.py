@@ -368,9 +368,23 @@ def ivf_topk(
         F.col("__q").alias("__qc"),
         F.col("__norm").alias("__nc"),
     )
-    if cents_df.limit(1).count() == 0:
-        # same silent-empty harm build_ivf_index guards: no centroid →
-        # no assignments → every query "has no neighbors" with no error
+    # Empty-centroid fail-fast (same silent-empty harm build_ivf_index
+    # guards: no centroid → no assignments → every query "has no
+    # neighbors" with no error). Probed on the RAW corpus with only the
+    # id column selected — column pruning keeps the scan to the id
+    # column and CollectLimit stops at the first match — instead of on
+    # the quantized persisted frame, whose limit(1).count() decoded
+    # embedding arrays and cost a measured ~0.16s per call at sf0.1.
+    # An in-plan raise_error guard is NOT an option: AQE's empty-side
+    # propagation removes the probe side of the inner join before the
+    # guard expression ever evaluates.
+    if (
+        corpus.select(F.col(id_col))
+        .filter((F.col(id_col) % centroid_mod) == centroid_rem)
+        .limit(1)
+        .count()
+        == 0
+    ):
         raise ValueError(
             f"no vec id satisfies id % {centroid_mod} == {centroid_rem}; "
             "pass centroid_mod=None to derive centroids from corpus size"

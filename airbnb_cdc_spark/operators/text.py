@@ -250,12 +250,12 @@ def bigram_counts(
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(top_k)
     )
-    # Constant partition key: the frame is already <=top_k rows, so this
-    # implies no data movement — it only keeps WindowExec off the
-    # empty-partition-spec ("moving all data to a single partition")
-    # path.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+    # Windowless rank: the frame is already <=top_k rows; a constant
+    # partition key does NOT avoid the single-partition WindowExec
+    # (Catalyst folds the literal away), rank_bounded does.
+    from airbnb_cdc_spark.operators.aggregate import rank_bounded
+
+    return rank_bounded(top, (-F.col("n")).alias("__o1"), F.col("bigram"))
 
 
 def bigram_pmi(
@@ -338,10 +338,9 @@ def bigram_pmi(
     top = scored.orderBy(
         F.col("pmi_ratio").desc(), F.col("bigram").asc()
     ).limit(top_k)
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("pmi_ratio").desc(), F.col("bigram").asc()
-    )
-    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+    from airbnb_cdc_spark.operators.aggregate import rank_bounded
+
+    return rank_bounded(top, (-F.col("pmi_ratio")).alias("__o1"), F.col("bigram"))
 
 
 def chunk_documents(

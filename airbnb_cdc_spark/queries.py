@@ -20,7 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airbnb_cdc_spark.operators.aggregate import booking_customer_aggregation
+from airbnb_cdc_spark.operators.aggregate import (
+    booking_customer_aggregation,
+    rank_bounded,
+)
 from airbnb_cdc_spark.operators.alter_row import with_action_flags
 from airbnb_cdc_spark.operators.lookup import latest_per_key, lookup_latest
 from airbnb_cdc_spark.operators.merge import merge_dataframes
@@ -1408,18 +1411,16 @@ def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TakeOrdered (orderBy+limit: per-partition heaps) picks the top 20
     # from the aggregated frame; ranks attach afterwards over the 20-row
-    # result. The constant partition key keeps WindowExec off the
-    # empty-partition-spec path — the frame is already <=20 rows, so no
-    # data movement is implied.
+    # result via the windowless rank_bounded (a constant partition key
+    # does NOT dodge the single-partition WindowExec — Catalyst folds
+    # the literal away).
     top = spend.orderBy(F.col("total_spend").desc(), F.col("customer_id").asc()).limit(
         20
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("total_spend").desc(), F.col("customer_id").asc()
+    ranked = rank_bounded(
+        top, (-F.col("total_spend")).alias("__o1"), F.col("customer_id")
     )
-    return top.withColumn("rnk", F.row_number().over(w)).select(
-        "customer_id", "total_spend", "n_orders", "rnk"
-    )
+    return ranked.select("customer_id", "total_spend", "n_orders", F.col("rnk"))
 
 
 @query(
@@ -2880,18 +2881,20 @@ SELECT bucket, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share FROM b
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram + share-of-total: the scalable
     quantile/distribution primitive (one map-side-combining groupBy;
-    the share window runs over the tiny bucket frame)."""
-    from pyspark.sql import Window
-
+    the total joins back as a one-row broadcast instead of an
+    unpartitioned window, which would plan the single-partition
+    WindowExec)."""
     events = load_table(spark, sf_dir, "events")
     b = (
         events.select(F.floor(F.col("value") / 25).cast("long").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return b.withColumn(
-        "share",
-        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()),
+    total = b.agg(F.sum("n").alias("__total"))
+    return b.join(F.broadcast(total)).select(
+        "bucket",
+        "n",
+        (F.col("n").cast("double") / F.col("__total").cast("double")).alias("share"),
     )
 
 
