@@ -62,7 +62,35 @@ def booking_customer_aggregation(
 ) -> DataFrame:
     """O6 join + the 17-measure groupBy (A1-A17)."""
     joined = fact.join(dim.select(customer_key, group_col), on=customer_key, how="inner")
+    return booking_measures(
+        joined,
+        customer_key=customer_key,
+        group_col=group_col,
+        status_col=status_col,
+        confirmed=confirmed,
+        cancelled=cancelled,
+        amount_col=amount_col,
+        created_col=created_col,
+        nights_col=nights_col,
+    )
 
+
+def booking_measures(
+    joined: DataFrame,
+    *,
+    customer_key: str = "customer_id",
+    group_col: str = "country",
+    status_col: str = "status",
+    confirmed: str = "Confirmed",
+    cancelled: str = "Cancelled",
+    amount_col: str = "total_amount",
+    created_col: str = "booking_created_at",
+    nights_col: str = "nights",
+) -> DataFrame:
+    """The A1-A17 measures over an ALREADY-JOINED (or incrementally
+    maintained — operators/matview.py) fact×dim frame. Split out so the
+    aggregation refresh can consume the materialized join view without
+    re-running the join it exists to avoid."""
     amt = F.coalesce(F.col(amount_col), F.lit(0)).cast("decimal(18,2)")
     is_conf = F.col(status_col) == F.lit(confirmed)
     is_canc = F.col(status_col) == F.lit(cancelled)

@@ -265,3 +265,120 @@ def test_action_flag_probes_key_existence_not_version(spark):
     )
     out = transform_booking_batch(raw, current).collect()
     assert [r[ACTION_COL] for r in out] == ["update"]
+
+
+def test_run_all_incremental_matches_from_scratch(spark, tmp_path):
+    """E1 through the round-6 incremental path (VERDICT r6 ask #5):
+    dim CSV replay + fact CDC batches land via change-capturing merge
+    tables, the enriched view is maintained from their change feeds
+    (base → cancel wave → LATE dim wave re-pointing countries), the
+    aggregation refresh consumes the VIEW — and after every stage the
+    incremental state must equal the from-scratch recompute."""
+    from airbnb_cdc_spark.operators.aggregate import booking_customer_aggregation
+    from airbnb_cdc_spark.plans.pipelines import run_all_incremental
+    from tests.fixtures import CSV_HEADER, customer_row
+
+    import csv
+    import random
+
+    write_customer_csvs(tmp_path / "raw", n_base=60)
+    facts = write_booking_feed(
+        tmp_path / "feed", n_bookings=80, cancel_pct=0.1, n_bad=2
+    )
+
+    tables = run_all_incremental(
+        spark,
+        raw_dir=str(tmp_path / "raw"),
+        archive_dir=str(tmp_path / "archive"),
+        feed_dir=str(tmp_path / "feed"),
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    dim, fact, view, agg = (
+        tables["dim_customer"],
+        tables["fact_booking"],
+        tables["enriched_booking"],
+        tables["booking_customer_aggregation"],
+    )
+
+    # Golden counts: 60 dim keys (deltas update, never grow); the 2 bad
+    # rows quarantined out of the fact; view rows == fact rows; the
+    # cancel wave updated (not grew) its targets.
+    assert dim.read().count() == 60
+    assert fact.read().count() == 80
+    assert view.read().count() == 80
+    cancelled = {r.booking_id for r in
+                 fact.read().filter(F.col("status") == "Cancelled").collect()}
+    assert cancelled == set(facts["cancelled_ids"])
+
+    def agg_from_scratch():
+        return booking_customer_aggregation(fact.read(), dim.read())
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # The view must equal the from-scratch join, and the refreshed
+    # aggregate must equal the from-scratch aggregation.
+    scratch_view = fact.read().join(
+        dim.read().select(
+            F.col("customer_id").cast("string").alias("customer_id"), "country"
+        ),
+        "customer_id",
+        "left",
+    )
+    assert rows(view.read().select(*sorted(view.read().columns))) == rows(
+        scratch_view.select(*sorted(scratch_view.columns))
+    )
+    assert rows(agg.read()) == rows(agg_from_scratch())
+
+    # LATE dim wave: re-point ten customers' countries AFTER the fact
+    # load — the dim-delta path must re-enrich their bookings.
+    late_raw = tmp_path / "raw_late"
+    late_raw.mkdir()
+    rng = random.Random(99)
+    with open(late_raw / "customer_feed_03_late.csv", "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+        w.writerow(CSV_HEADER)
+        for cid in range(1, 11):
+            row = customer_row(rng, cid, "late")
+            row[8] = "Wakanda"  # a country no other row has
+            w.writerow(row)
+
+    tables2 = run_all_incremental(
+        spark,
+        raw_dir=str(late_raw),
+        archive_dir=str(tmp_path / "archive"),
+        feed_dir=str(tmp_path / "feed"),
+        warehouse_dir=str(tmp_path / "wh"),
+        cursors=tables["cursors"],
+    )
+    view2, agg2 = tables2["enriched_booking"], tables2["booking_customer_aggregation"]
+
+    # the re-pointed customers' bookings moved to the new country in
+    # the VIEW without a full rebuild, and the aggregate refresh
+    # (computed from the view) matches the from-scratch aggregation
+    moved = view2.read().filter(F.col("country") == "Wakanda").count()
+    expected_moved = (
+        fact.read()
+        .filter(F.col("customer_id").cast("int") <= 10)
+        .count()
+    )
+    assert moved == expected_moved > 0
+    assert rows(agg2.read()) == rows(
+        booking_customer_aggregation(
+            tables2["fact_booking"].read(), tables2["dim_customer"].read()
+        )
+    )
+
+    # Idempotence: a third run over fully-consumed inputs changes nothing.
+    before_view = rows(view2.read())
+    before_agg = rows(agg2.read())
+    tables3 = run_all_incremental(
+        spark,
+        raw_dir=str(late_raw),  # now empty (archived)
+        archive_dir=str(tmp_path / "archive"),
+        feed_dir=str(tmp_path / "feed"),
+        warehouse_dir=str(tmp_path / "wh"),
+        cursors=tables2["cursors"],
+    )
+    assert rows(tables3["enriched_booking"].read()) == before_view
+    assert rows(tables3["booking_customer_aggregation"].read()) == before_agg
