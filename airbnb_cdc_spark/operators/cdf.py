@@ -81,13 +81,11 @@ class ChangeCapturingMergeTable:
             .distinct()
             .collect()
         )
-        raw = (
-            self.spark.read.option("basePath", self.table.path)
-            .option("mergeSchema", "true")
-            .parquet(self.table.path)
-        )
+        # _read_raw(touched): sidecar schema when present (skips the
+        # per-file footer read mergeSchema inference pays) and lists
+        # only the touched bucket directories
         return (
-            raw.filter(F.col(BUCKET_COL).isin(touched))
+            self.table._read_raw(touched)
             .drop(BUCKET_COL)
             .join(F.broadcast(keyed), self.table.keys, "leftsemi")
         )

@@ -229,18 +229,70 @@ class ParquetMergeTable:
                 return True
         return False
 
+    def _existing_buckets(self) -> set[int]:
+        """Bucket ids present on disk — ONE listing of the table root
+        (driver-side metadata, <= num_buckets entries)."""
+        fs, jpath = _fs(self.spark, self.path)
+        if not fs.exists(jpath):
+            return set()
+        out = set()
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if name.startswith(f"{BUCKET_COL}="):
+                out.add(int(name.split("=", 1)[1]))
+        return out
+
+    def _read_raw(self, touched: list[int] | None = None) -> DataFrame:
+        """Table scan WITH the bucket partition column; with ``touched``
+        set, ONLY those bucket directories are even LISTED.
+
+        Two fixed costs that would otherwise scale with num_buckets
+        rather than with the delta a merge touches (both measured to
+        dominate small-delta merges at 1024 buckets):
+        - schema: the sidecar (authoritative — rewritten on every
+          overwrite and every evolving merge) is passed explicitly when
+          present, skipping mergeSchema's every-file footer read;
+          pre-sidecar tables fall back to mergeSchema inference.
+        - file listing: a basePath read + isin filter still runs
+          partition DISCOVERY over every bucket directory before
+          pruning (on an object store, one LIST per bucket); passing
+          the touched directories as explicit paths lists only those.
+        """
+        from pyspark.sql import types as T
+
+        reader = self.spark.read.option("basePath", self.path)
+        schema = self._load_schema()
+        if schema is not None:
+            reader = reader.schema(
+                T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(BUCKET_COL, T.IntegerType())]
+                )
+            )
+        else:
+            reader = reader.option("mergeSchema", "true")
+        if touched is None:
+            return reader.parquet(self.path)
+        # An insert-only delta hashes keys to buckets with no directory
+        # yet; reading a missing path raises, so intersect first.
+        present = sorted(set(touched) & self._existing_buckets())
+        if not present:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema).withColumn(
+                    BUCKET_COL, F.lit(None).cast("int")
+                )
+            return reader.parquet(self.path).filter(F.lit(False))
+        return reader.parquet(
+            *[f"{self.path}/{BUCKET_COL}={b}" for b in present]
+        )
+
     def read(self) -> DataFrame:
         """Current table contents (bucket column stripped)."""
         if not self._has_buckets():
             schema = self._load_schema()
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")  # tolerate evolved buckets
-            .parquet(self.path)
-            .drop(BUCKET_COL)
-        )
+        return self._read_raw().drop(BUCKET_COL)
 
     def _write_bucketed(self, df: DataFrame, dest: str) -> None:
         (
@@ -300,16 +352,11 @@ class ParquetMergeTable:
         if not touched:
             return
 
-        # mergeSchema unconditionally: after an evolving merge only the
-        # touched buckets carry the wider footer; plain inference would
-        # pick an arbitrary file and could silently drop the evolved
-        # column from whichever bucket this merge rewrites.
-        current = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(self.path)
-        )
-        current_touched = current.filter(F.col(BUCKET_COL).isin(touched))
+        # _read_raw: the sidecar schema (or mergeSchema fallback) keeps
+        # evolved buckets readable — plain inference would pick an
+        # arbitrary file and could silently drop the evolved column
+        # from whichever bucket this merge rewrites.
+        current_touched = self._read_raw(touched)
 
         # Union + single window pass implements whole-row MERGE with
         # last-writer-wins: order by version desc (when configured), then
@@ -368,12 +415,7 @@ class ParquetMergeTable:
         touched = sorted(r[0] for r in keyed.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        current = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(self.path)
-        )
-        kept = current.filter(F.col(BUCKET_COL).isin(touched)).join(
+        kept = self._read_raw(touched).join(
             keyed.select(*self.keys), on=self.keys, how="left_anti"
         )
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
@@ -481,12 +523,7 @@ class Scd2MergeTable(ParquetMergeTable):
         )
         if not touched:
             return
-        current = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(self.path)
-            .filter(F.col(BUCKET_COL).isin(touched))
-        )
+        current = self._read_raw(touched)
         closed = current.filter(F.col("is_current") == 0).drop(BUCKET_COL)
         open_rows = current.filter(F.col("is_current") == 1).select(
             *self.keys, "valid_from", *attrs
