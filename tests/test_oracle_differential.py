@@ -258,14 +258,33 @@ _TIE_ROWS = [
     (4, "2025-03-01 00:00:00", 7, 2, "view", 5.0, None),
 ]
 
+# Grid-edge ties (r6 ask #7): events EXACTLY on the hour grid the
+# resample/OHLC/windowed family buckets by, with equal-(user, ts)
+# collisions AND equal values at the edge — open/close by total order
+# (events_ohlc), lag pairs (event_transitions), and the bucket-boundary
+# reading pick (events_resample_ffill) all have their tie-break forced,
+# plus a NULL value sitting on an edge (the reading must skip it, the
+# gap logic must not).
+_TIE_ROWS_GRID = [
+    (0, "2025-03-01 00:00:00", 0, 1, "view", 10.0, None),
+    (1, "2025-03-01 00:00:00", 0, 1, "purchase", 10.0, None),
+    (2, "2025-03-01 00:00:00", 60, 1, "view", 20.0, None),
+    (3, "2025-03-01 00:00:00", 60, 1, "view", 20.0, None),
+    (4, "2025-03-01 00:00:00", 60, 2, "purchase", None, None),
+    (5, "2025-03-01 00:00:00", 120, 2, "view", 5.0, None),
+    (6, "2025-03-01 00:00:00", 180, 2, "view", 5.0, None),
+    (7, "2025-03-01 00:00:00", 180, 2, "refund", 5.0, None),
+]
 
+
+@pytest.mark.parametrize("rows", [_TIE_ROWS, _TIE_ROWS_GRID], ids=["same_ts", "grid_edge"])
 @pytest.mark.parametrize("qname", EVENT_DIFF_QUERIES)
-def test_events_equal_timestamp_ties(spark, tmp_path_factory, qname):
+def test_events_equal_timestamp_ties(spark, tmp_path_factory, qname, rows):
     from airbnb_cdc_spark.session import release_cached
 
     tmp = tmp_path_factory.mktemp("etie")
     try:
-        _run_events_both(spark, tmp, _TIE_ROWS, qname)
+        _run_events_both(spark, tmp, rows, qname)
     finally:
         release_cached()
 
@@ -409,6 +428,11 @@ LI_DIFF_QUERIES = [
     # r6: distributed exact deciles — duplicate prices make the
     # rank-span boundary matching non-trivial.
     "price_deciles_distributed",
+    # r7: the other duplicate-price-sensitive orders consumers join the
+    # differential (percentile interpolation inside duplicate spans;
+    # equal-(date, key) prefix-sum ordering).
+    "status_percentiles",
+    "running_customer_spend",
     # the generator draws clean frames (distinct keys, in-range values,
     # resolving custkeys), so this is the agreement-on-zero leg; actual
     # violation counting is covered by test_expectations.py.
@@ -428,7 +452,19 @@ def _tpch_tables(draw):
                 i,
                 draw(st.integers(min_value=0, max_value=3)),
                 draw(st.sampled_from(["F", "O", "P"])),
-                draw(st.integers(min_value=0, max_value=99999)) / 100.0,
+                # ~half the prices come from a 3-value pool, FORCING
+                # duplicates (r6 ask #7): decile/percentile boundaries
+                # then land inside duplicate spans and the rank-span /
+                # tie-break logic is exercised on nearly every draw
+                # (free-range cents almost never collide at n<=15).
+                draw(
+                    st.one_of(
+                        st.sampled_from([100.0, 250.0, 250.0, 777.77]),
+                        st.integers(min_value=0, max_value=99999).map(
+                            lambda c: c / 100.0
+                        ),
+                    )
+                ),
                 f"1996-{draw(st.integers(min_value=1, max_value=12)):02d}-"
                 f"{draw(st.integers(min_value=1, max_value=28)):02d}",
                 draw(st.sampled_from(_PRIORITIES_TPCH)),
@@ -529,6 +565,56 @@ def test_tpch_oracle_differential(spark, tmp_path_factory, qname, tables):
     pdir = tmp / "sf"
     pdir.mkdir()
     _write_tpch(spark, pdir, orders, lineitems)
+    try:
+        sdf = Q.QUERIES[qname](spark, str(pdir))
+        s_cols = sorted(sdf.columns)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "part", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
+            )
+        res = con.execute(Q.ORACLE_SQL[qname])
+        d_cols = sorted(c[0] for c in res.description)
+        assert s_cols == d_cols, f"{qname}: schema {s_cols} vs {d_cols}"
+        d_idx = [[c[0] for c in res.description].index(name) for name in d_cols]
+        d_rows = sorted(tuple(_norm(r[i]) for i in d_idx) for r in res.fetchall())
+        s_idx = [sdf.columns.index(name) for name in d_cols]
+        s_rows = sorted(tuple(_norm(r[i]) for i in s_idx) for r in sdf.collect())
+        assert s_rows == d_rows, f"{qname}: value mismatch"
+    finally:
+        release_cached()
+
+
+# Duplicate-boundary prices, pinned deterministically (r6 ask #7): 20
+# orders whose totalprice takes only TWO values, so every decile
+# boundary except the middle one lands strictly INSIDE a duplicate
+# span — the rank-span decile assignment, percentile interpolation
+# between equal values, and the prefix-scan (date, key) tie-break all
+# diverge from the oracle under any off-by-one or unstable ordering.
+_DUP_PRICE_ORDERS = [
+    (
+        i,
+        i % 3,
+        ["F", "O"][i % 2],
+        100.0 if i < 12 else 500.0,
+        f"1996-01-{(i % 4) + 1:02d}",
+        _PRIORITIES_TPCH[i % 5],
+    )
+    for i in range(20)
+]
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["price_deciles_distributed", "status_percentiles", "running_customer_spend", "revenue_pareto"],
+)
+def test_tpch_duplicate_price_boundaries(spark, tmp_path_factory, qname):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("duppx")
+    pdir = tmp / "sf"
+    pdir.mkdir()
+    _write_tpch(spark, pdir, _DUP_PRICE_ORDERS, [])
     try:
         sdf = Q.QUERIES[qname](spark, str(pdir))
         s_cols = sorted(sdf.columns)
