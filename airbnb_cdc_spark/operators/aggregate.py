@@ -153,11 +153,20 @@ def rank_bounded(
     but through a partial-combining collect_list — no WindowExec, no
     warning, same determinism (``order`` must be a total order; pass
     negated numeric columns for DESC keys).
+
+    NULL order keys sort LAST (each key is wrapped in an
+    ``(is_null, key)`` struct), matching the ``desc nulls last``
+    default of the row_number window this replaces — a bare
+    sort_array would put a NULL-keyed row at rank 1 instead.
     """
     cols = df.columns
+    keys = [
+        F.struct(k.isNull().alias("isnull"), k.alias("v")).alias(f"__k{i}")
+        for i, k in enumerate(order)
+    ]
     packed = df.agg(
         F.sort_array(
-            F.collect_list(F.struct(*order, F.struct(*cols).alias("__row")))
+            F.collect_list(F.struct(*keys, F.struct(*cols).alias("__row")))
         ).alias("__s")
     )
     exploded = packed.select(F.posexplode(F.col("__s")).alias("__pos", "__item"))

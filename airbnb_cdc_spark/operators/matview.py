@@ -22,9 +22,11 @@ paths commute with retries — the same guarantees the CDC sink relies
 on (operators/merge.py).
 
 ``dim`` inputs must be one-row-per-join-key (pre-dedup with
-``lookup.latest_per_key`` when the dim itself is a change feed); dim
-deletions are out of scope, the standard warehouse stance (dims are
-soft-deleted / tombstoned upstream).
+``lookup.latest_per_key`` when the dim itself is a change feed). Dim
+deletions are supported via ``apply_dim_delta(..., keys=...)`` —
+pass the deleted keys explicitly and their fact rows re-enrich to
+NULL; callers that omit ``keys`` get the standard warehouse stance
+(dims soft-deleted / tombstoned upstream, deletes out of scope).
 
 Verified by equivalence: after any interleaving of fact and dim deltas,
 ``read()`` equals the from-scratch join of the final tables
@@ -83,11 +85,23 @@ class MaterializedJoinView:
     def apply_fact_deletes(self, keys_df: DataFrame) -> None:
         self.table.delete(keys_df)
 
-    def apply_dim_delta(self, fact: DataFrame, dim_delta: DataFrame) -> None:
+    def apply_dim_delta(
+        self,
+        fact: DataFrame,
+        dim_delta: DataFrame,
+        keys: DataFrame | None = None,
+    ) -> None:
         """A ⋈ ΔB: re-enrich only fact rows whose join key changed.
         The semi-join prunes the fact scan to affected rows before the
-        enrichment join; both joins broadcast the delta."""
-        hot = dim_delta.select(self.join_key).distinct()
+        enrichment join; both joins broadcast the delta.
+
+        ``keys`` (one ``join_key`` column) widens the affected set
+        beyond the delta's own keys — pass it when a dim key was
+        DELETED: the key has no post-image row in ``dim_delta``, but
+        its fact rows must still be re-enriched (the left join then
+        yields NULLs, un-matching them). Without ``keys`` the affected
+        set is the delta's keys, and dim deletes are out of scope."""
+        hot = (dim_delta if keys is None else keys).select(self.join_key).distinct()
         affected = fact.join(F.broadcast(hot), self.join_key, "leftsemi")
         self.table.merge(self._enrich(affected, dim_delta))
 

@@ -189,7 +189,10 @@ def kmv_intersection_estimate(
         ).alias("__kmin")
     )
     return kept.select(
-        F.element_at(F.col("__kmin"), -1).getField("h").alias("hk"),
+        # try_element_at: NULL (not ANSI INVALID_ARRAY_INDEX) when the
+        # pooled array is empty (neither group has rows); the m = 0
+        # branch below then yields 0.0 without touching hk.
+        F.try_element_at(F.col("__kmin"), F.lit(-1)).getField("h").alias("hk"),
         F.size("__kmin").alias("m"),
         F.size(F.filter(F.col("__kmin"), lambda s: s.getField("both"))).alias(
             "rho_k"

@@ -172,10 +172,16 @@ def run_all_incremental(
 
     def dim_view_side(df):
         # only what the view needs: join key (cast to the fact's string
-        # key type so the stored view key is stable) + group column
+        # key type so the stored view key is stable) + group column +
+        # a match marker. The marker is what lets the LEFT-join view
+        # emulate the reference's INNER join downstream: filtering on
+        # country IS NOT NULL alone would also drop fact rows that
+        # MATCHED a customer whose country is NULL — the reference
+        # aggregation keeps those, grouped under NULL.
         return df.select(
             F.col("customer_id").cast("string").alias("customer_id"),
             "country",
+            F.lit(1).alias("__dim_matched"),
         )
 
     def sync_view() -> None:
@@ -191,9 +197,18 @@ def run_all_incremental(
             mx = fch.agg(F.max(SEQ_COL)).collect()[0][0]
         if mx is not None:
             dim_now = dim_view_side(dim.read())
-            upserts = fch.filter(F.col(TYPE_COL) != "delete").drop(TYPE_COL, SEQ_COL)
+            # Resolve each key's LAST change first (feed seq is the
+            # total order): one sync may consume several waves, and
+            # applying all upserts then all deletes would re-order a
+            # delete(seq N) + reinsert(seq N+1) pair into upsert-then-
+            # delete, dropping a row the fact table still has. The
+            # latest post-image per key IS the table's current state
+            # for that key, so upserting only it is equivalent to
+            # replaying the waves in order.
+            last = latest_per_key(fch, ["booking_id"], SEQ_COL)
+            upserts = last.filter(F.col(TYPE_COL) != "delete").drop(TYPE_COL, SEQ_COL)
             view.apply_fact_delta(upserts, dim_now)
-            deletes = fch.filter(F.col(TYPE_COL) == "delete")
+            deletes = last.filter(F.col(TYPE_COL) == "delete")
             if deletes.limit(1).count():
                 view.apply_fact_deletes(deletes.select("booking_id"))
             cursors["fact"] = max(cursors["fact"], mx)
@@ -209,10 +224,23 @@ def run_all_incremental(
             # changes are already in dim.read(), which every later
             # fact-side enrichment uses).
             if fact.table.exists():
-                delta = dim_view_side(
-                    latest_per_key(dch, ["customer_id"], SEQ_COL)
+                # Re-enrich the affected keys against dim.read(), NOT
+                # against the change rows: a dim delete's change row
+                # carries the PRE-image, so building the delta from the
+                # feed would re-enrich a deleted key with its stale
+                # country. dim.read() is the post-merge ground truth —
+                # a deleted key simply has no row there, and the
+                # explicit ``keys`` set makes apply_dim_delta re-enrich
+                # its fact rows anyway (left join → NULL country,
+                # NULL __dim_matched → dropped by the C5 inner-join
+                # emulation below, exactly the reference's semantics).
+                changed_keys = dch.select(
+                    F.col("customer_id").cast("string").alias("customer_id")
+                ).distinct()
+                live = dim_view_side(dim.read()).join(
+                    F.broadcast(changed_keys), "customer_id", "leftsemi"
                 )
-                view.apply_dim_delta(fact.read(), delta)
+                view.apply_dim_delta(fact.read(), live, keys=changed_keys)
             cursors["dim"] = max(cursors["dim"], dmx)
 
     # E2: dim CSV replay (upsert → archive → delete), change-captured.
@@ -229,10 +257,14 @@ def run_all_incremental(
 
     # C5: the stored proc — measures over the maintained view. The view
     # is a LEFT join (it must retain fact rows whose dim arrives late);
-    # the reference aggregation is the INNER join, so unmatched rows
-    # (NULL group) drop here, not in the view.
+    # the reference aggregation is the INNER join, so UNMATCHED rows
+    # drop here, not in the view. The match marker — not the group
+    # column — decides: an inner join keeps a matched customer with a
+    # NULL country (grouped under NULL); only no-match rows drop.
     refreshed = booking_measures(
-        view.read().filter(F.col("country").isNotNull())
+        view.read()
+        .filter(F.col("__dim_matched").isNotNull())
+        .drop("__dim_matched")
     )
     agg.overwrite(refreshed)
     return {

@@ -79,6 +79,34 @@ def test_matview_fact_and_dim_deltas(spark, tmp_path):
     }
 
 
+def test_matview_dim_delete_unenriches(spark, tmp_path):
+    """A DELETED dim key has no post-image row in the delta, so its
+    fact rows must be re-enriched via the explicit ``keys`` set — the
+    left join then yields NULL, un-matching them (the stale pre-image
+    tier must NOT survive in the view)."""
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0)],
+        "booking_id long, customer_id long, amount double",
+    )
+    dim0 = spark.createDataFrame(
+        [(10, "bronze"), (20, "silver")], "customer_id long, tier string"
+    )
+    view = MaterializedJoinView(
+        spark, str(tmp_path / "mv"), ["booking_id"], "customer_id"
+    )
+    view.full_build(fact, dim0)
+
+    # customer 10 deleted, customer 20 upgraded — one combined wave:
+    # the delta carries only 20's post-image, keys carries both.
+    delta = spark.createDataFrame([(20, "gold")], "customer_id long, tier string")
+    keys = spark.createDataFrame([(10,), (20,)], "customer_id long")
+    view.apply_dim_delta(fact, delta, keys=keys)
+    assert _collect(view) == {
+        (1, 10, 100.0, None),  # un-enriched, not stale "bronze"
+        (2, 20, 200.0, "gold"),
+    }
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     ops=st.lists(

@@ -316,8 +316,11 @@ def test_run_all_incremental_matches_from_scratch(spark, tmp_path):
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
-    # The view must equal the from-scratch join, and the refreshed
-    # aggregate must equal the from-scratch aggregation.
+    # The view must equal the from-scratch join (modulo the internal
+    # __dim_matched marker, which must flag EXACTLY the fact rows whose
+    # customer is absent from the dim — bookings reference customers
+    # beyond the 60 loaded, the inner-join emulation drops those), and
+    # the refreshed aggregate must equal the from-scratch aggregation.
     scratch_view = fact.read().join(
         dim.read().select(
             F.col("customer_id").cast("string").alias("customer_id"), "country"
@@ -325,7 +328,24 @@ def test_run_all_incremental_matches_from_scratch(spark, tmp_path):
         "customer_id",
         "left",
     )
-    assert rows(view.read().select(*sorted(view.read().columns))) == rows(
+    unmatched = {
+        r.booking_id
+        for r in view.read()
+        .filter(F.col("__dim_matched").isNull())
+        .select("booking_id")
+        .collect()
+    }
+    dim_keys = {str(r.customer_id) for r in dim.read().select("customer_id").collect()}
+    scratch_unmatched = {
+        r.booking_id
+        for r in fact.read()
+        .filter(~F.col("customer_id").cast("string").isin(list(dim_keys)))
+        .select("booking_id")
+        .collect()
+    }
+    assert unmatched == scratch_unmatched
+    view_visible = view.read().drop("__dim_matched")
+    assert rows(view_visible.select(*sorted(view_visible.columns))) == rows(
         scratch_view.select(*sorted(scratch_view.columns))
     )
     assert rows(agg.read()) == rows(agg_from_scratch())
