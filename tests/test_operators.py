@@ -581,3 +581,25 @@ def test_review_guards_raise(spark):
         salted_join(df, df, ["id"], how="full")
     with _pytest.raises(ValueError, match="__salt"):
         with_salt(df.withColumn("__salt", F.lit(1)), 4)
+
+
+def test_rank_bounded_order_and_null_keys(spark):
+    """rank_bounded attaches the 1-based rank of the (negated-DESC)
+    order over a limit-cut frame, with NULL order keys ranked LAST —
+    the desc-nulls-last default of the row_number window it replaces."""
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.aggregate import rank_bounded
+
+    df = spark.createDataFrame(
+        [("a", 3.0), ("b", None), ("c", 9.0), ("d", 5.0)],
+        "k string, score double",
+    )
+    top = df.orderBy(F.col("score").desc_nulls_last(), F.col("k").asc()).limit(4)
+    got = {
+        (r.k, r.rnk)
+        for r in rank_bounded(
+            top, (-F.col("score")).alias("__o1"), F.col("k")
+        ).collect()
+    }
+    assert got == {("c", 1), ("d", 2), ("a", 3), ("b", 4)}
