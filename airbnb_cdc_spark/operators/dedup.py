@@ -834,3 +834,90 @@ def streaming_incremental_dedup(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Paragraph/substring-level exact dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): mark
+    every chunk occurrence whose exact token window already appeared
+    earlier in the corpus — the repeated-boilerplate INSIDE otherwise-
+    distinct documents that doc-granularity dedup (exact / Jaccard /
+    MinHash / SimHash) cannot see.
+
+    Chunk-hash approximation of the paper's suffix-array exact-substring
+    match: documents split into ``window``-token chunks every ``stride``
+    tokens (``text.chunk_documents``), identical chunks collide on an
+    md5 hash, and the FIRST occurrence in ``(doc_id, chunk_idx)`` order
+    is the keeper — every later occurrence (across docs, or repeated
+    within one doc) is a droppable span. Overlapping chunks
+    (stride < window) widen recall at span boundaries; callers wanting
+    disjoint spans pass ``stride == window``.
+
+    Returns one row per chunk occurrence: ``(doc_id, chunk_idx,
+    chunk_tokens, chunk_hash, keep_doc_id, keep_chunk_idx, is_dup)``.
+    Filter ``is_dup`` for the dropped-span list; group by ``doc_id``
+    for per-document duplication rates (``chunk_dedup_summary``).
+
+    Scale shape: chunking is a narrow projection+explode; the keeper
+    choice is ONE hash-partitioned groupBy on ``chunk_hash`` (min of a
+    2-field struct — lexicographic, partial-aggregates map-side) and
+    the mark-back join is keyed on the same ``chunk_hash`` — AQE
+    broadcasts the keeper table while it fits and falls back to a
+    co-partitioned shuffle join (same key, no extra repartition) when
+    the chunk vocabulary outgrows broadcast. No all-pairs anywhere;
+    cost is linear in total chunk count, the same shape as doc-level
+    ``exact_dedup`` one granularity down."""
+    from airbnb_cdc_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, id_col=id_col, text_col=text_col, window=window, stride=stride
+    )
+    keepers = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__keep")
+    )
+    return (
+        chunks.join(keepers, "chunk_hash")
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "chunk_tokens",
+            "chunk_hash",
+            F.col("__keep")[id_col].alias("keep_doc_id"),
+            F.col("__keep")["chunk_idx"].alias("keep_chunk_idx"),
+            (
+                (F.col(id_col) != F.col("__keep")[id_col])
+                | (F.col("chunk_idx") != F.col("__keep")["chunk_idx"])
+            ).alias("is_dup"),
+        )
+    )
+
+
+def chunk_dedup_summary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Per-document chunk-duplication profile over ``chunk_dedup``:
+    total chunks, droppable (non-keeper) chunks, and the duplication
+    ratio — the corpus-prep gate value ("drop docs that are >X%
+    boilerplate"). Ratio is one double division of two exact BIGINTs,
+    engine-reproducible. Documents with no chunks (empty text) emit no
+    row, matching the chunker."""
+    marked = chunk_dedup(
+        df, id_col=id_col, text_col=text_col, window=window, stride=stride
+    )
+    n = F.count(F.lit(1)).cast("long")
+    d = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long")
+    return marked.groupBy(id_col).agg(
+        n.alias("n_chunks"),
+        d.alias("n_dup_chunks"),
+        (d.cast("double") / n.cast("double")).alias("dup_ratio"),
+    )

@@ -2221,29 +2221,87 @@ from airbnb_cdc_spark.operators import sampling as _sampling  # noqa: E402
 
 _CHUNK_W, _CHUNK_S = 64, 48
 
-_CHUNKS_ORACLE = f"""
-WITH {_TOKS_CTE}, c AS (
+# Shared chunk CTE (ends with a `chunks` table) — the chunker query and
+# the chunk-level dedup family all reproduce the same boundaries/hashes.
+_CHUNKS_CTE = f"""{_TOKS_CTE}, c AS (
     SELECT doc_id, t, len(t) AS n,
            1 + CASE WHEN len(t) > {_CHUNK_W}
                     THEN (len(t) - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
                     ELSE 0 END AS nc
     FROM toks
-)
-SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
-       CAST(len(ck) AS BIGINT) AS chunk_tokens,
-       md5(array_to_string(ck, ' ')) AS chunk_hash
-FROM (
-    SELECT doc_id, i,
-           list_slice(t, (i-1)*{_CHUNK_S} + 1,
-                      least((i-1)*{_CHUNK_S} + {_CHUNK_W}, n)) AS ck
-    FROM c, unnest(range(1, nc + 1)) AS u(i)
-) WHERE len(ck) > 0
+), chunks AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           CAST(len(ck) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM (
+        SELECT doc_id, i,
+               list_slice(t, (i-1)*{_CHUNK_S} + 1,
+                          least((i-1)*{_CHUNK_S} + {_CHUNK_W}, n)) AS ck
+        FROM c, unnest(range(1, nc + 1)) AS u(i)
+    ) WHERE len(ck) > 0
+)"""
+
+_CHUNKS_ORACLE = f"""
+WITH {_CHUNKS_CTE}
+SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash FROM chunks
 """
 
 
 @query("doc_chunks", _CHUNKS_ORACLE)
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+# Chunk-level exact dedup (Lee et al. 2022 substring dedup, chunk-hash
+# approximation): keeper = first occurrence in (doc_id, chunk_idx)
+# order; every other occurrence of the same token window is a
+# droppable span — including repeats WITHIN one document.
+_CHUNK_KEEPER_CTE = f"""{_CHUNKS_CTE}, k AS (
+    SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx
+    FROM (SELECT chunk_hash, doc_id, chunk_idx,
+                 row_number() OVER (PARTITION BY chunk_hash
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks) WHERE rn = 1
+)"""
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH {_CHUNK_KEEPER_CTE}
+SELECT c.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_hash,
+       k.keep_doc_id, k.keep_chunk_idx,
+       NOT (c.doc_id = k.keep_doc_id AND c.chunk_idx = k.keep_chunk_idx)
+           AS is_dup
+FROM chunks c JOIN k USING (chunk_hash)
+"""
+
+
+@query("chunk_dedup_spans", _CHUNK_DEDUP_ORACLE)
+def q_chunk_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.chunk_dedup(
+        load_table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+_CHUNK_DEDUP_SUMMARY_ORACLE = f"""
+WITH {_CHUNK_KEEPER_CTE}, m AS (
+    SELECT c.doc_id,
+           NOT (c.doc_id = k.keep_doc_id AND c.chunk_idx = k.keep_chunk_idx)
+               AS is_dup
+    FROM chunks c JOIN k USING (chunk_hash)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM m GROUP BY doc_id
+"""
+
+
+@query("chunk_dedup_summary", _CHUNK_DEDUP_SUMMARY_ORACLE)
+def q_chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.chunk_dedup_summary(
         load_table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
     )
 

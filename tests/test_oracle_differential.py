@@ -80,6 +80,10 @@ DIFF_QUERIES = [
     # empty results: the agreement-on-empty is itself the check).
     "dedup_keep_canonical",
     "bigram_pmi",
+    # r8: chunk-level exact dedup — random short docs force shared and
+    # repeated chunks through the keeper choice
+    "chunk_dedup_spans",
+    "chunk_dedup_summary",
     "mixture_by_token_budget",
     "token_count_cms",
     "doc_sentiment",
@@ -756,6 +760,8 @@ NULL_TEXT_QUERIES = [
     "pack_sequences",
     "mixture_by_token_budget",
     "weighted_sample_by_length",
+    "chunk_dedup_spans",
+    "chunk_dedup_summary",
 ]
 
 
