@@ -415,3 +415,65 @@ def sentiment_score(
             / F.nullif(n, F.lit(0)).cast("double")
         ).alias("polarity"),
     )
+
+
+# PII class patterns — shared by the scrub and the report. Kept to
+# constructs whose semantics are identical in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded/greedy quantifiers, \b;
+# no alternation, backreferences, or lookaround, so leftmost-first
+# (Java) and leftmost-longest (RE2) agree on every match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}", "<PHONE>"),
+    ("id", r"\b[0-9]{6,}\b", "<ID>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact email / phone / long-numeric-ID spans — the standard
+    corpus-prep privacy gate before training-data release. Per-class
+    match counts come off the ORIGINAL text; replacements then apply
+    in declaration order (emails first, so their digits never
+    double-count as phones/IDs; IDs last, so phone digits are already
+    gone). NULL text normalizes to empty, like the whole token family.
+
+    Pure Catalyst projection (regexp_extract_all + regexp_replace in
+    whole-stage codegen, no UDF, no shuffle) — runs at scan speed on
+    any corpus size; the regex subset is chosen so a DuckDB/RE2 oracle
+    reproduces every span (see PII_PATTERNS)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = txt
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return ensure_parallelism(df).select(
+        F.col(id_col), scrubbed.alias("scrubbed"), *counts
+    )
+
+
+def pii_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus PII audit over ``pii_scrub``: total spans per
+    class and how many documents carry any PII — the release-gate
+    number ("X% of docs needed redaction"). Exact integer counts; one
+    map-side-combined global aggregate."""
+    per_doc = pii_scrub(df, id_col=id_col, text_col=text_col)
+    any_pii = sum(
+        (F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0)
+    ) > 0
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).cast("long").alias("n_docs_with_pii"),
+        *[
+            F.sum(f"n_{name}").cast("long").alias(f"total_{name}")
+            for name, _, _ in PII_PATTERNS
+        ],
+    )

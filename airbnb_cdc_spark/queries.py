@@ -2306,6 +2306,52 @@ def q_chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrub/report — the oracle SQL is BUILT from text.PII_PATTERNS so
+# the regexes are literally identical on both engines (the pattern
+# subset is chosen to mean the same thing in Java regex and RE2).
+def _pii_sql_exprs() -> tuple[str, list[str]]:
+    scrub = "coalesce(text, '')"
+    counts = []
+    for name, pat, repl in _text.PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+            f" AS BIGINT) AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return scrub, counts
+
+
+_PII_SCRUB_EXPR, _PII_COUNT_EXPRS = _pii_sql_exprs()
+
+_PII_SCRUB_ORACLE = f"""
+SELECT doc_id, {_PII_SCRUB_EXPR} AS scrubbed,
+       {", ".join(_PII_COUNT_EXPRS)}
+FROM documents
+"""
+
+
+@query("pii_scrub", _PII_SCRUB_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+_PII_REPORT_ORACLE = f"""
+WITH p AS (
+    SELECT {", ".join(_PII_COUNT_EXPRS)} FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {" + ".join(f"n_{n}" for n, _, _ in _text.PII_PATTERNS)} > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       {", ".join(f"CAST(SUM(n_{n}) AS BIGINT) AS total_{n}" for n, _, _ in _text.PII_PATTERNS)}
+FROM p
+"""
+
+
+@query("pii_report", _PII_REPORT_ORACLE)
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.pii_report(load_table(spark, sf_dir, "documents"))
+
+
 _BUCKET_SQL = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
 
 _SAMPLE_ORACLE = f"""

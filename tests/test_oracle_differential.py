@@ -84,6 +84,9 @@ DIFF_QUERIES = [
     # repeated chunks through the keeper choice
     "chunk_dedup_spans",
     "chunk_dedup_summary",
+    # r8: PII scrub over word-only random text (agreement-on-no-match);
+    # forced matches live in test_pii_pinned_rows
+    "pii_scrub",
     "mixture_by_token_budget",
     "token_count_cms",
     "doc_sentiment",
@@ -772,5 +775,33 @@ def test_null_text_documents(spark, tmp_path_factory, qname):
     tmp = tmp_path_factory.mktemp("nulltext")
     try:
         _run_both(spark, tmp, _NULL_TEXT_ROWS, qname)
+    finally:
+        release_cached()
+
+
+# PII scrub: the randomized generator draws word-only text, so every
+# class is forced here — including the ordering traps (an email whose
+# digits must not re-match as an ID, a phone inside prose, an ID
+# glued to letters that \b must NOT match, adjacent/overlapping spans)
+# and NULL/empty text.
+_PII_ROWS = [
+    (0, "contact bob.smith+spam@mail.example.org today", "en", "s1", 44),
+    (1, "call 415-555-0199 or +1 650.555.0123 now", "en", "s1", 40),
+    (2, "order 123456789 shipped; ref 00042 kept", "en", "s2", 39),
+    (3, "user123456789 is not an id, 987654321 is", "en", "s2", 40),
+    (4, "a1@b.co 123-456-7890123456 double trouble", "fr", "s3", 41),
+    (5, None, "fr", "s3", 0),
+    (6, "", "en", "s3", 0),
+    (7, "plain text with no pii at all", "en", "s1", 29),
+]
+
+
+@pytest.mark.parametrize("qname", ["pii_scrub", "pii_report"])
+def test_pii_pinned_rows(spark, tmp_path_factory, qname):
+    from airbnb_cdc_spark.session import release_cached
+
+    tmp = tmp_path_factory.mktemp("pii")
+    try:
+        _run_both(spark, tmp, _PII_ROWS, qname)
     finally:
         release_cached()
