@@ -921,3 +921,65 @@ def chunk_dedup_summary(
         d.alias("n_dup_chunks"),
         (d.cast("double") / n.cast("double")).alias("dup_ratio"),
     )
+
+
+def chunk_dedup_intervals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """The actionable output of chunk-level dedup: per document, the
+    MERGED token intervals to cut — droppable chunk occurrences
+    (``chunk_dedup``) mapped to token spans
+    ``[chunk_idx·stride, chunk_idx·stride + chunk_tokens)`` and
+    coalesced where they overlap or touch (overlapping chunks from
+    stride < window collapse into one span, exactly what a
+    Lee-et-al-style substring cut consumes).
+
+    One row per merged span: ``(doc_id, span_start, span_end,
+    n_chunks)``. Exact integer arithmetic throughout.
+
+    Scale shape: classic interval merge via two windows PARTITIONED BY
+    doc_id (running max-end, then a running group counter) + one
+    groupBy — all shuffles are hash-partitioned on the document key;
+    per-partition frames are bounded by per-doc chunk counts (doc
+    length / stride), never corpus-sized. Span starts are unique per
+    doc (chunk_idx·stride), so the window order is total and the
+    result engine-deterministic."""
+    spans = (
+        chunk_dedup(
+            df, id_col=id_col, text_col=text_col, window=window, stride=stride
+        )
+        .filter(F.col("is_dup"))
+        .select(
+            F.col(id_col),
+            (F.col("chunk_idx").cast("long") * stride).alias("s"),
+            (F.col("chunk_idx").cast("long") * stride + F.col("chunk_tokens")).alias(
+                "e"
+            ),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("e").over(w_prev)
+    new_group = F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+    grouped = spans.withColumn("grp", F.sum(new_group).over(w_run))
+    return (
+        grouped.groupBy(id_col, "grp")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        )
+        .select(id_col, "span_start", "span_end", "n_chunks")
+    )

@@ -603,3 +603,37 @@ def test_rank_bounded_order_and_null_keys(spark):
         ).collect()
     }
     assert got == {("c", 1), ("d", 2), ("a", 3), ("b", 4)}
+
+
+def test_chunk_dedup_interval_merge(spark):
+    """Pinned interval semantics: within-doc repetition collapses the
+    overlapping dup chunks into ONE merged span that starts at the
+    first non-keeper chunk; a cross-doc copy at a distance stays a
+    separate span from an unrelated one (gap > 0 splits)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.dedup import chunk_dedup_intervals
+
+    # window=4, stride=2 keeps the arithmetic inspectable.
+    # doc 0: 10 identical tokens -> 4 chunks [0,4)[2,6)[4,8)[6,10),
+    #        all hash-equal; keeper is chunk 0, dups idx 1..3 coalesce
+    #        into ONE merged span [2,10).
+    # doc 1: 12 tokens — copies the all-x window at the head and the
+    #        tail with a unique middle -> 5 chunks; idx 0 ([0,4)) and
+    #        idx 4 ([8,12)) are dups of doc 0's keeper, the middle
+    #        chunks carry u-tokens and stay unique -> two separate
+    #        spans (the gap keeps them apart).
+    d0 = " ".join(["x"] * 10)
+    d1 = "x x x x u1 u2 u3 u4 x x x x"
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1)], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.n_chunks)
+        for r in chunk_dedup_intervals(df, window=4, stride=2).collect()
+    }
+    assert out == {
+        (0, 2, 10, 3),
+        (1, 0, 4, 1),
+        (1, 8, 12, 1),
+    }

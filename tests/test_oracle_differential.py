@@ -84,6 +84,7 @@ DIFF_QUERIES = [
     # repeated chunks through the keeper choice
     "chunk_dedup_spans",
     "chunk_dedup_summary",
+    "chunk_dedup_intervals",
     # r8: PII scrub over word-only random text (agreement-on-no-match);
     # forced matches live in test_pii_pinned_rows
     "pii_scrub",
