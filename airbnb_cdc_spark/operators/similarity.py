@@ -588,3 +588,91 @@ def query_ivf_index(
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     )
     return _rank_topk(joined, k)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroid_mod: int | None = 37,
+    centroid_rem: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs found by k-means-style clustering of the
+    embedding space, then pairwise cosine ONLY within each cluster —
+    the paper's observation is that semantic duplicates land in the
+    same cluster, so the n² comparison collapses to Σ|cluster|².
+    Complements ``cosine_neardup_pairs``: random-hyperplane LSH blocks
+    by geometry-agnostic signs, cluster blocking follows the corpus's
+    own density — duplicates split across an unlucky hyperplane still
+    share a centroid.
+
+    Clustering reuses the IVF convention (``ivf_topk``): deterministic
+    centroid sample (``vec_id ≡ rem mod m``), nearest-centroid
+    assignment by quantized-integer cosine — bit-reproducible, so the
+    DuckDB oracle replays the exact cluster structure. Emits
+    ``(id_a, id_b, cid, cosine)`` with ``id_a < id_b``; a keep-list is
+    one anti-join on ``id_b`` (min-id keeper, the same canonical rule
+    the dedup family uses; the paper keeps the member farthest from
+    the centroid — a one-line ORDER BY change if wanted).
+
+    Scale shape: assignment is corpus × broadcast-centroids (linear);
+    the pair join is hash-partitioned on ``cid`` and touches only
+    within-cluster pairs. With ``centroid_mod=None`` (~sqrt(n)
+    centroids) expected cluster size is ~sqrt(n), keeping Σ|c|² ≈
+    n^1.5 — the paper's regime; skewed clusters are the caller's
+    signal to raise the centroid count."""
+    from pyspark.sql import Window
+
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(2, int(math.sqrt(df.count())))
+    _check_dim(df, vec_col, dim)
+    base = persist_tracked(_with_quant(df, id_col, vec_col))
+    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+        F.col(id_col).alias("cid"),
+        F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
+    )
+    if (
+        df.select(F.col(id_col))
+        .filter((F.col(id_col) % centroid_mod) == centroid_rem)
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise ValueError(
+            f"no vec id satisfies id % {centroid_mod} == {centroid_rem}; "
+            "pass centroid_mod=None to derive centroids from corpus size"
+        )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "__cos",
+        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), "cid", "__q", "__norm")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cid",
+        F.col("__q").alias("__qa"), F.col("__norm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cid",
+        F.col("__q").alias("__qb"), F.col("__norm").alias("__nb"),
+    )
+    return (
+        a.join(b, on="cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _pair_cosine(F.col("__qa"), F.col("__qb"), F.col("__na"), F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cid", "cosine")
+    )
