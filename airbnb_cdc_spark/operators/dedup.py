@@ -875,8 +875,15 @@ def chunk_dedup(
     ``exact_dedup`` one granularity down."""
     from airbnb_cdc_spark.operators.text import chunk_documents
 
-    chunks = chunk_documents(
-        df, id_col=id_col, text_col=text_col, window=window, stride=stride
+    # persist: the keeper aggregate and the mark-back probe both consume
+    # the chunk frame — uncached, BOTH join sides re-run the tokenize +
+    # slice + md5 pipeline from the scan (the plan showed the chunking
+    # subtree twice). Chunk rows are tiny (hash + three ints, no token
+    # arrays), so the cache is cheap at any corpus size.
+    chunks = persist_tracked(
+        chunk_documents(
+            df, id_col=id_col, text_col=text_col, window=window, stride=stride
+        )
     )
     keepers = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__keep")
