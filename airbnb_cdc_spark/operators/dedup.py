@@ -990,3 +990,120 @@ def chunk_dedup_intervals(
         )
         .select(id_col, "span_start", "span_end", "n_chunks")
     )
+
+
+def incremental_chunk_dedup(
+    new_docs: DataFrame,
+    seen,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Chunk-level dedup in the production ingest shape: a NEW batch
+    marked against an already-ingested corpus's chunk-hash store — the
+    growing-corpus form of ``chunk_dedup`` (a crawl refresh's repeated
+    boilerplate is dropped against everything ever ingested, not just
+    the current batch).
+
+    ``seen`` is raw documents (same columns) or a precomputed store
+    carrying a ``chunk_hash`` column — the operator chunks it if the
+    column is absent. A batch chunk occurrence is droppable when its
+    hash is IN the store, or when an earlier batch occurrence (first by
+    ``(doc_id, chunk_idx)``) already claimed it. Output matches
+    ``chunk_dedup``'s marking minus the keeper columns:
+    ``(doc_id, chunk_idx, chunk_tokens, chunk_hash, is_dup)``.
+
+    Scale shape: the batch chunk frame is persisted (hash + ints only);
+    keeper choice is one hash groupBy; the store probe is a LEFT join
+    on ``chunk_hash`` against a DISTINCT, column-pruned store scan —
+    the store itself is never re-shuffled against the corpus, the same
+    contract as ``incremental_exact_dedup``."""
+    from airbnb_cdc_spark.operators.text import chunk_documents
+
+    if "chunk_hash" not in seen.columns:
+        seen = chunk_documents(
+            seen, id_col=id_col, text_col=text_col, window=window, stride=stride
+        )
+    store = seen.select("chunk_hash").distinct().withColumn("__seen", F.lit(True))
+    chunks = persist_tracked(
+        chunk_documents(
+            new_docs, id_col=id_col, text_col=text_col, window=window, stride=stride
+        )
+    )
+    keepers = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__keep")
+    )
+    not_keeper = (F.col(id_col) != F.col("__keep")[id_col]) | (
+        F.col("chunk_idx") != F.col("__keep")["chunk_idx"]
+    )
+    return (
+        chunks.join(keepers, "chunk_hash")
+        .join(store, "chunk_hash", "left")
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "chunk_tokens",
+            "chunk_hash",
+            (not_keeper | F.coalesce(F.col("__seen"), F.lit(False))).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def streaming_chunk_dedup(
+    stream_docs: DataFrame,
+    store,
+    spans_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming chunk-level dedup against a PERSISTENT chunk-hash
+    store: each micro-batch is marked by ``incremental_chunk_dedup``,
+    its droppable spans land in ``spans_dir`` (idempotently per batch,
+    like the quarantine sink), and the batch's KEEPER hashes that were
+    unseen are appended to the store — so a paragraph ingested in any
+    earlier batch (or run: the store survives restarts) suppresses
+    every later recurrence.
+
+    ``store`` is a ``ParquetMergeTable`` keyed on ``chunk_hash``.
+    Inserts only — the first writer of a hash wins permanently, the
+    same first-occurrence semantics as the batch operator. Returns the
+    started StreamingQuery; await/stop is the caller's."""
+    import posixpath
+
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    if not isinstance(store, ParquetMergeTable):
+        raise TypeError(
+            f"store must be a ParquetMergeTable, got {type(store).__name__}"
+        )
+    if store.keys != ["chunk_hash"]:
+        raise ValueError(f"store must be keyed on ['chunk_hash'], got {store.keys}")
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        if store.exists():
+            seen = store.read().select("chunk_hash")
+        else:
+            seen = batch_df.sparkSession.createDataFrame([], "chunk_hash string")
+        marked = incremental_chunk_dedup(
+            batch_df, seen, id_col, text_col, window=window, stride=stride
+        )
+        marked.filter(F.col("is_dup")).select(
+            id_col, "chunk_idx", "chunk_tokens", "chunk_hash"
+        ).write.mode("overwrite").parquet(
+            posixpath.join(spans_dir, f"batch_id={epoch}")
+        )
+        fresh = (
+            marked.filter(~F.col("is_dup")).select("chunk_hash").distinct()
+        )
+        store.merge(fresh)
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -2377,6 +2377,37 @@ def q_chunk_dedup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental chunk dedup: the growing-corpus shape — batch (upper half
+# of doc ids) marked against the store (lower half's chunk hashes),
+# same split convention as incremental_dedup_new_docs.
+_INCR_CHUNK_ORACLE = f"""
+WITH {_CHUNKS_CTE},
+split AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cut FROM documents),
+seen AS (SELECT DISTINCT chunk_hash FROM chunks, split WHERE doc_id <= cut),
+batch AS (
+    SELECT c.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_hash,
+           row_number() OVER (PARTITION BY chunk_hash
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks c, split WHERE doc_id > cut
+)
+SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash,
+       (rn > 1 OR chunk_hash IN (SELECT chunk_hash FROM seen)) AS is_dup
+FROM batch
+"""
+
+
+@query("incremental_chunk_dedup", _INCR_CHUNK_ORACLE)
+def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
+    with_cut = docs.join(F.broadcast(cut))
+    seen = with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text")
+    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+    return _dedup.incremental_chunk_dedup(
+        batch, seen, window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
 # PII scrub/report — the oracle SQL is BUILT from text.PII_PATTERNS so
 # the regexes are literally identical on both engines (the pattern
 # subset is chosen to mean the same thing in Java regex and RE2).
@@ -4106,8 +4137,8 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # r8 rotation (VERDICT r7 ask #3): lead with every query whose code
     # changed after its last driver record, then the rest of the 52 not
-    # in CORRECTNESS_r07 — r7 ∪ r8 then covers 99 of 106; the 9 ceded
-    # slots (revenue_pareto, value_trend_by_type,
+    # in CORRECTNESS_r07 — r7 ∪ r8 then covers 99 of 106; the 10 ceded
+    # slots (revenue_pareto, value_trend_by_type, events_resample_ffill,
     # conditional_split_bad/accepted, project_cast,
     # filter_by_status, alter_row_flags, text_stats, language_id — all
     # unchanged O-family/text basics) stay covered by the r6 record,
@@ -4119,6 +4150,7 @@ _DRIVER_PRIORITY = [
     "chunk_dedup_spans",
     "chunk_dedup_summary",
     "chunk_dedup_intervals",
+    "incremental_chunk_dedup",
     "pii_scrub",
     "pii_report",
     "doc_chunks",
@@ -4165,7 +4197,6 @@ _DRIVER_PRIORITY = [
     "dedup_keep_canonical",
     "mixture_by_token_budget",
     "asof_next_purchase_after_view",
-    "events_resample_ffill",
 ]
 
 

@@ -152,3 +152,86 @@ def test_streaming_incremental_dedup_against_store(spark, tmp_path):
     )
     got = {r.doc_id for r in store.read().collect()}
     assert got == {1, 4, 10}  # doc 9 deduped against run-1 history
+
+
+def test_streaming_chunk_dedup_against_store(spark, tmp_path):
+    """Chunk-granularity streaming leg: a paragraph ingested in batch 0
+    suppresses its recurrence in batch 1 (cross-batch, via the
+    persistent chunk-hash store) and in a restarted query (store
+    state); dropped spans land idempotently per micro-batch."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.dedup import streaming_chunk_dedup
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # window=4/stride=4 via the op kwargs keeps chunk boundaries exact:
+    # "p q r s" is one chunk everywhere it appears.
+    boiler = "p q r s"
+    b0 = [
+        {"doc_id": 1, "text": f"{boiler} a b c d"},
+        {"doc_id": 2, "text": "e f g h"},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": f"{boiler} x y z w"},  # boiler dup of b0
+        {"doc_id": 4, "text": "n o v q"},
+    ]
+    with open(feed / "b0.json", "w") as f:
+        for r in b0:
+            f.write(json.dumps(r) + "\n")
+    with open(feed / "b1.json", "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(feed / "b0.json", (now - 60, now - 60))
+    os.utime(feed / "b1.json", (now, now))
+
+    schema = "doc_id long, text string"
+    store = ParquetMergeTable(spark, str(tmp_path / "store"), ["chunk_hash"])
+    spans_dir = str(tmp_path / "spans")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = streaming_chunk_dedup(
+            stream,
+            store,
+            spans_dir,
+            window=4,
+            stride=4,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    spans = spark.read.parquet(spans_dir)
+    dropped = {(r.doc_id, r.chunk_idx) for r in spans.collect()}
+    # doc 3's first chunk is the boilerplate — dropped against the
+    # store; everything else is first-occurrence and kept
+    assert dropped == {(3, 0)}
+    n_store = store.read().count()
+    # store holds every distinct kept chunk hash: docs 1 (2 chunks),
+    # 2 (1), 3 (1 fresh), 4 (1)
+    assert n_store == 5
+
+    # restart over the same feed: checkpoint skips consumed files; a
+    # NEW file re-sending doc 1's boilerplate is dropped against the
+    # STORE (not stream state)
+    b2 = [{"doc_id": 9, "text": boiler}]
+    with open(feed / "b2.json", "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+    run()
+    spans = spark.read.parquet(spans_dir)
+    dropped = {(r.doc_id, r.chunk_idx) for r in spans.collect()}
+    assert dropped == {(3, 0), (9, 0)}
+    assert store.read().count() == 5  # nothing new to insert
