@@ -1107,3 +1107,82 @@ def streaming_chunk_dedup(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): positional k-gram hashes, then the
+    MINIMUM hash of every ``w``-long window of consecutive grams,
+    deduplicated per document. Guarantees every shared substring of at
+    least ``w + k - 1`` tokens contributes a shared fingerprint —
+    position-robust substring detection that fixed-stride chunking
+    (``chunk_dedup``) misses when the copy shifts by a few tokens,
+    with a fingerprint density of ~2/(w+1) instead of every gram.
+
+    Docs with fewer than ``w`` grams keep their single overall minimum
+    (one truncated window); empty docs emit nothing. Everything is
+    md5-h60 + array_min — exact integers, DuckDB-reproducible.
+
+    Scale: pure per-row array transforms (gram hashes, window minima,
+    distinct) — zero shuffles; output rows are (id, fingerprint)."""
+    toks = tokens(F.col(text_col))
+    gh = F.transform(shingles(toks, k), _h60)
+    n_win = F.greatest(F.size(gh) - (w - 1), F.lit(1))
+    winnowed = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(gh, i, w)))
+    )
+    base = persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col), F.size(gh).alias("__ng"), winnowed.alias("__wf")
+        )
+    )
+    return base.filter(F.col("__ng") > 0).select(
+        id_col, F.explode("__wf").alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-substring pair detection over winnowed fingerprints: doc
+    pairs sharing at least ``min_shared`` fingerprints, with the
+    shared count — the MOSS-style plagiarism/boilerplate report.
+
+    Same inverted-index discipline as the Jaccard family: hot
+    fingerprints above the AUTO doc-frequency cap (``max(2, n/100)``,
+    the same rule) are dropped before the postings self-join, so
+    candidate instances stay Σ C(df,2) over capped postings — never
+    all-pairs. The winnowed sets are ~2/(w+1) the density of full gram
+    sets, so the postings (and the join) are proportionally smaller
+    than the Jaccard index over the same corpus."""
+    posts = winnowed_fingerprints(df, id_col, text_col, k=k, w=w)
+    total = df.select(F.count(F.lit(1)).alias("__n"))
+    cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
+    keep = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .join(F.broadcast(total))
+        .filter(F.col("__df") <= cap)
+        .select("fp")
+    )
+    capped = posts.join(keep, "fp")
+    a = capped.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = capped.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

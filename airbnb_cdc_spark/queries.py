@@ -2396,6 +2396,56 @@ FROM batch
 """
 
 
+# Winnowing (MOSS): per-doc window-min gram fingerprints; pairs share
+# >= min_shared capped fingerprints. h60 and AUTO cap mirror the
+# Jaccard family conventions exactly.
+_H60_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+_WINNOW_CTE = f"""{{toks}}, g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(t) - 1),
+               i -> {_H60_SQL.format(x="concat_ws(' ', t[i], t[i+1], t[i+2])")}) AS g
+    FROM toks
+), wn AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(g) - 3, 1) + 1),
+               i -> list_min(list_slice(g, i, i + 3)))) AS wf
+    FROM g WHERE len(g) > 0
+)"""
+
+
+_WINNOW_FP_ORACLE = f"""
+WITH {_WINNOW_CTE.format(toks=_TOKS_CTE)}
+SELECT doc_id, unnest(wf) AS fp FROM wn
+"""
+
+
+@query("winnow_fingerprints", _WINNOW_FP_ORACLE)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.winnowed_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH {_WINNOW_CTE.format(toks=_TOKS_CTE)},
+p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
+keep AS (
+    SELECT fp FROM p GROUP BY fp
+    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
+),
+pc AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM pc a JOIN pc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@query("winnow_pairs", _WINNOW_PAIRS_ORACLE)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @query("incremental_chunk_dedup", _INCR_CHUNK_ORACLE)
 def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -4137,8 +4187,9 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # r8 rotation (VERDICT r7 ask #3): lead with every query whose code
     # changed after its last driver record, then the rest of the 52 not
-    # in CORRECTNESS_r07 — r7 ∪ r8 then covers 99 of 106; the 10 ceded
+    # in CORRECTNESS_r07 — r7 ∪ r8 then covers 99 of 106; the 12 ceded
     # slots (revenue_pareto, value_trend_by_type, events_resample_ffill,
+    # dedup_keep_canonical, asof_next_purchase_after_view,
     # conditional_split_bad/accepted, project_cast,
     # filter_by_status, alter_row_flags, text_stats, language_id — all
     # unchanged O-family/text basics) stay covered by the r6 record,
@@ -4151,6 +4202,8 @@ _DRIVER_PRIORITY = [
     "chunk_dedup_summary",
     "chunk_dedup_intervals",
     "incremental_chunk_dedup",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "pii_scrub",
     "pii_report",
     "doc_chunks",
@@ -4194,9 +4247,7 @@ _DRIVER_PRIORITY = [
     "pit_state_at_purchase",
     "part_name_canonical",
     "promo_revenue_share",
-    "dedup_keep_canonical",
     "mixture_by_token_budget",
-    "asof_next_purchase_after_view",
 ]
 
 

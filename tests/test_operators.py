@@ -637,3 +637,27 @@ def test_chunk_dedup_interval_merge(spark):
         (1, 0, 4, 1),
         (1, 8, 12, 1),
     }
+
+
+def test_winnowing_detects_shifted_copy(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared substring
+    of >= w + k - 1 tokens contributes at least one shared fingerprint
+    REGARDLESS of its offset in either document — the shifted-copy case
+    fixed-stride chunking misses. Also: unrelated docs share nothing."""
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.dedup import winnow_pairs
+
+    boiler = "c1 c2 c3 c4 c5 c6 c7 c8"  # 8 tokens >= w+k-1 = 6
+    rows = [
+        (0, f"{boiler} a1 a2 a3 a4"),          # copy at offset 0
+        (1, f"b1 b2 b3 b4 b5 {boiler} b6"),    # same copy at offset 5
+        (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(df, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)

@@ -85,6 +85,10 @@ DIFF_QUERIES = [
     "chunk_dedup_spans",
     "chunk_dedup_summary",
     "chunk_dedup_intervals",
+    # r8: winnowing — random short docs exercise the truncated-window
+    # and shared-substring paths
+    "winnow_fingerprints",
+    "winnow_pairs",
     # r8: PII scrub over word-only random text (agreement-on-no-match);
     # forced matches live in test_pii_pinned_rows
     "pii_scrub",
@@ -766,6 +770,7 @@ NULL_TEXT_QUERIES = [
     "weighted_sample_by_length",
     "chunk_dedup_spans",
     "chunk_dedup_summary",
+    "winnow_fingerprints",
 ]
 
 
