@@ -912,21 +912,42 @@ def chunk_dedup_summary(
     window: int = 64,
     stride: int = 48,
 ) -> DataFrame:
-    """Per-document chunk-duplication profile over ``chunk_dedup``:
-    total chunks, droppable (non-keeper) chunks, and the duplication
-    ratio — the corpus-prep gate value ("drop docs that are >X%
-    boilerplate"). Ratio is one double division of two exact BIGINTs,
-    engine-reproducible. Documents with no chunks (empty text) emit no
-    row, matching the chunker."""
-    marked = chunk_dedup(
-        df, id_col=id_col, text_col=text_col, window=window, stride=stride
+    """Per-document chunk-duplication profile: total chunks, droppable
+    (non-keeper) chunks, and the duplication ratio — the corpus-prep
+    gate value ("drop docs that are >X% boilerplate"). Ratio is one
+    double division of two exact BIGINTs, engine-reproducible.
+    Documents with no chunks (empty text) emit no row, matching the
+    chunker.
+
+    Counting identity instead of the mark-back join: exactly ONE
+    occurrence per hash is its keeper, so a doc's droppable count is
+    ``n_chunks − (hashes this doc won)``. Both sides reduce to
+    doc-level counts BEFORE the join — at corpus scale the chunk
+    occurrence list never flows through a join at all (``chunk_dedup``
+    pays that for its per-occurrence output; the summary doesn't have
+    to)."""
+    from airbnb_cdc_spark.operators.text import chunk_documents
+
+    chunks = persist_tracked(
+        chunk_documents(
+            df, id_col=id_col, text_col=text_col, window=window, stride=stride
+        )
     )
-    n = F.count(F.lit(1)).cast("long")
-    d = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long")
-    return marked.groupBy(id_col).agg(
-        n.alias("n_chunks"),
-        d.alias("n_dup_chunks"),
-        (d.cast("double") / n.cast("double")).alias("dup_ratio"),
+    per_doc = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    won = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__keep"))
+        .groupBy(F.col("__keep")[id_col].alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_won"))
+    )
+    d = F.col("n_chunks") - F.coalesce(F.col("__n_won"), F.lit(0))
+    return per_doc.join(won, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        d.cast("long").alias("n_dup_chunks"),
+        (d.cast("double") / F.col("n_chunks").cast("double")).alias("dup_ratio"),
     )
 
 
