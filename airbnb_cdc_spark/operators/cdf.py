@@ -179,3 +179,26 @@ class ChangeCapturingMergeTable:
 
     def read(self) -> DataFrame:
         return self.table.read()
+
+    def read_as_of(self, seq: int) -> DataFrame:
+        """Time travel (Delta's ``VERSION AS OF``, on the parquet
+        shim): the table state immediately AFTER commit ``seq``,
+        reconstructed from the change feed alone — each key's latest
+        change row at ``_cdf_seq <= seq`` is its state (post-image for
+        insert/update; a latest-is-delete key is absent), because every
+        commit emits full images and idempotent/stale operations emit
+        nothing.
+
+        Reads prune to the ``_cdf_seq`` partitions at or below ``seq``
+        (partition filter on the feed layout), so the cost tracks the
+        requested history prefix, not the full feed. ``seq`` below the
+        first commit returns the empty table with the current schema.
+        Columns added by later schema evolution read NULL, exactly as
+        the evolved table reads its own pre-evolution rows."""
+        changes = self.read_changes(-1).filter(F.col(SEQ_COL) <= seq)
+        from airbnb_cdc_spark.operators.lookup import latest_per_key
+
+        # within one commit a key appears at most once (merge dedups
+        # per key), so SEQ_COL alone is a total per-key order
+        latest = latest_per_key(changes, list(self.table.keys), SEQ_COL)
+        return latest.filter(F.col(TYPE_COL) != "delete").drop(TYPE_COL, SEQ_COL)

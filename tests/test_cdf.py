@@ -250,3 +250,26 @@ def test_cdf_noop_first_capture_keeps_feed_readable(spark, tmp_path):
     assert cdf.read_changes().collect() == []
     cdf.merge(spark.createDataFrame([(2, "b")], "id long, v string"))
     assert _changes(cdf) == {(0, "insert", 2, "b")}
+
+
+def test_cdf_time_travel_read_as_of(spark, tmp_path):
+    """read_as_of(seq) must equal the table state right after commit
+    seq, at EVERY commit boundary of an insert → update → delete →
+    reinsert history, and equal read() at the head."""
+    cdf = _mk(spark, tmp_path)
+    cdf.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )  # seq 0
+    cdf.merge(spark.createDataFrame([(1, "a2")], "id long, v string"))  # seq 1
+    cdf.delete(spark.createDataFrame([(2,)], "id long"))  # seq 2
+    cdf.merge(spark.createDataFrame([(2, "b2")], "id long, v string"))  # seq 3
+
+    def state(seq):
+        return {(r.id, r.v) for r in cdf.read_as_of(seq).collect()}
+
+    assert state(-1) == set()  # before history
+    assert state(0) == {(1, "a"), (2, "b")}
+    assert state(1) == {(1, "a2"), (2, "b")}
+    assert state(2) == {(1, "a2")}  # delete visible
+    assert state(3) == {(1, "a2"), (2, "b2")}  # reinsert
+    assert state(99) == {(r.id, r.v) for r in cdf.read().collect()}
