@@ -1151,20 +1151,31 @@ def winnowed_fingerprints(
     md5-h60 + array_min — exact integers, DuckDB-reproducible.
 
     Scale: pure per-row array transforms (gram hashes, window minima,
-    distinct) — zero shuffles; output rows are (id, fingerprint)."""
+    distinct) — zero shuffles; output rows are (id, fingerprint).
+
+    The gram-hash array is MATERIALIZED behind a persist barrier before
+    the window minima: referenced directly inside the window lambda,
+    Catalyst inlines the whole tokenize→shingle→md5 expression into
+    every per-element evaluation — O(n_grams²) md5 calls per document
+    (measured 27.6s at sf0.1 vs ~1s materialized; CollapseProject undoes
+    a plain two-step select, so the cache is the barrier — the same
+    discipline as ``_hashed_base``)."""
     toks = tokens(F.col(text_col))
-    gh = F.transform(shingles(toks, k), _h60)
+    hashed = persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            F.transform(shingles(toks, k), _h60).alias("__gh"),
+        )
+    )
+    gh = F.col("__gh")
     n_win = F.greatest(F.size(gh) - (w - 1), F.lit(1))
     winnowed = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(gh, i, w)))
     )
-    base = persist_tracked(
-        ensure_parallelism(df).select(
-            F.col(id_col), F.size(gh).alias("__ng"), winnowed.alias("__wf")
-        )
-    )
-    return base.filter(F.col("__ng") > 0).select(
-        id_col, F.explode("__wf").alias("fp")
+    return (
+        hashed.filter(F.size(gh) > 0)
+        .select(F.col(id_col), winnowed.alias("__wf"))
+        .select(id_col, F.explode("__wf").alias("fp"))
     )
 
 
@@ -1186,7 +1197,14 @@ def winnow_pairs(
     candidate instances stay Σ C(df,2) over capped postings — never
     all-pairs. The winnowed sets are ~2/(w+1) the density of full gram
     sets, so the postings (and the join) are proportionally smaller
-    than the Jaccard index over the same corpus."""
+    than the Jaccard index over the same corpus.
+
+    The postings frame is NOT persisted: its three consumers re-run
+    only the cheap window-min transform over the CACHED gram arrays
+    (winnowed_fingerprints' barrier), and an extra cache layer here
+    measured 4-5x SLOWER end-to-end at sf0.1 (27.8s vs 5.9s) — an
+    InMemoryRelation boundary on the exploded postings defeats the
+    broadcast/AQE planning of the downstream joins."""
     posts = winnowed_fingerprints(df, id_col, text_col, k=k, w=w)
     total = df.select(F.count(F.lit(1)).alias("__n"))
     cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
