@@ -207,3 +207,43 @@ def test_pack_sequences_property(spark, token_counts, budget):
         assert got[i].token_offset == offset
         assert got[i].seq_id == offset // budget
         offset += n
+
+
+def test_winnowing_guarantee_randomized(spark):
+    """Property (Schleimer et al., Thm 1): if two documents share a
+    contiguous run of >= w + k - 1 tokens, winnowing MUST select at
+    least one common fingerprint from it, at any offsets and with any
+    surrounding noise — randomized over run lengths, offsets, and
+    distinct padding vocabularies."""
+    import random
+
+    from airbnb_cdc_spark.operators.dedup import winnow_pairs
+
+    rng = random.Random(77)
+    K, W = 3, 4
+    guarantee = W + K - 1  # 6 tokens
+    rows = []
+    expected_pairs = set()
+    next_id = 0
+    for case in range(8):
+        run_len = rng.randint(guarantee, guarantee + 10)
+        shared = [f"s{case}_{j}" for j in range(run_len)]
+        pad_a = [f"a{case}_{j}" for j in range(rng.randint(0, 12))]
+        pad_b = [f"b{case}_{j}" for j in range(rng.randint(0, 12))]
+        cut_a = rng.randint(0, len(pad_a))
+        cut_b = rng.randint(0, len(pad_b))
+        doc_a = pad_a[:cut_a] + shared + pad_a[cut_a:]
+        doc_b = pad_b[:cut_b] + shared + pad_b[cut_b:]
+        rows.append((next_id, " ".join(doc_a)))
+        rows.append((next_id + 1, " ".join(doc_b)))
+        expected_pairs.add((next_id, next_id + 1))
+        next_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(df, k=K, w=W, min_shared=1).collect()
+    }
+    # every planted pair detected; per-case vocabularies are disjoint,
+    # so NO cross-case pair can appear
+    assert expected_pairs <= got
+    assert all((a // 2) == (b // 2) for a, b in got)
