@@ -2446,6 +2446,53 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.winnow_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Winnow clusters: the same transitive-closure shape as
+# dedup_components, over near-substring (winnowed) pairs — groups of
+# documents chained by shared boilerplate runs, even when no two ends
+# of the chain share anything directly.
+_WINNOW_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_WINNOW_CTE.format(toks=_TOKS_CTE)},
+p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
+keep AS (
+    SELECT fp FROM p GROUP BY fp
+    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
+),
+pc AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
+np AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pc a JOIN pc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM np
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM np
+),
+reach(node, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+"""
+
+
+@query("winnow_components", _WINNOW_COMPONENTS_ORACLE)
+def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_cdc_spark.operators.graph import connected_components
+
+    pairs = _dedup.winnow_pairs(load_table(spark, sf_dir, "documents")).select(
+        "id_a", "id_b"
+    )
+    comp, converged = connected_components(pairs, max_iters=16)
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within max_iters=16; "
+            "raise max_iters (graph diameter exceeds the bound)"
+        )
+    return comp
+
+
 @query("incremental_chunk_dedup", _INCR_CHUNK_ORACLE)
 def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
