@@ -2477,6 +2477,59 @@ SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
 """
 
 
+# The APPLY step over winnow clusters: drop every cluster member but
+# its min-id representative — same broadcast anti-join shape as
+# dedup_keep_canonical, driven by near-substring pairs.
+_WINNOW_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_WINNOW_CTE.format(toks=_TOKS_CTE)},
+p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
+keep AS (
+    SELECT fp FROM p GROUP BY fp
+    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
+),
+pc AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
+np AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pc a JOIN pc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM np
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM np
+),
+reach(node, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id, d.source AS source,
+       CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_cluster
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node AND c.node = c.component
+WHERE NOT EXISTS (
+    SELECT 1 FROM comp x WHERE x.node = d.doc_id AND x.node <> x.component
+)
+"""
+
+
+@query("winnow_keep_canonical", _WINNOW_CANONICAL_ORACLE)
+def q_winnow_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: winnowed near-substring pairs → connected
+    components → anti-join the non-representatives out of the corpus.
+    The component frame is metadata-sized, so the corpus sees one
+    broadcast anti-join + one broadcast flag join — never a corpus
+    shuffle (operators/graph.py keep_canonical)."""
+    from airbnb_cdc_spark.operators.graph import keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.winnow_pairs(docs).select("id_a", "id_b")
+    return keep_canonical(docs, pairs, max_iters=16).select(
+        "doc_id", "source", "in_cluster"
+    )
+
+
 @query("winnow_components", _WINNOW_COMPONENTS_ORACLE)
 def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.graph import connected_components
