@@ -159,10 +159,16 @@ def rank_bounded(
 
     ``order`` must be a total order (pass negated numeric columns for
     DESC keys); NULL keys sort LAST (``asc_nulls_last``), matching the
-    ``desc nulls last`` default of the window this replaces. Callers
-    must hand in an already-bounded frame: on a multi-partition input
-    the coalesce(1) would serialize the upstream computation into one
-    task.
+    ``desc nulls last`` default of the window this replaces. NOTE
+    (behavior change vs the pre-r7 ``sort_array`` repack, which was
+    plain-ascending): that shape ranked NULL order keys FIRST; callers
+    negating nullable metrics get those rows ranked last here instead
+    — every registry caller orders by non-nullable keys or sits on a
+    limit() whose sort already pushed NULLs where it wanted them.
+    Callers must hand in an already-bounded frame: on a multi-partition
+    input the coalesce(1) would serialize the upstream computation into
+    one task (no runtime check — probing partition count would force
+    physical planning per call in top-k hot paths).
     """
     cols = df.columns
     one = df.coalesce(1).sortWithinPartitions(

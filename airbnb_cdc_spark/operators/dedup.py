@@ -1091,12 +1091,23 @@ def streaming_chunk_dedup(
     earlier batch (or run: the store survives restarts) suppresses
     every later recurrence.
 
-    ``store`` is a ``ParquetMergeTable`` keyed on ``chunk_hash``.
-    Inserts only — the first writer of a hash wins permanently, the
-    same first-occurrence semantics as the batch operator. Returns the
-    started StreamingQuery; await/stop is the caller's."""
-    import posixpath
+    ``store`` is a ``ParquetMergeTable`` keyed on ``chunk_hash``; each
+    row records the ``batch_id`` (foreachBatch epoch) that first
+    inserted it. The first writer of a hash wins permanently — the same
+    first-occurrence semantics as the batch operator — and the
+    ``batch_id`` makes the whole batch REPLAY-SAFE: foreachBatch can
+    re-run an epoch after a crash (same epoch id, same data), and by
+    then the store may already hold the crashed attempt's keeper
+    hashes. The seen-set therefore EXCLUDES rows this same epoch
+    inserted, so the replay reproduces the original marking bit-for-bit
+    (keepers stay keepers), the spans overwrite rewrites identical
+    content, and the re-merge replaces ``(hash, epoch)`` with itself.
+    Without the exclusion a replay would mark every batch chunk as a
+    duplicate and corrupt that epoch's spans directory. (Stores created
+    by older code lack ``batch_id``; their rows read as NULL → treated
+    as earlier-epoch history, and the first merge evolves the schema.)
 
+    Returns the started StreamingQuery; await/stop is the caller's."""
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
 
     if not isinstance(store, ParquetMergeTable):
@@ -1107,8 +1118,49 @@ def streaming_chunk_dedup(
         raise ValueError(f"store must be keyed on ['chunk_hash'], got {store.keys}")
 
     def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _chunk_dedup_batch(
+            batch_df, epoch, store, spans_dir, id_col, text_col, window, stride
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def _chunk_dedup_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    store,
+    spans_dir: str,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int,
+) -> None:
+    """One ``streaming_chunk_dedup`` micro-batch, replay-idempotent:
+    re-running the same ``(batch_df, epoch)`` — foreachBatch's crash
+    contract — reproduces the identical spans output and leaves the
+    store unchanged, because the seen-set excludes this epoch's own
+    inserts. Module-level so the replay property is directly testable."""
+    import posixpath
+
+    from airbnb_cdc_spark.session import cache_scope
+
+    # cache_scope: incremental_chunk_dedup persists the batch chunk
+    # frame; without a scoped release every micro-batch would leak one
+    # cached DataFrame into the session registry for the stream's
+    # lifetime.
+    with cache_scope():
         if store.exists():
-            seen = store.read().select("chunk_hash")
+            seen = store.read()
+            if "batch_id" in seen.columns:
+                # Replay safety: drop THIS epoch's own inserts from the
+                # history (NULL batch_id = legacy rows = history).
+                seen = seen.filter(
+                    F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(epoch)
+                )
+            seen = seen.select("chunk_hash")
         else:
             seen = batch_df.sparkSession.createDataFrame([], "chunk_hash string")
         marked = incremental_chunk_dedup(
@@ -1120,14 +1172,15 @@ def streaming_chunk_dedup(
             posixpath.join(spans_dir, f"batch_id={epoch}")
         )
         fresh = (
-            marked.filter(~F.col("is_dup")).select("chunk_hash").distinct()
+            marked.filter(~F.col("is_dup"))
+            .select("chunk_hash")
+            .distinct()
+            .withColumn("batch_id", F.lit(epoch).cast("long"))
         )
-        store.merge(fresh)
-
-    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+        # fresh can only contain hashes absent from history or inserted
+        # by this same epoch's crashed attempt, so the upsert never
+        # rewrites an earlier epoch's row.
+        store.merge(fresh, allow_schema_evolution=True)
 
 
 def winnowed_fingerprints(

@@ -433,26 +433,28 @@ def pii_scrub(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Redact email / phone / long-numeric-ID spans — the standard
-    corpus-prep privacy gate before training-data release. Per-class
-    match counts come off the ORIGINAL text; replacements then apply
-    in declaration order (emails first, so their digits never
-    double-count as phones/IDs; IDs last, so phone digits are already
-    gone). NULL text normalizes to empty, like the whole token family.
+    corpus-prep privacy gate before training-data release. Counts and
+    replacements CASCADE in declaration order: each class is counted on
+    the text with all earlier classes already redacted, so the counts
+    are exactly the spans that class's replacement rewrites (an email's
+    digits never double-count as phones/IDs, a phone never re-counts as
+    an ID — ``sum(n_*)`` is the true number of redacted spans). NULL
+    text normalizes to empty, like the whole token family.
 
     Pure Catalyst projection (regexp_extract_all + regexp_replace in
     whole-stage codegen, no UDF, no shuffle) — runs at scan speed on
     any corpus size; the regex subset is chosen so a DuckDB/RE2 oracle
     reproduces every span (see PII_PATTERNS)."""
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    counts = [
-        F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0)))
-        .cast("long")
-        .alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    scrubbed = txt
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    cascade = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cascade, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cascade = F.regexp_replace(cascade, pat, repl)
+    scrubbed = cascade
     return ensure_parallelism(df).select(
         F.col(id_col), scrubbed.alias("scrubbed"), *counts
     )

@@ -2562,11 +2562,13 @@ def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the regexes are literally identical on both engines (the pattern
 # subset is chosen to mean the same thing in Java regex and RE2).
 def _pii_sql_exprs() -> tuple[str, list[str]]:
+    # Counts cascade like the replacements (each class counted on the
+    # text with earlier classes redacted) — mirrors text.pii_scrub.
     scrub = "coalesce(text, '')"
     counts = []
     for name, pat, repl in _text.PII_PATTERNS:
         counts.append(
-            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+            f"CAST(len(regexp_extract_all({scrub}, '{pat}'))"
             f" AS BIGINT) AS n_{name}"
         )
         scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"

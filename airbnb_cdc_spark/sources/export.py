@@ -40,11 +40,19 @@ def export_training_shards(
     files), and sorted by ``seq_col`` within partitions so sequences
     lie contiguously in file order — what a sequential loader wants.
     At 100 TB this is one hash shuffle on the shard key; skewed shards
-    simply produce more files at the same bound."""
+    simply produce more files at the same bound.
+
+    The manifest's stats are computed by READING BACK the written
+    output (not by re-running ``packed``'s plan, which could disagree
+    with the files if the input is non-deterministic), and the JSON is
+    written through the Hadoop FileSystem API so it lands next to the
+    data on ANY scheme (``hdfs://``, ``s3a://``) — a local ``open()``
+    would write the shards remotely and then crash on the manifest."""
     if max_records_per_file <= 0:
         raise ValueError(
             f"max_records_per_file must be positive, got {max_records_per_file}"
         )
+    spark = packed.sparkSession
     (
         packed.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, seq_col)
@@ -53,8 +61,9 @@ def export_training_shards(
         .mode("overwrite")
         .parquet(out_dir)
     )
+    written = spark.read.parquet(out_dir)
     stats = (
-        packed.groupBy(shard_col)
+        written.groupBy(shard_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows"),
             F.sum(F.col(tokens_col)).cast("long").alias("tokens"),
@@ -77,6 +86,23 @@ def export_training_shards(
         "total_rows": sum(s["rows"] for s in shards.values()),
         "total_tokens": sum(s["tokens"] for s in shards.values()),
     }
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_text_file(
+        spark,
+        os.path.join(out_dir, "_manifest.json"),
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
     return manifest
+
+
+def _write_text_file(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so it
+    follows the data's scheme (local, hdfs://, s3a://) instead of
+    assuming a local path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

@@ -235,3 +235,50 @@ def test_streaming_chunk_dedup_against_store(spark, tmp_path):
     dropped = {(r.doc_id, r.chunk_idx) for r in spans.collect()}
     assert dropped == {(3, 0), (9, 0)}
     assert store.read().count() == 5  # nothing new to insert
+
+
+def test_chunk_dedup_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch's crash contract replays an epoch AFTER its side
+    effects may have landed (store.merge ran, checkpoint commit did
+    not). The replay must reproduce the original marking — not mark the
+    batch's own keeper hashes as duplicates — and leave the store
+    unchanged. Regression test for the pre-r9 corruption where a
+    replayed epoch rewrote its spans dir with every chunk droppable."""
+    from airbnb_cdc_spark.operators.dedup import _chunk_dedup_batch
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    store = ParquetMergeTable(spark, str(tmp_path / "store"), ["chunk_hash"])
+    spans_dir = str(tmp_path / "spans")
+    boiler = "p q r s"
+
+    def batch_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = batch_df([(1, f"{boiler} a b c d"), (2, "e f g h")])
+    _chunk_dedup_batch(b0, 0, store, spans_dir, "doc_id", "text", 4, 4)
+    b1 = batch_df([(3, f"{boiler} x y z w"), (4, "n o v q")])
+    _chunk_dedup_batch(b1, 1, store, spans_dir, "doc_id", "text", 4, 4)
+
+    def snapshot():
+        spans = {
+            (r.doc_id, r.chunk_idx)
+            for r in spark.read.parquet(spans_dir).collect()
+        }
+        st = {
+            (r.chunk_hash, r.batch_id) for r in store.read().collect()
+        }
+        return spans, st
+
+    spans1, store1 = snapshot()
+    assert spans1 == {(3, 0)}  # only the boilerplate recurrence dropped
+    assert len(store1) == 5
+    assert {b for _, b in store1} == {0, 1}
+
+    # Crash-replay epoch 1: same data, same epoch, store already holds
+    # epoch 1's keeper hashes. Must be a no-op.
+    _chunk_dedup_batch(b1, 1, store, spans_dir, "doc_id", "text", 4, 4)
+    assert snapshot() == (spans1, store1)
+
+    # And replaying epoch 0 (a lagging restart) is equally safe.
+    _chunk_dedup_batch(b0, 0, store, spans_dir, "doc_id", "text", 4, 4)
+    assert snapshot() == (spans1, store1)
