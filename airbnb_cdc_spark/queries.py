@@ -1497,6 +1497,122 @@ def q_anti_join_never_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+# Bloom-bitset runtime-filter semi-join (operators/bloomjoin.py). Both
+# oracles are BUILT from the same constants as the operator: positions
+# are md5-h60("<i>:<key>") % num_bits, so even the pre-verify survivor
+# set (false positives included) is reproduced bit-for-bit by DuckDB —
+# the bitset's word-level test is equivalent to position-set membership.
+# num_bits is deliberately small (4096) so the false-positive path is
+# EXERCISED at every SF, not just theoretically present.
+_BLOOM_BITS, _BLOOM_K, _BLOOM_BAL = 4096, 3, 8000
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5(concat('{i}:', "
+        f"CAST({key_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % {_BLOOM_BITS})"
+    )
+
+
+_BLOOM_EFFECT_ORACLE = f"""
+WITH dimk AS (
+    SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+),
+dpos AS (
+    SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql("c_custkey", i) for i in range(_BLOOM_K))}]) AS pos
+        FROM dimk
+    )
+),
+f AS (
+    SELECT {", ".join(f"{_bloom_pos_sql('o_custkey', i)} AS q{i}" for i in range(_BLOOM_K))},
+           o_custkey IN (SELECT c_custkey FROM dimk) AS is_match
+    FROM orders
+),
+s AS (
+    SELECT is_match,
+           ({" AND ".join(f"q{i} IN (SELECT pos FROM dpos)" for i in range(_BLOOM_K))}) AS survives
+    FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(SUM(CASE WHEN survives AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+FROM s
+"""
+
+
+@query("bloom_prune_effect", _BLOOM_EFFECT_ORACLE)
+def q_bloom_prune_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit row for the Bloom runtime filter: fact size, bloom
+    survivors, true matches, false positives — proves cross-engine that
+    the bitset admits exactly the position-set-member rows."""
+    from airbnb_cdc_spark.operators.bloomjoin import bloom_mark
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > _BLOOM_BAL)
+        .select("c_custkey")
+    )
+    marked = bloom_mark(
+        orders, dim, "o_custkey", "c_custkey",
+        num_bits=_BLOOM_BITS, num_hashes=_BLOOM_K,
+    )
+    keys = (
+        dim.select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("__m", F.lit(True))
+    )
+    flags = marked.join(F.broadcast(keys), "o_custkey", "left")
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("__m").isNotNull().cast("long")).alias("n_match"),
+        F.sum((F.col("bloom_hit") & F.col("__m").isNull()).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )
+
+
+_BLOOM_SEMI_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+)
+GROUP BY o_orderstatus
+"""
+
+
+@query("bloom_semi_join_orders", _BLOOM_SEMI_ORACLE)
+def q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by status over orders of high-balance customers, with
+    the fact pruned by the dim's Bloom bitset before the exact semi
+    join — the end result is oracle-identical to the plain semi-join
+    for ANY bitset sizing (verify step), which is the operator's
+    contract."""
+    from airbnb_cdc_spark.operators.bloomjoin import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > _BLOOM_BAL)
+        .select("c_custkey")
+    )
+    joined = bloom_semi_join(
+        orders, dim, "o_custkey", "c_custkey",
+        num_bits=_BLOOM_BITS, num_hashes=_BLOOM_K,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("revenue"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar-function breadth (§2.6 beyond the reference's CASE/ISNULL/CAST):
 # date parts, string cleanup, JSON extraction — each a Catalyst-native

@@ -449,6 +449,12 @@ LI_DIFF_QUERIES = [
     # resolving custkeys), so this is the agreement-on-zero leg; actual
     # violation counting is covered by test_expectations.py.
     "orders_expectations",
+    # r9: the Bloom runtime filter — random tiny fact/dim draws check
+    # the position arithmetic (md5-h60 % m, word/mask test) against the
+    # oracle's position-set membership, including empty-dim and
+    # all-match draws.
+    "bloom_prune_effect",
+    "bloom_semi_join_orders",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -559,7 +565,14 @@ def _write_tpch(spark, pdir, orders, lineitems):
         parts,
         "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
     ).coalesce(1).write.parquet(str(pdir / "part.parquet"))
-    custs = [(i, f"Customer#{i}", 0, 0.0, "SEG") for i in range(4)]
+    # acctbal straddles the bloom queries' 8000 cut: custkeys 1-2 form
+    # the dim, 0/3 are non-matches — so generated orders exercise both
+    # bloom hits and misses (and custkey draws of 0..3 guarantee the
+    # false-positive arithmetic sees real traffic).
+    custs = [
+        (i, f"Customer#{i}", 0, [0.0, 9000.0, 8500.0, -100.0][i % 4], "SEG")
+        for i in range(4)
+    ]
     spark.createDataFrame(
         custs,
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
