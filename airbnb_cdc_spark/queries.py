@@ -3940,6 +3940,51 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.linear_trend(load_table(spark, sf_dir, "events"))
 
 
+# Z-order layout audit (operators/zorder.py): the oracle's Morton
+# expression is GENERATED by the same bit loop as the Spark column, so
+# the interleave is literally identical cross-engine.
+_ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
+
+
+def _zorder_oracle() -> str:
+    from airbnb_cdc_spark.operators.zorder import zvalue_sql
+
+    shift = 2 * _ZORDER_BITS - _ZORDER_FILE_BITS
+    return f"""
+WITH q AS (
+    SELECT (user_id % 256) AS x,
+           ((epoch_us(ts) // 1000000 // 3600) % 256) AS y
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), z AS (
+    SELECT x, y, {zvalue_sql("x", "y", _ZORDER_BITS)} AS zv FROM q
+)
+SELECT (zv >> {shift}) AS zfile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY 1
+"""
+
+
+@query("zorder_events_layout", _zorder_oracle())
+def q_zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-layout audit over events quantized to (user_id mod 256,
+    hour mod 256): per z-file row counts and bounding boxes — the
+    min/max-skipping proof a Z-ordered rewrite provides on BOTH
+    dimensions (operators/zorder.py)."""
+    from airbnb_cdc_spark.operators.zorder import zorder_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    secs = F.col("ts").cast("timestamp").cast("long")
+    y = F.pmod(F.floor(secs / F.lit(3600)).cast("long"), F.lit(256))
+    return zorder_stats(
+        ev, x, y, bits=_ZORDER_BITS, file_bits=_ZORDER_FILE_BITS
+    )
+
+
 _WEIGHTED_SAMPLE_ORACLE = f"""
 WITH {_TOKS_CTE}
 SELECT doc_id,

@@ -194,6 +194,9 @@ EVENT_DIFF_QUERIES = [
     # lag pairs under the (ts, event_id) total order — forced equal-ts
     # collisions exercise the ordering directly.
     "event_transitions",
+    # r9: Morton-interleave arithmetic on random (user, ts) draws —
+    # NULL user_id/ts rows must drop identically on both engines.
+    "zorder_events_layout",
 ]
 
 
