@@ -82,3 +82,59 @@ def canonicalize_keys(
     return df.join(
         F.broadcast(cmap).withColumnRenamed("__k", key_col), key_col, "left"
     )
+
+
+def fuzzy_key_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Cross-TABLE record linkage: every ``(left_key, right_key)`` pair
+    within Levenshtein distance ``max_dist``, with the distance — the
+    two-dataset form of ``canonicalize_keys`` (link a probe/crawl/new
+    feed against a master entity table instead of clustering one
+    column).
+
+    Same SymSpell deletion blocking, applied to BOTH key sets: a pair
+    within distance 1 necessarily shares a single-deletion variant
+    (see module docstring), so the variant equi-join is a lossless
+    block and ``levenshtein() <= max_dist`` is the exact verify. Only
+    ``max_dist=1`` is supported — the delete-1 index is complete
+    exactly for that radius (delete-2 indexes exist but cube the
+    postings; at corpus scale you shard by key length first).
+
+    Scale: both sides shrink to DISTINCT keys before the explode, the
+    join runs on short variant strings, and output is distinct pairs —
+    cost follows distinct-key counts, never row counts. NULL/empty
+    keys never match (consistent with canonicalize_keys).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            f"only max_dist=1 is exact under delete-1 blocking, got {max_dist}"
+        )
+    lk = (
+        left.select(F.col(left_key).alias("__lk"))
+        .filter(F.col("__lk").isNotNull())
+        .distinct()
+        .select("__lk", F.explode(_deletion_keys(F.col("__lk"))).alias("__d"))
+    )
+    rk = (
+        right.select(F.col(right_key).alias("__rk"))
+        .filter(F.col("__rk").isNotNull())
+        .distinct()
+        .select("__rk", F.explode(_deletion_keys(F.col("__rk"))).alias("__d"))
+    )
+    return (
+        lk.join(rk, "__d")
+        .filter(F.levenshtein(F.col("__lk"), F.col("__rk")) <= max_dist)
+        .select(
+            F.col("__lk").alias(left_key),
+            F.col("__rk").alias(right_key),
+            F.levenshtein(F.col("__lk"), F.col("__rk"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .distinct()
+    )

@@ -3633,6 +3633,54 @@ def q_part_name_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-table fuzzy linkage (operators/entity.py fuzzy_key_pairs): the
+# probe set is the part names CORRUPTED deterministically (one char
+# deleted at an md5-chosen position — the same h60 convention), so the
+# oracle regenerates identical probes and brute-forces the distance-1
+# pairs the SymSpell block must reproduce exactly.
+_FUZZY_LINK_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE length(p_name) > 0),
+probes AS (
+    SELECT DISTINCT
+        substring(p_name, 1, dp - 1) || substring(p_name, dp + 1) AS probe_name
+    FROM (
+        SELECT p_name,
+               CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT)
+                   % length(p_name) + 1 AS dp
+        FROM names
+    )
+)
+SELECT p.probe_name, n.p_name,
+       CAST(levenshtein(p.probe_name, n.p_name) AS INTEGER) AS dist
+FROM probes p JOIN names n ON levenshtein(p.probe_name, n.p_name) <= 1
+"""
+
+
+@query("fuzzy_link_part_names", _FUZZY_LINK_ORACLE)
+def q_fuzzy_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage of a corrupted probe feed against the master
+    part-name table: distance-<=1 pairs via delete-1 blocking + exact
+    levenshtein verify — cost follows distinct keys, never an
+    all-pairs cross join."""
+    from airbnb_cdc_spark.functions.textfns import h60
+    from airbnb_cdc_spark.operators.entity import fuzzy_key_pairs
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .filter(F.length("p_name") > 0)
+        .distinct()
+    )
+    dp = F.pmod(h60(F.col("p_name")), F.length("p_name")) + F.lit(1)
+    probes = names.select(
+        F.concat(
+            F.col("p_name").substr(F.lit(1), dp - F.lit(1)),
+            F.col("p_name").substr(dp + F.lit(1), F.length("p_name")),
+        ).alias("probe_name")
+    ).distinct()
+    return fuzzy_key_pairs(probes, names, "probe_name", "p_name")
+
+
 # TPC-H Q14 shape: monthly promo revenue share in 1996. Exact-decimal
 # sums; the percentage is a DOUBLE division of two already-exact
 # doubles (decimal division scale rules differ across engines).

@@ -458,6 +458,10 @@ LI_DIFF_QUERIES = [
     # all-match draws.
     "bloom_prune_effect",
     "bloom_semi_join_orders",
+    # r9: delete-1 fuzzy linkage — the fixture's "part N" names are all
+    # pairwise distance 1, so probes match MULTIPLE masters and the
+    # block's completeness is exercised beyond 1:1 self-matches.
+    "fuzzy_link_part_names",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
