@@ -178,3 +178,57 @@ def rank_bounded(
         *cols,
         (F.monotonically_increasing_id() + 1).cast("int").alias(rank_col),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Smallest ``k`` rows per group under ``order`` (ascending — pass
+    negated numerics for DESC), with a 1-based ``rank_col`` — the
+    skew-proof alternative to ``row_number() OVER (PARTITION BY g)``.
+
+    A partitioned window serializes each group into one task: a
+    templated corpus whose biggest cluster holds 10% of 100 TB turns
+    the window into a straggler (and its sort buffer into a spill).
+    This runs SALTED TWO-PHASE instead: rows hash into ``n_salts``
+    sub-groups, each sub-group keeps its k smallest via
+    ``slice(sort_array(collect_list(...)), 1, k)`` (bounding state at
+    group_size / n_salts per task), then the ≤ n_salts·k per-group
+    candidates merge the same way. No task ever holds a whole hot
+    group; both phases are ordinary hash aggregations with map-side
+    partials.
+
+    ``order`` must be a total order (ties broken by a trailing unique
+    key), or the k-cut is engine-dependent: sort_array compares the
+    FULL struct, so without a unique prefix the payload itself becomes
+    the tie-break. Deterministic for any salt assignment — salting
+    only load-balances, the merge result is salt-invariant.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cols = df.columns
+    item = F.struct(
+        *[o.alias(f"__o{i}") for i, o in enumerate(order)],
+        F.struct(*[F.col(c) for c in cols]).alias("__row"),
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    stage1 = (
+        df.groupBy(*group_cols, salt.alias("__s"))
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("__top"))
+    )
+    stage2 = stage1.groupBy(*group_cols).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__top"))), 1, k
+        ).alias("__top")
+    )
+    return stage2.select(
+        F.posexplode("__top").alias("__p", "__item")
+    ).select(
+        F.col("__item.__row.*"),
+        (F.col("__p") + 1).cast("int").alias(rank_col),
+    )

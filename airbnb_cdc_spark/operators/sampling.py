@@ -208,3 +208,34 @@ def weighted_sample(
     BIGINT) % 1000``.
     """
     return df.filter(_bucket(F.col(key_col), 1000) < weight_permille)
+
+
+def diversity_sample(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "doc_id",
+    per_cluster: int = 2,
+    rank_col: str = "pick_rank",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: at most ``per_cluster``
+    rows from every cluster, picked by md5-hash order of the id
+    (deterministic, engine-reproducible) — the standard counter to
+    near-duplicate over-representation: a template with 10,000 copies
+    and a unique document contribute the same ``per_cluster`` rows.
+
+    Pair it with any clustering the engine produces (simhash_cluster,
+    dedup_components, IVF/k-means cells). Runs on the salted two-phase
+    ``topk_per_group``, so a mega-cluster never serializes into one
+    task (see aggregate.topk_per_group).
+    """
+    from airbnb_cdc_spark.functions.textfns import h60
+    from airbnb_cdc_spark.operators.aggregate import topk_per_group
+
+    key = h60(F.col(id_col).cast("string"))
+    return topk_per_group(
+        df,
+        [cluster_col],
+        [key, F.col(id_col)],
+        per_cluster,
+        rank_col=rank_col,
+    )

@@ -3079,6 +3079,47 @@ def q_dedup_simhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_cluster(load_table(spark, sf_dir, "documents"))
 
 
+def _diversity_oracle(per_cluster: int = 2) -> str:
+    # Cluster assignment = the simhash-cluster oracle; the pick order
+    # inside each cluster is (md5-h60(doc_id), doc_id) — deterministic,
+    # so the sampled SET (not just its size) matches cross-engine.
+    return f"""
+WITH sims AS ({_simhash_oracle(32)}),
+fps AS (SELECT simhash, min(doc_id) AS rep FROM sims GROUP BY 1),
+cmap AS (
+    SELECT a.simhash, min(b.rep) AS cluster_rep
+    FROM fps a JOIN fps b ON bit_count(xor(a.simhash, b.simhash)) <= 3
+    GROUP BY 1
+),
+assigned AS (SELECT s.doc_id, c.cluster_rep FROM sims s JOIN cmap c USING (simhash)),
+ranked AS (
+    SELECT doc_id, cluster_rep,
+           row_number() OVER (
+               PARTITION BY cluster_rep
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id
+           ) AS rn
+    FROM assigned
+)
+SELECT doc_id, cluster_rep, CAST(rn AS INTEGER) AS pick_rank
+FROM ranked WHERE rn <= {per_cluster}
+"""
+
+
+@query("diversity_sample_by_cluster", _diversity_oracle())
+def q_diversity_sample_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling over simhash near-dup clusters: at
+    most 2 docs per cluster, md5-ordered — the anti-over-representation
+    gate (a 10k-copy template and a unique doc contribute equally).
+    Runs on the salted two-phase topk_per_group, so a mega-cluster
+    never serializes into one task (operators/sampling.py,
+    operators/aggregate.py)."""
+    from airbnb_cdc_spark.operators.sampling import diversity_sample
+
+    clusters = _dedup.simhash_cluster(load_table(spark, sf_dir, "documents"))
+    return diversity_sample(clusters, "cluster_rep", per_cluster=2)
+
+
 _FUNNEL_ORACLE = """
 WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
 c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e

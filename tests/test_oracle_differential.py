@@ -101,6 +101,10 @@ DIFF_QUERIES = [
     "multimodal_features",
     "mm_resize",
     "mm_frame_sample",
+    # r9: cluster-balanced sampling — tiny corpora draw single-doc and
+    # shared-fingerprint clusters, exercising the per-cluster cut and
+    # the md5 pick order against the window-rank oracle
+    "diversity_sample_by_cluster",
 ]
 
 
