@@ -5,33 +5,42 @@ relation but whose KEY SET compresses into a few-MB bit array.
 
 The reference's lookup/join surface (dataflow joins over warehouse
 tables) always shuffles the fact when the dim outgrows the broadcast
-threshold. This operator keeps the fact scan shuffle-free: the dim's
+threshold. This operator keeps the fact scan shuffle-light: the dim's
 keys are hashed into a fixed-size Bloom bitset (built distributed —
-explode positions, one word-level ``bit_or`` aggregate, never a
-driver-side set), the one-row bitset is broadcast onto the fact as a
-pure Catalyst filter (``element_at`` + bitwise AND in whole-stage
-codegen), and only the surviving sliver — true matches plus the
-tunable false-positive residue — reaches the exact ``left_semi``
-verify.
-That verify makes the END RESULT exactly the semi-join regardless of
-false positives, so correctness never depends on the filter; the
-filter only moves work off the 100 TB side. This is the same shape as
-Spark's own AQE runtime bloom (InjectRuntimeFilter), exposed as an
-operator so pipelines can apply it across stage boundaries the
-optimizer can't see through (checkpointed frames, foreachBatch sinks,
-pre-bucketed stores).
+explode positions, one word-level ``bit_or`` aggregate; only the
+aggregated ≤ ``num_bits/64`` words ever reach the driver), the bitset
+is embedded as an ARRAY LITERAL in a plain filter on the fact, and
+only the surviving sliver — true matches plus the tunable
+false-positive residue — reaches the exact ``left_semi`` verify. That
+verify makes the END RESULT exactly the semi-join regardless of false
+positives, so correctness never depends on the filter; the filter only
+moves work off the 100 TB side.
+
+Why a driver-materialized literal and not a broadcast 1-row bitmap
+join: a first implementation attached the bitset via
+``fact.crossJoin(broadcast(bitmap_row)).filter(probe)`` — and
+Catalyst's ``PushDownLeftSemiAntiJoin`` rule then pushed the exact
+verify BELOW the bitmap join (its condition references only fact
+columns), producing a plan that shuffled the FULL fact into the
+sort-merge semi join and applied the bloom probe to its output:
+runtime filtering exactly backwards. A literal filter cannot be
+reordered behind the join — it sits directly on the scan, which is the
+entire point. This is the same materialization shape Spark's own
+``InjectRuntimeFilter``/``InSubqueryExec`` uses (the optimizer's bloom
+is likewise built, collected, and replanned as a scan-side filter);
+the driver cost is the bitset itself, ``num_bits/8`` bytes
+(1 MiB at the 2^23 default), a deliberate metadata-sized collect.
 
 Determinism: positions are md5-h60 of ``"<i>:<key>"`` mod
 ``num_bits`` — exact integers, reproducible in DuckDB with the shared
 ``('0x' || substring(md5(..), 1, 15))`` convention, so even the
 pre-verify survivor set (false positives included) is oracle-checkable
-cross-engine.
+cross-engine (the bitset word test is equivalent to position-set
+membership).
 
 Sizing: with ``n`` dim keys, ``m = num_bits``, ``k = num_hashes``,
 false-positive rate ≈ ``(1 - e^(-kn/m))^k`` — 1 byte per key
-(m = 8n, k = 3) gives ~3%. The bitset frame is ``m/64`` longs ≤ a few
-MB for billions of keys at the coarse end; words with no set bits are
-simply absent from the map (sparse).
+(m = 8n, k = 3) gives ~3%.
 """
 
 from __future__ import annotations
@@ -64,17 +73,18 @@ def _mask(pos: Column) -> Column:
     )
 
 
-def bloom_bitset(
+def bloom_bitset_words(
     keys_df: DataFrame, key_col: str, num_bits: int, num_hashes: int
-) -> DataFrame:
-    """ONE-ROW frame ``(bloom: map<long, long>)`` — the dim key set as
-    a sparse word-indexed bitset (word = position >> 6, mask = OR of
-    ``1 << (position & 63)``). Built with one explode + one word-level
-    aggregate: the dim is scanned once, shuffles only exploded
-    ``(word, mask)`` ints, and the result is metadata-sized — never a
-    driver-side collect. Map lookup is key-addressed, so the
-    collect_list order feeding ``map_from_entries`` is irrelevant."""
-    pos = (
+) -> list[int]:
+    """The dim key set as a DENSE word array (``num_bits/64`` longs;
+    word = position >> 6, bit = position & 63). Built with one explode
+    + one word-level ``bit_or`` aggregate — the dim is scanned once and
+    shuffles only exploded ``(word, mask)`` ints; the collect pulls the
+    AGGREGATED words only (metadata-sized by construction: ≤ 128 Ki
+    longs at the 2^23-bit default), never the keys."""
+    if num_bits < 64 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    rows = (
         keys_df.select(
             F.explode(
                 F.array(*bloom_positions(F.col(key_col), num_bits, num_hashes))
@@ -85,11 +95,14 @@ def bloom_bitset(
             F.shiftright(F.col("pos"), 6).alias("w"),
             _mask(F.col("pos")).alias("m"),
         )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+        .collect()
     )
-    words = pos.groupBy("w").agg(F.bit_or("m").alias("m"))
-    return words.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("bloom")
-    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["m"]
+    return words
 
 
 def bloom_mark(
@@ -102,22 +115,24 @@ def bloom_mark(
     out_col: str = "bloom_hit",
 ) -> DataFrame:
     """``fact`` + boolean ``out_col``: does the row's key PASS the
-    dim's Bloom bitset (true matches plus false positives)? The fact
-    side stays a narrow scan+project: the bitset row is broadcast via
-    a 1-row join and every probe is ``element_at`` + bitwise AND in
-    whole-stage codegen."""
+    dim's Bloom bitset (true matches plus false positives)? The bitset
+    is an array literal, so the probe is a pure whole-stage-codegen
+    projection on the fact scan — no join, nothing the optimizer can
+    reorder behind downstream joins."""
     dim_key = dim_key or fact_key
-    bits = bloom_bitset(keys_df, dim_key, num_bits, num_hashes)
+    words = F.lit(bloom_bitset_words(keys_df, dim_key, num_bits, num_hashes))
     cond = None
     for p in bloom_positions(F.col(fact_key), num_bits, num_hashes):
+        # element_at is 1-based on arrays; the array is dense, so no
+        # missing-word coalesce is needed.
         hit = (
-            F.coalesce(
-                F.element_at(F.col("bloom"), F.shiftright(p, 6)), F.lit(0)
-            ).bitwiseAND(_mask(p))
+            F.element_at(words, (F.shiftright(p, 6) + 1).cast("int")).bitwiseAND(
+                _mask(p)
+            )
             != 0
         )
         cond = hit if cond is None else (cond & hit)
-    return fact.join(F.broadcast(bits)).withColumn(out_col, cond).drop("bloom")
+    return fact.withColumn(out_col, cond)
 
 
 def bloom_prune(

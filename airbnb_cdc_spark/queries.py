@@ -4537,69 +4537,67 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # r8 rotation (VERDICT r7 ask #3): lead with every query whose code
-    # changed after its last driver record, then the rest of the 52 not
-    # in CORRECTNESS_r07 — r7 ∪ r8 then covers 99 of 106; the 12 ceded
-    # slots (revenue_pareto, value_trend_by_type, events_resample_ffill,
-    # dedup_keep_canonical, asof_next_purchase_after_view,
-    # conditional_split_bad/accepted, project_cast,
-    # filter_by_status, alter_row_flags, text_stats, language_id — all
-    # unchanged O-family/text basics) stay covered by the r6 record,
-    # the judge's HEAD re-run, and the differential suite.
-    # (a) changed-code leads: the KMV empty-side fix, the four r8-new
-    # queries, the chunks-CTE oracle refactor, the three rank_bounded
-    # consumers, the IVF/merge families the r7 verdict named
-    "user_overlap_kmv",
-    "chunk_dedup_spans",
-    "chunk_dedup_summary",
-    "chunk_dedup_intervals",
-    "incremental_chunk_dedup",
-    "winnow_fingerprints",
-    "winnow_pairs",
+    # r9 rotation: (a) the five r9-new queries (bloom runtime filter,
+    # z-order layout, fuzzy linkage, diversity sampling) so their first
+    # driver record is this round; (b) pii_scrub/pii_report, whose
+    # COUNT SEMANTICS changed this round (cascaded counts) — their r8
+    # records describe the old formula; (c) the 14 queries never in any
+    # driver record (r7∪r8 gap: O-family basics + the late-r8 winnow
+    # apply/components + r6 tail), so r7∪r8∪r9 covers the whole
+    # registry; (d) fill from the oldest-record (r7-only) set in
+    # registry order. Ceded: everything recorded green in r8 on
+    # unchanged code — still covered by that record, verify_local at
+    # HEAD, and the differential suite.
+    "bloom_prune_effect",
+    "bloom_semi_join_orders",
+    "zorder_events_layout",
+    "fuzzy_link_part_names",
+    "diversity_sample_by_cluster",
     "pii_scrub",
     "pii_report",
-    "doc_chunks",
-    "top_spenders",
-    "bigram_vocab",
-    "bigram_pmi",
-    "ann_topk_ivf_kmeans",
-    "ann_topk_ivf_recall",
-    "semdedup_pairs",
-    "cdc_merge_upsert",
-    "booking_customer_aggregation",
-    "lookup_latest_event",
-    # (b) the remaining not-in-r7 queries, registry order
-    "quality_filter",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "dedup_embedding_cosine",
-    "multimodal_features",
-    "pricing_summary",
-    "salted_status_totals",
-    "rolling_fingerprint",
-    "asof_last_view_before_purchase",
-    "set_ops_customers",
-    "pivot_status_by_priority",
-    "sample_by_lang",
-    "dataset_split_counts",
-    "dedup_simhash_cluster",
-    "orders_profile",
-    "late_ship_priority_check",
-    "large_orders",
-    "decontaminate_vs_benchmark",
-    "embedding_outliers",
-    "dedup_components",
-    "pit_state_at_purchase",
-    "part_name_canonical",
-    "promo_revenue_share",
-    "mixture_by_token_budget",
+    "conditional_split_bad",
+    "conditional_split_accepted",
+    "project_cast",
+    "filter_by_status",
+    "alter_row_flags",
+    "text_stats",
+    "language_id",
+    "winnow_keep_canonical",
+    "winnow_components",
+    "dedup_keep_canonical",
+    "asof_next_purchase_after_view",
+    "events_resample_ffill",
+    "value_trend_by_type",
+    "revenue_pareto",
+    "top_terms_per_doc",
+    "dedup_containment",
+    "incremental_dedup_new_docs",
+    "knn_label_vote",
+    "mm_resize",
+    "mm_frame_sample",
+    "events_windowed_agg",
+    "token_count_cms",
+    "distinct_users_kmv",
+    "cohort_retention",
+    "trailing_7d_users",
+    "events_hopping_agg",
+    "interval_join_attribution",
+    "token_counts",
+    "user_sessions",
+    "rollup_country_status",
+    "semi_join_buyers",
+    "anti_join_never_bought",
+    "orders_by_month",
+    "customer_name_clean",
+    "json_extract_agg",
+    "shipping_priority",
+    "local_supplier_revenue",
+    "ann_topk_ivf",
+    "ann_topk_ivf_nprobe",
+    "cube_status_priority",
+    "running_customer_spend",
+    "status_percentiles",
+    "trailing_hour_activity",
 ]
 
 
