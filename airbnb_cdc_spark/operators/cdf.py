@@ -66,6 +66,41 @@ class ChangeCapturingMergeTable:
         seqs = self._seq_dirs()
         return max(seqs) + 1 if seqs else 0
 
+    def _feed_meta_path(self) -> str:
+        return f"{self.changes_path}/_feed_meta.json"
+
+    def min_seq(self) -> int:
+        """Earliest sequence still individually reconstructable: 0 for
+        a never-checkpointed feed, else the checkpoint boundary."""
+        import json
+
+        fs, _ = _fs(self.spark, self.changes_path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        p = Path(self._feed_meta_path())
+        if not fs.exists(p):
+            return 0
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+        return int(json.loads(data.decode("utf-8"))["min_seq"])
+
+    def _save_feed_meta(self, min_seq: int) -> None:
+        import json
+
+        fs, _ = _fs(self.spark, self.changes_path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        out = fs.create(Path(self._feed_meta_path()), True)
+        try:
+            out.write(bytearray(json.dumps({"min_seq": min_seq}), "utf-8"))
+        finally:
+            out.close()
+
     def _affected(self, keys_df: DataFrame) -> DataFrame:
         """Current rows for the given keys, bucket-pruned like merge."""
         if not self.table._has_buckets():
@@ -152,11 +187,87 @@ class ChangeCapturingMergeTable:
 
     # -- consumption -------------------------------------------------------
 
+    def checkpoint_feed(self, upto_seq: int) -> None:
+        """Compact the feed's history prefix — Delta's checkpoint +
+        VACUUM in one move: every ``_cdf_seq <= upto_seq`` partition is
+        replaced by ONE snapshot partition at ``upto_seq`` holding the
+        as-of state as full ``insert`` images. A feed otherwise grows
+        one directory per commit forever (the listing, not the data,
+        becomes the cost at 100 TB-scale commit counts); after a
+        checkpoint the retained layout is snapshot + tail.
+
+        Exactness is preserved for everything still answerable:
+        ``read_as_of(seq >= upto_seq)`` returns bit-identical results
+        (latest-change-per-key over snapshot ∪ tail — a key deleted
+        before the boundary is absent from the snapshot, a later
+        re-insert wins over it), ``read_changes(since >= upto_seq)``
+        still returns true deltas, and the -1 bootstrap replay
+        reconstructs the table from the snapshot forward. History
+        STRICTLY BEFORE the boundary is gone — those reads now raise
+        (``min_seq()`` reports the boundary), exactly Delta's
+        earliest-retained-version contract.
+
+        Single-writer, like every write on this table. The swap is two
+        directory renames (feed → __old, rebuilt tmp → feed) around
+        metadata-only moves of the tail partitions; a crash inside the
+        window leaves ``__old`` intact for manual recovery — the same
+        non-atomicity class as the table's own overwrite, documented
+        rather than hidden (a transactional log is exactly what Delta
+        adds over parquet; this shim keeps parquet semantics)."""
+        import uuid as _uuid
+
+        seqs = sorted(self._seq_dirs())
+        if not seqs:
+            raise ValueError("cannot checkpoint an empty feed")
+        if upto_seq < self.min_seq():
+            raise ValueError(
+                f"feed history before seq {self.min_seq()} is already "
+                f"checkpointed away; got upto_seq={upto_seq}"
+            )
+        snap = (
+            self.read_as_of(upto_seq)
+            .withColumn(TYPE_COL, F.lit("insert"))
+            .withColumn(SEQ_COL, F.lit(upto_seq))
+        )
+        tmp = f"{self.changes_path}__ckpt_{_uuid.uuid4().hex[:8]}"
+        snap.write.partitionBy(SEQ_COL).mode("overwrite").parquet(tmp)
+
+        fs, jfeed = _fs(self.spark, self.changes_path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        from airbnb_cdc_spark.operators.merge import _rename_or_raise
+
+        # Tail partitions move by rename (metadata ops, no data copy).
+        for k in seqs:
+            if k > upto_seq:
+                _rename_or_raise(
+                    fs,
+                    Path(f"{self.changes_path}/{SEQ_COL}={k}"),
+                    Path(f"{tmp}/{SEQ_COL}={k}"),
+                )
+        old = Path(f"{self.changes_path}__old_{_uuid.uuid4().hex[:8]}")
+        _rename_or_raise(fs, jfeed, old)
+        _rename_or_raise(fs, Path(tmp), jfeed)
+        fs.delete(old, True)
+        self._save_feed_meta(upto_seq)
+
     def read_changes(self, since_seq: int = -1) -> DataFrame:
         """All change rows with ``_cdf_seq`` > ``since_seq`` — the
         incremental consumer contract (remember the max seq you saw,
         pass it back next poll; seq partition pruning makes the read
-        proportional to the unseen tail)."""
+        proportional to the unseen tail).
+
+        After a ``checkpoint_feed``: ``since_seq = -1`` is the
+        BOOTSTRAP read (snapshot images + tail — replaying it
+        reconstructs the table, but rows at the boundary are state
+        images, not the original deltas); ``since_seq >= min_seq()``
+        returns true deltas; anything between raises — that slice of
+        per-commit history no longer exists."""
+        ms = self.min_seq()
+        if -1 < since_seq < ms:
+            raise ValueError(
+                f"feed history before seq {ms} was checkpointed away; "
+                f"pass since_seq >= {ms} (true deltas) or -1 (bootstrap)"
+            )
         # A zero-row _emit (idempotent retry, delete of absent keys)
         # leaves the feed dir with no seq partitions — same as no feed.
         if not self._seq_dirs():
@@ -194,7 +305,16 @@ class ChangeCapturingMergeTable:
         requested history prefix, not the full feed. ``seq`` below the
         first commit returns the empty table with the current schema.
         Columns added by later schema evolution read NULL, exactly as
-        the evolved table reads its own pre-evolution rows."""
+        the evolved table reads its own pre-evolution rows. After a
+        ``checkpoint_feed``, versions before the boundary raise — that
+        history was compacted into the snapshot."""
+        ms = self.min_seq()
+        if ms > 0 and seq < ms:
+            raise ValueError(
+                f"version {seq} predates the checkpoint boundary {ms} — "
+                "history before it was compacted away (Delta's "
+                "earliest-retained-version contract)"
+            )
         changes = self.read_changes(-1).filter(F.col(SEQ_COL) <= seq)
         from airbnb_cdc_spark.operators.lookup import latest_per_key
 

@@ -107,6 +107,28 @@ SNAPS = [
         "inlined md5 chain), AUTO-capped postings, fp-keyed self-join "
         "— candidate volume is sum C(df,2) over capped postings",
     ),
+    (
+        "bloom_semi_join_orders",
+        "Bloom runtime filter: the bitset is an ARRAY LITERAL in a "
+        "scan-side Filter BELOW the fact's Exchange (survivors-only "
+        "shuffle into the verify semi join) — the broadcast-bitmap-join "
+        "form was reordered behind the verify by "
+        "PushDownLeftSemiAntiJoin and rejected (see operators/"
+        "bloomjoin.py docstring)",
+    ),
+    (
+        "zorder_events_layout",
+        "Morton layout audit: the interleave is a pure projection over "
+        "the scan (unrolled shift/AND/OR in codegen); one metadata-"
+        "sized groupBy on the z-file key — no sort, no self-join",
+    ),
+    (
+        "diversity_sample_by_cluster",
+        "salted two-phase top-k: ObjectHashAggregate with map-side "
+        "partial collect_list per (cluster, salt) sub-group, candidate "
+        "merge on the cluster key — no partitioned window, no hot-key "
+        "straggler task",
+    ),
 ]
 
 

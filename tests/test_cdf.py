@@ -273,3 +273,72 @@ def test_cdf_time_travel_read_as_of(spark, tmp_path):
     assert state(2) == {(1, "a2")}  # delete visible
     assert state(3) == {(1, "a2"), (2, "b2")}  # reinsert
     assert state(99) == {(r.id, r.v) for r in cdf.read().collect()}
+
+
+def test_cdf_checkpoint_feed(spark, tmp_path):
+    """checkpoint_feed(S) compacts seqs <= S into one snapshot
+    partition while keeping every still-answerable read bit-identical:
+    as-of at/after the boundary, true deltas from it, the -1 bootstrap
+    replay — and pre-boundary reads raise (Delta's earliest-retained-
+    version contract)."""
+    import pytest
+
+    cdf = _mk(spark, tmp_path)
+    cdf.merge(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    )  # seq 0
+    cdf.merge(spark.createDataFrame([(1, "a2")], "id long, v string"))  # seq 1
+    cdf.delete(spark.createDataFrame([(2,)], "id long"))  # seq 2
+    cdf.merge(spark.createDataFrame([(4, "d")], "id long, v string"))  # seq 3
+    cdf.merge(spark.createDataFrame([(2, "b2")], "id long, v string"))  # seq 4
+
+    def state(seq):
+        return {(r.id, r.v) for r in cdf.read_as_of(seq).collect()}
+
+    pre = {s: state(s) for s in (2, 3, 4)}
+    deltas_after_2 = {
+        (r._cdf_seq, r._change_type, r.id, r.v)
+        for r in cdf.read_changes(2).collect()
+    }
+
+    cdf.checkpoint_feed(2)
+
+    assert cdf.min_seq() == 2
+    assert sorted(cdf._seq_dirs()) == [2, 3, 4]
+    # snapshot partition holds the as-of-2 state as insert images
+    snap = {
+        (r._change_type, r.id, r.v)
+        for r in cdf.read_changes(-1).filter(F.col("_cdf_seq") == 2).collect()
+    }
+    assert snap == {("insert", 1, "a2"), ("insert", 3, "c")}  # 2 deleted
+    # still-answerable reads are identical
+    for s in (2, 3, 4):
+        assert state(s) == pre[s], f"as-of {s} changed"
+    assert {
+        (r._cdf_seq, r._change_type, r.id, r.v)
+        for r in cdf.read_changes(2).collect()
+    } == deltas_after_2
+    # bootstrap replay reconstructs the table
+    replay = cdf.read_changes(-1)
+    from airbnb_cdc_spark.operators.lookup import latest_per_key
+
+    final = latest_per_key(replay, ["id"], "_cdf_seq").filter(
+        F.col("_change_type") != "delete"
+    )
+    assert {(r.id, r.v) for r in final.collect()} == {
+        (r.id, r.v) for r in cdf.read().collect()
+    }
+    # pre-boundary history is gone — and says so
+    with pytest.raises(ValueError):
+        cdf.read_as_of(1)
+    with pytest.raises(ValueError):
+        cdf.read_changes(0)
+    # the feed keeps working after the checkpoint
+    cdf.merge(spark.createDataFrame([(5, "e")], "id long, v string"))  # seq 5
+    assert state(5) == pre[4] | {(5, "e")}
+    # and a second checkpoint on top of the first is fine
+    cdf.checkpoint_feed(4)
+    assert cdf.min_seq() == 4
+    assert state(5) == pre[4] | {(5, "e")}
+    with pytest.raises(ValueError):
+        cdf.checkpoint_feed(3)
