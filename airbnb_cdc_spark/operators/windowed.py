@@ -130,3 +130,49 @@ def hopping_event_agg(
             "total_value",
         )
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows via the ENGINE's ``session_window`` (dynamic-gap
+    event-time sessions): a session extends while consecutive events
+    per user arrive within ``gap``, and closes ``gap`` after the last
+    one — Spark merges the per-event candidate windows inside the
+    aggregation, so this is one shuffle on (user, merged window),
+    streaming-capable with watermark-driven state eviction.
+
+    The custom ``applyInPandasWithState`` sessionizer
+    (operators/sessionize.py) remains the shape for semantics the
+    built-in can't express (per-session ordered event payloads, custom
+    close conditions); for plain gap sessions the built-in keeps the
+    whole pipeline JVM-side — no Python state worker in the hot path.
+    Boundary semantics (pinned by the streaming pytest): an event at
+    EXACTLY ``prev + gap`` still MERGES — the split is strictly
+    ``diff > gap``, the same rule as ``sessionize_batch``, and the
+    oracle mirrors it. ``session_end`` is ``last_event + gap`` — the
+    engine's close time, not the last event time."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(user_col), win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

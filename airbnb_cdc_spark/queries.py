@@ -1295,6 +1295,49 @@ def q_events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hopping_event_agg(load_table(spark, sf_dir, "events"))
 
 
+# Engine session windows (F.session_window): the oracle replays the
+# merge rule with a lag/cumulative-sum chain — split at diff > gap
+# (an event at EXACTLY prev + gap still merges: pinned by the
+# streaming pytest), end = last event + gap. Exact-microsecond
+# comparison, like user_sessions.
+_SESSION_WINDOW_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts, value FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), m AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@query("session_window_stats", _SESSION_WINDOW_ORACLE)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the engine's session_window — one shuffle on
+    (user, merged window), JVM-side end to end, streaming-capable with
+    a watermark (operators/windowed.py session_window_agg)."""
+    from airbnb_cdc_spark.operators.windowed import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return session_window_agg(ev)
+
+
 # -- interval (time-bounded) join: purchase attribution ---------------------
 
 from airbnb_cdc_spark.operators.windowed import attribute_purchases  # noqa: E402
@@ -4597,7 +4640,9 @@ _DRIVER_PRIORITY = [
     "cube_status_priority",
     "running_customer_spend",
     "status_percentiles",
-    "trailing_hour_activity",
+    # r9 late addition: engine session windows (cedes
+    # trailing_hour_activity — r7-recorded, unchanged since)
+    "session_window_stats",
 ]
 
 

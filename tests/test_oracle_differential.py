@@ -201,6 +201,10 @@ EVENT_DIFF_QUERIES = [
     # r9: Morton-interleave arithmetic on random (user, ts) draws —
     # NULL user_id/ts rows must drop identically on both engines.
     "zorder_events_layout",
+    # r9: engine session windows — forced equal-ts collisions and
+    # random gaps hit the strict > gap split and exact-microsecond
+    # comparison against the lag/cumsum oracle.
+    "session_window_stats",
 ]
 
 

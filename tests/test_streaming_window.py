@@ -357,3 +357,98 @@ def test_stream_static_enrichment_lookup(spark, tmp_path):
     assert tiers[0] == "gold" and tiers[3] == "gold"  # user 0, latest version
     assert tiers[1] == "silver" and tiers[4] == "silver"  # user 1
     assert tiers[2] is None and tiers[5] is None  # user 2: no dim row
+
+
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """Engine session windows streaming: bursts separated by more than
+    the gap become separate sessions; append mode emits sessions the
+    watermark has closed. Pins the boundary rule: an event at EXACTLY
+    prev + gap MERGES (split is strictly diff > gap — the same rule as
+    sessionize_batch, and what the SQL oracle mirrors), while one
+    microsecond beyond starts a new session."""
+    from airbnb_cdc_spark.operators.windowed import session_window_agg
+
+    feed = tmp_path / "sess_feed"
+    feed.mkdir()
+    t0 = datetime(2025, 1, 1, 0, 0)
+    rows = []
+    # user 0: burst of 3 within 10 min; a second burst 2h later whose
+    # third event lands at EXACTLY last + 30min (merges); then one
+    # event 1 microsecond beyond ITS gap (new session); a far-future
+    # event advances the watermark past everything.
+    deltas = [
+        timedelta(minutes=0),
+        timedelta(minutes=5),
+        timedelta(minutes=10),
+        timedelta(minutes=120),
+        timedelta(minutes=125),
+        timedelta(minutes=155),  # == 125min + gap -> merges
+        timedelta(minutes=185, microseconds=1),  # > 155min + gap -> new
+    ]
+    for i, d in enumerate(deltas):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (t0 + d).isoformat(sep=" "),
+                "user_id": 0,
+                "event_type": "click",
+                "value": 1.0,
+            }
+        )
+    rows.append(
+        {
+            "event_id": 99,
+            "ts": (t0 + timedelta(days=2)).isoformat(sep=" "),
+            "user_id": 1,
+            "event_type": "click",
+            "value": 1.0,
+        }
+    )
+    with open(feed / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(feed))
+    agg = session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.hour, r.session_start.minute, r.n_events)
+        for r in spark.table("sess_agg").collect()
+    }
+    # user 0: [00:00,00:05,00:10] one session; [02:00,02:05,02:35]
+    # one session (02:35 == 02:05 + gap merges); 03:05:00.000001 is
+    # strictly past 02:35 + gap -> its own session
+    assert (0, 0, 0, 3) in got
+    assert (0, 2, 0, 3) in got
+    assert (0, 3, 5, 1) in got
+    # batch leg over the same rows agrees with the streaming emission
+    batch = session_window_agg(
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=r["event_id"],
+                    ts=datetime.fromisoformat(r["ts"]),
+                    user_id=r["user_id"],
+                    event_type=r["event_type"],
+                    value=r["value"],
+                )
+                for r in rows
+            ],
+            EVENT_SCHEMA,
+        ),
+        gap="30 minutes",
+    )
+    batch_got = {
+        (r.user_id, r.session_start.hour, r.session_start.minute, r.n_events)
+        for r in batch.collect()
+    }
+    assert got <= batch_got  # streaming emitted only closed sessions
+    assert (0, 0, 0, 3) in batch_got and (0, 3, 5, 1) in batch_got
