@@ -239,3 +239,77 @@ def diversity_sample(
         per_cluster,
         rank_col=rank_col,
     )
+
+
+def hash_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str | None = None,
+    k: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive-pair
+    construction: each row draws ``k`` pseudo-uniform negatives — the
+    minimum-id member of ``k`` md5-derived hash buckets — with zero
+    randomness, so the pair set is reproducible across engines, runs,
+    and partitionings (the property every sampler in this module
+    holds; rand()-based negatives are not replayable).
+
+    Scale shape: the bucket-representative table is ``n_buckets`` rows
+    (one groupBy), broadcast into an explode-join — the corpus is
+    scanned once and never self-joined. Probes that land on the row's
+    own id are dropped (a row can be its probed bucket's minimum);
+    with ``label_col`` set, same-label collisions are dropped too
+    (supervised-contrastive hygiene), so callers get UP TO ``k``
+    negatives per row, deterministically."""
+    from airbnb_cdc_spark.functions.textfns import h60
+
+    cols = [F.col(id_col)] + ([F.col(label_col)] if label_col else [])
+    base = df.select(*cols)
+    bucketed = base.withColumn(
+        "__b", F.pmod(h60(F.col(id_col).cast("string")), F.lit(n_buckets))
+    )
+    reps = bucketed.groupBy("__b").agg(F.min(F.col(id_col)).alias("__neg"))
+    if label_col:
+        # representative's label via a join on its id — the same shape
+        # the oracle uses (arg-min aggregates differ across engines on
+        # NULL labels; a key join cannot).
+        reps = reps.join(
+            base.select(
+                F.col(id_col).alias("__neg"),
+                F.col(label_col).alias("__neg_label"),
+            ),
+            "__neg",
+            "left",
+        )
+    probes = base.select(
+        *cols,
+        F.explode(
+            F.array(*[F.lit(j) for j in range(k)])
+        ).alias("__j"),
+    ).withColumn(
+        "__b",
+        F.pmod(
+            h60(
+                F.concat(
+                    F.col("__j").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            F.lit(n_buckets),
+        ),
+    )
+    joined = probes.join(F.broadcast(reps), "__b")
+    cond = F.col("__neg") != F.col(id_col)
+    if label_col:
+        cond = cond & (
+            F.col("__neg_label").isNull()
+            | F.col(label_col).isNull()
+            | (F.col("__neg_label") != F.col(label_col))
+        )
+    return joined.filter(cond).select(
+        F.col(id_col),
+        (F.col("__j") + 1).cast("int").alias("neg_rank"),
+        F.col("__neg").alias("neg_id"),
+    )

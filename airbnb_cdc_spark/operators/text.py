@@ -479,3 +479,55 @@ def pii_report(
             for name, _, _ in PII_PATTERNS
         ],
     )
+
+
+def rarity_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_df: int = 2,
+) -> DataFrame:
+    """Graded token-rarity quality signal: the fraction of a document's
+    token OCCURRENCES whose corpus DOCUMENT frequency is at most
+    ``rare_max_df`` — high ratios flag gibberish, OCR noise, and
+    codes/IDs the way an LM-perplexity screen would, with zero model
+    and exact integers (``oov_rate`` is the binary top-K version; this
+    grades against the full document-frequency spectrum).
+
+    Scale shape: document frequency is one hash groupBy over DISTINCT
+    (doc, token) pairs; occurrences then join the df table on the
+    token (shuffle join — the df table is vocabulary-sized, which at
+    corpus scale exceeds broadcast but co-partitions cleanly), and one
+    per-doc aggregate finishes. Empty docs keep ratio 0.0.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    occ = base.select(F.col(id_col), F.explode("__toks").alias("tok"))
+    dfreq = (
+        occ.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    )
+    rare = (
+        occ.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("__df") <= rare_max_df).cast("long")).alias("__nr")
+        )
+    )
+    n_tok = F.size("__toks").cast("long")
+    n_rare = F.coalesce(F.col("__nr"), F.lit(0)).cast("long")
+    return (
+        base.join(rare, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            n_rare.alias("n_rare"),
+            F.when(
+                n_tok > 0, n_rare.cast("double") / n_tok.cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rare_ratio"),
+        )
+    )

@@ -753,6 +753,51 @@ SELECT query_id, predicted_label, CAST(votes AS BIGINT) AS votes FROM (
 """
 
 
+# Deterministic negative sampling (operators/sampling.py
+# hash_negatives): bucket representatives + md5-probed buckets, zero
+# randomness — the oracle replays the identical arithmetic.
+_NEG_K, _NEG_B = 3, 64
+
+_NEG_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, label,
+           CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_NEG_B} AS bb
+    FROM embeddings
+),
+reps AS (
+    SELECT bb, MIN(vec_id) AS neg FROM b GROUP BY 1
+),
+repl AS (
+    SELECT r.bb, r.neg, e.label AS neg_label
+    FROM reps r LEFT JOIN embeddings e ON r.neg = e.vec_id
+),
+p AS (
+    SELECT e.vec_id, e.label, j.j,
+           CAST(('0x' || substring(md5(concat(CAST(j.j AS VARCHAR), ':',
+                CAST(e.vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_NEG_B} AS bb
+    FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+)
+SELECT p.vec_id, CAST(p.j + 1 AS INTEGER) AS neg_rank, r.neg AS neg_id
+FROM p JOIN repl r USING (bb)
+WHERE r.neg <> p.vec_id
+  AND (r.neg_label IS NULL OR p.label IS NULL OR r.neg_label <> p.label)
+"""
+
+
+@query("contrastive_negatives", _NEG_ORACLE)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up-to-k deterministic negatives per vector (different label,
+    never self) — contrastive-pair construction with a replayable pair
+    set (operators/sampling.py hash_negatives)."""
+    from airbnb_cdc_spark.operators.sampling import hash_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hash_negatives(
+        emb, "vec_id", label_col="label", k=_NEG_K, n_buckets=_NEG_B
+    )
+
+
 @query("knn_label_vote", _KNN_VOTE_ORACLE)
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
