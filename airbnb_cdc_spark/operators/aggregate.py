@@ -208,6 +208,16 @@ def topk_per_group(
     FULL struct, so without a unique prefix the payload itself becomes
     the tie-break. Deterministic for any salt assignment — salting
     only load-balances, the merge result is salt-invariant.
+
+    The salt mixes ``spark_partition_id()`` into the row hash: a salt
+    over row content alone sends BIT-IDENTICAL duplicate rows (the
+    exact 10k-copy-template scenario this operator targets) into one
+    sub-group, so the hot group still serializes into one task. With
+    the partition component, identical copies spread across input
+    partitions land in different sub-groups; per-task state is then
+    bounded by min(group_size/n_salts, one input partition). The merge
+    is salt-invariant, so the partition-dependent (nondeterministic)
+    salt never changes the result — only the load balance.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -216,9 +226,17 @@ def topk_per_group(
         *[o.alias(f"__o{i}") for i, o in enumerate(order)],
         F.struct(*[F.col(c) for c in cols]).alias("__row"),
     )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    # Nondeterministic expressions are not allowed as grouping
+    # expressions; materialize the salt in a projection first.
+    salted = df.withColumn(
+        "__s",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in cols]),
+            F.lit(n_salts),
+        ),
+    )
     stage1 = (
-        df.groupBy(*group_cols, salt.alias("__s"))
+        salted.groupBy(*group_cols, "__s")
         .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("__top"))
     )
     stage2 = stage1.groupBy(*group_cols).agg(

@@ -90,12 +90,21 @@ class ChangeCapturingMergeTable:
             stream.close()
         return int(json.loads(data.decode("utf-8"))["min_seq"])
 
-    def _save_feed_meta(self, min_seq: int) -> None:
+    def _save_feed_meta(self, min_seq: int, into_dir: str | None = None) -> None:
+        """Write the boundary sidecar. ``into_dir`` lets
+        ``checkpoint_feed`` stage the meta INSIDE the rebuilt tmp feed
+        so boundary metadata travels atomically with the directory
+        swap (a rename moves the sidecar and the snapshot together)."""
         import json
 
         fs, _ = _fs(self.spark, self.changes_path)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
-        out = fs.create(Path(self._feed_meta_path()), True)
+        target = (
+            f"{into_dir}/_feed_meta.json"
+            if into_dir is not None
+            else self._feed_meta_path()
+        )
+        out = fs.create(Path(target), True)
         try:
             out.write(bytearray(json.dumps({"min_seq": min_seq}), "utf-8"))
         finally:
@@ -244,11 +253,18 @@ class ChangeCapturingMergeTable:
                     Path(f"{self.changes_path}/{SEQ_COL}={k}"),
                     Path(f"{tmp}/{SEQ_COL}={k}"),
                 )
+        # The boundary sidecar is staged INTO the rebuilt tmp dir so it
+        # travels atomically with the tmp -> feed rename: there is no
+        # window where the new snapshot is live but min_seq() still
+        # reads 0 (which would let read_as_of(seq < boundary) silently
+        # return the filtered-down snapshot instead of raising). The
+        # delete of __old is the LAST step — a crash anywhere before it
+        # really does leave __old intact for manual recovery.
+        self._save_feed_meta(upto_seq, into_dir=tmp)
         old = Path(f"{self.changes_path}__old_{_uuid.uuid4().hex[:8]}")
         _rename_or_raise(fs, jfeed, old)
         _rename_or_raise(fs, Path(tmp), jfeed)
         fs.delete(old, True)
-        self._save_feed_meta(upto_seq)
 
     def read_changes(self, since_seq: int = -1) -> DataFrame:
         """All change rows with ``_cdf_seq`` > ``since_seq`` — the
@@ -262,6 +278,14 @@ class ChangeCapturingMergeTable:
         images, not the original deltas); ``since_seq >= min_seq()``
         returns true deltas; anything between raises — that slice of
         per-commit history no longer exists."""
+        if since_seq < -1:
+            # -2 and below would otherwise alias the -1 bootstrap read
+            # (filter seq > since_seq passes everything) — after a
+            # checkpoint that silently returns snapshot IMAGES where
+            # the caller asked for deltas. Only -1 means bootstrap.
+            raise ValueError(
+                f"since_seq must be >= -1 (-1 = bootstrap); got {since_seq}"
+            )
         ms = self.min_seq()
         if -1 < since_seq < ms:
             raise ValueError(

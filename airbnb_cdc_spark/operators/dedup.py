@@ -1092,22 +1092,35 @@ def streaming_chunk_dedup(
     every later recurrence.
 
     ``store`` is a ``ParquetMergeTable`` keyed on ``chunk_hash``; each
-    row records the ``batch_id`` (foreachBatch epoch) that first
-    inserted it. The first writer of a hash wins permanently — the same
-    first-occurrence semantics as the batch operator — and the
-    ``batch_id`` makes the whole batch REPLAY-SAFE: foreachBatch can
-    re-run an epoch after a crash (same epoch id, same data), and by
-    then the store may already hold the crashed attempt's keeper
-    hashes. The seen-set therefore EXCLUDES rows this same epoch
-    inserted, so the replay reproduces the original marking bit-for-bit
-    (keepers stay keepers), the spans overwrite rewrites identical
-    content, and the re-merge replaces ``(hash, epoch)`` with itself.
-    Without the exclusion a replay would mark every batch chunk as a
-    duplicate and corrupt that epoch's spans directory. (Stores created
-    by older code lack ``batch_id``; their rows read as NULL → treated
-    as earlier-epoch history, and the first merge evolves the schema.)
+    row records the ``(run_id, batch_id)`` that first inserted it. The
+    first writer of a hash wins permanently — the same first-occurrence
+    semantics as the batch operator — and the pair makes the whole
+    batch REPLAY-SAFE: foreachBatch can re-run an epoch after a crash
+    (same epoch id, same data), and by then the store may already hold
+    the crashed attempt's keeper hashes. The seen-set therefore
+    EXCLUDES rows this same ``(run_id, epoch)`` inserted, so the replay
+    reproduces the original marking bit-for-bit (keepers stay keepers),
+    the spans overwrite rewrites identical content, and the re-merge
+    replaces the row with itself. Without the exclusion a replay would
+    mark every batch chunk as a duplicate and corrupt that epoch's
+    spans directory.
+
+    ``batch_id`` alone is NOT a safe exclusion key: foreachBatch epochs
+    are only unique per checkpoint location, so a restart with a fresh
+    checkpoint dir (or a second stream sharing the store) restarts at
+    epoch 0 and would wrongly exclude a PREVIOUS run's epoch-0..N
+    inserts from history — re-marking already-ingested chunks as
+    keepers. ``run_id`` pins the exclusion to one logical stream: it is
+    derived from ``checkpoint_dir`` (md5, stable across crash-restarts
+    of the same checkpoint — the only case with a replay contract) or a
+    fresh uuid when no checkpoint is given. (Stores created by older
+    code lack the columns; their rows read NULL → treated as
+    earlier-run history, and the first merge evolves the schema.)
 
     Returns the started StreamingQuery; await/stop is the caller's."""
+    import hashlib
+    import uuid as _uuid
+
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
 
     if not isinstance(store, ParquetMergeTable):
@@ -1117,9 +1130,23 @@ def streaming_chunk_dedup(
     if store.keys != ["chunk_hash"]:
         raise ValueError(f"store must be keyed on ['chunk_hash'], got {store.keys}")
 
+    run_id = (
+        hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()
+        if checkpoint_dir is not None
+        else _uuid.uuid4().hex
+    )
+
     def _batch(batch_df: DataFrame, epoch: int) -> None:
         _chunk_dedup_batch(
-            batch_df, epoch, store, spans_dir, id_col, text_col, window, stride
+            batch_df,
+            epoch,
+            store,
+            spans_dir,
+            id_col,
+            text_col,
+            window,
+            stride,
+            run_id=run_id,
         )
 
     writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
@@ -1137,12 +1164,17 @@ def _chunk_dedup_batch(
     text_col: str,
     window: int,
     stride: int,
+    run_id: str = "",
 ) -> None:
     """One ``streaming_chunk_dedup`` micro-batch, replay-idempotent:
-    re-running the same ``(batch_df, epoch)`` — foreachBatch's crash
-    contract — reproduces the identical spans output and leaves the
-    store unchanged, because the seen-set excludes this epoch's own
-    inserts. Module-level so the replay property is directly testable."""
+    re-running the same ``(batch_df, epoch)`` under the same ``run_id``
+    — foreachBatch's crash contract — reproduces the identical spans
+    output and leaves the store unchanged, because the seen-set
+    excludes this ``(run_id, epoch)``'s own inserts. A DIFFERENT run
+    reusing epoch numbers (fresh checkpoint dir, second stream) gets a
+    different ``run_id``, so prior runs' rows stay in the history and
+    already-ingested chunks stay suppressed. Module-level so both
+    properties are directly testable."""
     import posixpath
 
     from airbnb_cdc_spark.session import cache_scope
@@ -1155,11 +1187,19 @@ def _chunk_dedup_batch(
         if store.exists():
             seen = store.read()
             if "batch_id" in seen.columns:
-                # Replay safety: drop THIS epoch's own inserts from the
-                # history (NULL batch_id = legacy rows = history).
-                seen = seen.filter(
-                    F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(epoch)
+                # Replay safety: drop THIS (run, epoch)'s own inserts
+                # from the history. NULL batch_id / run_id = legacy or
+                # foreign rows = history. Rows written before run_id
+                # existed coalesce to "" and only match a caller that
+                # explicitly passed run_id="" (the legacy default).
+                same_run = F.coalesce(
+                    F.col("run_id") if "run_id" in seen.columns else F.lit(None),
+                    F.lit(""),
+                ) == F.lit(run_id)
+                same_epoch = (
+                    F.coalesce(F.col("batch_id"), F.lit(-1)) == F.lit(epoch)
                 )
+                seen = seen.filter(~(same_run & same_epoch))
             seen = seen.select("chunk_hash")
         else:
             seen = batch_df.sparkSession.createDataFrame([], "chunk_hash string")
@@ -1176,10 +1216,11 @@ def _chunk_dedup_batch(
             .select("chunk_hash")
             .distinct()
             .withColumn("batch_id", F.lit(epoch).cast("long"))
+            .withColumn("run_id", F.lit(run_id))
         )
         # fresh can only contain hashes absent from history or inserted
-        # by this same epoch's crashed attempt, so the upsert never
-        # rewrites an earlier epoch's row.
+        # by this same (run, epoch)'s crashed attempt, so the upsert
+        # never rewrites an earlier epoch's or another run's row.
         store.merge(fresh, allow_schema_evolution=True)
 
 

@@ -342,3 +342,75 @@ def test_cdf_checkpoint_feed(spark, tmp_path):
     assert state(5) == pre[4] | {(5, "e")}
     with pytest.raises(ValueError):
         cdf.checkpoint_feed(3)
+
+
+def test_cdf_read_changes_rejects_below_bootstrap(spark, tmp_path):
+    """since_seq <= -2 must raise, not silently alias the -1 bootstrap
+    read (after a checkpoint that would return snapshot IMAGES where
+    the caller asked for deltas). Regression for the r9 advice guard
+    gap (`-1 < since_seq < ms` let -2 slip through)."""
+    import pytest
+
+    cdf = _mk(spark, tmp_path)
+    cdf.merge(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="since_seq"):
+        cdf.read_changes(-2)
+
+
+def test_cdf_checkpoint_crash_mid_swap_is_recoverable(spark, tmp_path, monkeypatch):
+    """Simulate a crash at the worst point of checkpoint_feed's
+    directory swap: after feed -> __old but before tmp -> feed. The
+    boundary sidecar must already be staged INSIDE tmp (it travels
+    atomically with the swap — no window where the snapshot is live but
+    min_seq() reads 0), so rolling FORWARD (rename tmp -> feed, the
+    documented manual recovery: by this point tmp IS the complete
+    rebuilt feed) restores every still-answerable read with the correct
+    boundary."""
+    import pytest
+
+    from airbnb_cdc_spark.operators import merge as merge_mod
+
+    cdf = _mk(spark, tmp_path)
+    cdf.merge(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    )  # seq 0
+    cdf.merge(spark.createDataFrame([(1, "a2")], "id long, v string"))  # seq 1
+    cdf.merge(spark.createDataFrame([(4, "d")], "id long, v string"))  # seq 2
+    cdf.merge(spark.createDataFrame([(5, "e")], "id long, v string"))  # seq 3
+    pre_state_1 = {(r.id, r.v) for r in cdf.read_as_of(1).collect()}
+    pre_deltas_1 = _changes(cdf, since=1)
+
+    real = merge_mod._rename_or_raise
+    feed_root = cdf.changes_path.rstrip("/").split("/")[-1]
+
+    def crashing(fs, src, dst):
+        # crash on the tmp -> feed rename (dst is the bare feed dir)
+        if dst.getName() == feed_root and "__ckpt_" in src.getName():
+            raise RuntimeError("simulated crash mid-swap")
+        return real(fs, src, dst)
+
+    monkeypatch.setattr(merge_mod, "_rename_or_raise", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cdf.checkpoint_feed(1)
+    monkeypatch.setattr(merge_mod, "_rename_or_raise", real)
+
+    import glob
+    import json
+    import os
+
+    parent = os.path.dirname(cdf.changes_path)
+    olds = glob.glob(os.path.join(parent, f"{feed_root}__old_*"))
+    tmps = glob.glob(os.path.join(parent, f"{feed_root}__ckpt_*"))
+    assert len(olds) == 1 and len(tmps) == 1
+    assert not os.path.exists(cdf.changes_path)
+    # meta was staged into tmp BEFORE the swap began — the boundary
+    # travels with the rebuilt feed, never lagging behind it
+    with open(os.path.join(tmps[0], "_feed_meta.json")) as f:
+        assert json.load(f)["min_seq"] == 1
+    # manual roll-forward: tmp is the complete rebuilt feed
+    os.rename(tmps[0], cdf.changes_path)
+    assert cdf.min_seq() == 1
+    assert {(r.id, r.v) for r in cdf.read_as_of(1).collect()} == pre_state_1
+    assert _changes(cdf, since=1) == pre_deltas_1
+    # __old still holds the pre-boundary history for inspection
+    assert os.path.isdir(olds[0])

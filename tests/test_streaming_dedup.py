@@ -282,3 +282,54 @@ def test_chunk_dedup_batch_replay_idempotent(spark, tmp_path):
     # And replaying epoch 0 (a lagging restart) is equally safe.
     _chunk_dedup_batch(b0, 0, store, spans_dir, "doc_id", "text", 4, 4)
     assert snapshot() == (spans1, store1)
+
+
+def test_chunk_dedup_store_safe_across_runs(spark, tmp_path):
+    """Epoch ids are only unique per checkpoint location: a restart
+    with a fresh checkpoint dir (or a second stream sharing the store)
+    restarts at epoch 0. The replay exclusion must key on
+    (run_id, batch_id), not batch_id alone — otherwise the new run's
+    epoch 0 wrongly excludes the OLD run's epoch-0 inserts from the
+    seen-set, re-marks already-ingested chunks as keepers, and rewrites
+    their store rows. Regression test for the r9 advice finding."""
+    from airbnb_cdc_spark.operators.dedup import _chunk_dedup_batch
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    store = ParquetMergeTable(spark, str(tmp_path / "store"), ["chunk_hash"])
+    spans_a = str(tmp_path / "spans_a")
+    spans_b = str(tmp_path / "spans_b")
+    boiler = "p q r s"
+
+    def batch_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Run A, epoch 0: ingests the boilerplate as a keeper.
+    b0 = batch_df([(1, f"{boiler} a b c d")])
+    _chunk_dedup_batch(
+        b0, 0, store, spans_a, "doc_id", "text", 4, 4, run_id="runA"
+    )
+    store_a = {(r.chunk_hash, r.batch_id, r.run_id) for r in store.read().collect()}
+    assert {rid for _, _, rid in store_a} == {"runA"}
+
+    # Run B (fresh checkpoint -> epochs restart at 0) re-sends the
+    # boilerplate. It must be SUPPRESSED against run A's history, and
+    # run A's store rows must keep their original (run_id, batch_id).
+    b0b = batch_df([(9, boiler)])
+    _chunk_dedup_batch(
+        b0b, 0, store, spans_b, "doc_id", "text", 4, 4, run_id="runB"
+    )
+    dropped_b = {
+        (r.doc_id, r.chunk_idx) for r in spark.read.parquet(spans_b).collect()
+    }
+    assert dropped_b == {(9, 0)}
+    assert {
+        (r.chunk_hash, r.batch_id, r.run_id) for r in store.read().collect()
+    } == store_a
+
+    # Run A's own crash-replay of epoch 0 is still idempotent.
+    _chunk_dedup_batch(
+        b0, 0, store, spans_a, "doc_id", "text", 4, 4, run_id="runA"
+    )
+    assert {
+        (r.chunk_hash, r.batch_id, r.run_id) for r in store.read().collect()
+    } == store_a

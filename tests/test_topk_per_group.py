@@ -61,3 +61,39 @@ def test_topk_rejects_nonpositive_k(spark):
     df = _data(spark)
     with pytest.raises(ValueError):
         topk_per_group(df, ["g"], [F.col("id")], 0)
+
+
+def test_topk_full_row_duplicates_spread_across_salts(spark):
+    """Bit-identical duplicate rows (the 10k-copy-template skew case)
+    must not all collapse into one salt sub-group: the salt mixes
+    spark_partition_id() into the row hash, so copies arriving in
+    different input partitions land in different sub-groups. Asserts
+    (a) stage-1 actually produces multiple sub-groups for a
+    duplicates-only hot group and (b) the result is still the correct,
+    deterministic k-cut. Regression for the r9 advice finding."""
+    dup = spark.range(0, 4000, 1, 16).select(
+        F.lit("hot").alias("g"),
+        F.lit(99).alias("metric"),
+        F.lit(7).alias("id"),
+    )
+    tail = spark.createDataFrame(
+        [("hot", m, m) for m in range(3)], "g string, metric int, id int"
+    )
+    df = dup.unionByName(tail)
+    out = topk_per_group(df, ["g"], [F.col("metric"), F.col("id")], 5, n_salts=8)
+    got = [(r.metric, r.id, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got == [(0, 0, 1), (1, 1, 2), (2, 2, 3), (99, 7, 4), (99, 7, 5)]
+    # the duplicates-only frame spreads over >1 salt sub-group
+    n_subgroups = (
+        dup.withColumn(
+            "__s",
+            F.pmod(
+                F.xxhash64(F.spark_partition_id(), "g", "metric", "id"),
+                F.lit(8),
+            ),
+        )
+        .select("__s")
+        .distinct()
+        .count()
+    )
+    assert n_subgroups > 1
