@@ -40,7 +40,17 @@ membership).
 
 Sizing: with ``n`` dim keys, ``m = num_bits``, ``k = num_hashes``,
 false-positive rate ≈ ``(1 - e^(-kn/m))^k`` — 1 byte per key
-(m = 8n, k = 3) gives ~3%.
+(m = 8n, k = 3) gives ~3%. Pass ``num_bits=None`` (the default) to
+AUTO-SIZE: a cheap ``approx_count_distinct`` over the dim keys picks
+the next power of two ≥ 8n, clamped to ``MAX_BLOOM_BITS`` (2^26, the
+same order as Spark's own ``runtime.bloomFilter.maxNumBits`` default —
+an 8 MiB literal is the largest a plan should carry). A dim whose key
+count would saturate even the capped bitset (FPR → 1: the filter
+passes everything and you pay a useless double scan) makes
+``bloom_semi_join`` fall back to the plain ``left_semi`` — identical
+result, no wasted build — while ``bloom_mark``/``bloom_prune`` (whose
+contract is the approximate survivor set itself) clamp to the cap and
+keep the documented-degraded filter.
 """
 
 from __future__ import annotations
@@ -49,6 +59,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from airbnb_cdc_spark.functions.textfns import h60
+
+MAX_BLOOM_BITS = 1 << 26
+MIN_BLOOM_BITS = 1 << 10
+# keys above which even MAX_BLOOM_BITS gives < 1 bit/key — the filter
+# is saturated noise and the exact join alone is cheaper
+_FALLBACK_KEYS = MAX_BLOOM_BITS
+
+
+def _auto_num_bits(
+    keys_df: DataFrame, dim_key: str, rsd: float = 0.05
+) -> tuple[int, int]:
+    """Bitset size for an unknown dim: next power of two ≥ 8 bits per
+    estimated distinct key (FPR ≈ 3% at k=3), clamped to
+    [MIN_BLOOM_BITS, MAX_BLOOM_BITS]. The estimate is one
+    ``approx_count_distinct`` aggregation — a metadata-sized scan of
+    the SMALL side only, the same pre-pass Spark's InjectRuntimeFilter
+    does via rowCount stats."""
+    n_est = keys_df.agg(
+        F.approx_count_distinct(dim_key, rsd).alias("n")
+    ).collect()[0]["n"]
+    bits = MIN_BLOOM_BITS
+    while bits < 8 * max(n_est, 1) and bits < MAX_BLOOM_BITS:
+        bits <<= 1
+    return bits, n_est
 
 
 def bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -110,7 +144,7 @@ def bloom_mark(
     keys_df: DataFrame,
     fact_key: str,
     dim_key: str | None = None,
-    num_bits: int = 1 << 23,
+    num_bits: int | None = None,
     num_hashes: int = 3,
     out_col: str = "bloom_hit",
 ) -> DataFrame:
@@ -118,8 +152,14 @@ def bloom_mark(
     dim's Bloom bitset (true matches plus false positives)? The bitset
     is an array literal, so the probe is a pure whole-stage-codegen
     projection on the fact scan — no join, nothing the optimizer can
-    reorder behind downstream joins."""
+    reorder behind downstream joins.
+
+    ``num_bits=None`` auto-sizes from the dim cardinality (module
+    docstring); above-cap dims clamp to ``MAX_BLOOM_BITS`` — the
+    survivor-set contract holds at any FPR, it just prunes less."""
     dim_key = dim_key or fact_key
+    if num_bits is None:
+        num_bits, _ = _auto_num_bits(keys_df, dim_key)
     words = F.lit(bloom_bitset_words(keys_df, dim_key, num_bits, num_hashes))
     cond = None
     for p in bloom_positions(F.col(fact_key), num_bits, num_hashes):
@@ -140,7 +180,7 @@ def bloom_prune(
     keys_df: DataFrame,
     fact_key: str,
     dim_key: str | None = None,
-    num_bits: int = 1 << 23,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """``fact`` filtered to its Bloom survivors — NO exact verify (use
@@ -156,7 +196,7 @@ def bloom_semi_join(
     dim: DataFrame,
     fact_key: str,
     dim_key: str | None = None,
-    num_bits: int = 1 << 23,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """Exact ``left_semi`` of ``fact`` against ``dim``'s keys, with the
@@ -164,8 +204,18 @@ def bloom_semi_join(
     survivors (matches + the small false-positive sliver) are hashed
     across the cluster, so the shuffle volume follows the MATCH size,
     not the fact size. The verify join guarantees the result equals
-    the plain semi-join for any bitset sizing."""
+    the plain semi-join for any bitset sizing.
+
+    ``num_bits=None`` auto-sizes from the dim cardinality; a dim whose
+    estimated key count exceeds ``MAX_BLOOM_BITS`` keys (< 1 bit/key
+    even at the cap — FPR → 1, the filter passes everything) skips the
+    bloom entirely and runs the plain ``left_semi``: same result, no
+    useless bitset build + double fact scan."""
     dim_key = dim_key or fact_key
-    pruned = bloom_prune(fact, dim, fact_key, dim_key, num_bits, num_hashes)
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if num_bits is None:
+        num_bits, n_est = _auto_num_bits(dim, dim_key)
+        if n_est > _FALLBACK_KEYS:
+            return fact.join(keys, on=fact_key, how="left_semi")
+    pruned = bloom_prune(fact, dim, fact_key, dim_key, num_bits, num_hashes)
     return pruned.join(keys, on=fact_key, how="left_semi")
