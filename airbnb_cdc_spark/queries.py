@@ -4603,6 +4603,148 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# URL canonicalization dedup + per-domain cap sampling (operators/web.py)
+# — the web-corpus pipeline stage before content dedup. The documents
+# table has no URL column, so each doc gets a DETERMINISTIC crawl-style
+# URL derived from (doc_id, source) with planted noise: scheme/host
+# case, www., default ports, trailing slash, utm/tracking params, param
+# order, fragments. The canonical form is then known ANALYTICALLY
+# (https://<source>.example.com/docs/<doc_id%150>?id=<doc_id%10>), and
+# the oracle states it directly — an independent ground-truth
+# derivation, not a SQL re-implementation of the operator.
+# --------------------------------------------------------------------------
+
+# Raw-URL generator, mirrored byte-for-byte in the oracle's SQL (needed
+# there only for COUNT(DISTINCT raw)).
+_RAW_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN upper(source || '.Example.com')
+             ELSE source || '.Example.com' END)
+    || (CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 0 THEN ':443' ELSE '' END)
+    || '/docs/' || CAST(doc_id % 150 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+             WHEN doc_id % 11 = 0
+             THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+             ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+"""
+
+_CANON_URL_SQL = (
+    "'https://' || lower(source) || '.example.com/docs/' "
+    "|| CAST(doc_id % 150 AS VARCHAR) || '?id=' || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def _raw_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    s = F.col("source")
+    host = F.concat(s, F.lit(".Example.com"))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+            F.lit("://"),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.upper(host)).otherwise(host),
+            F.when((d % 7 == 0) & (d % 2 == 0), F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/docs/"),
+            (d % 150).cast("string"),
+            F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit("?utm_source=feed&id="), (d % 10).cast("string")),
+            )
+            .when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit("?id="), (d % 10).cast("string"), F.lit("&utm_campaign=x")
+                ),
+            )
+            .otherwise(F.concat(F.lit("?id="), (d % 10).cast("string"))),
+            F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+_URL_DEDUP_ORACLE = f"""
+WITH urls AS (
+    SELECT doc_id, {_RAW_URL_SQL} AS url, {_CANON_URL_SQL} AS canonical_url
+    FROM documents
+)
+SELECT canonical_url,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM urls GROUP BY 1
+"""
+
+
+@query("url_canonical_dedup", _URL_DEDUP_ORACLE)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL dedup AFTER canonicalization: crawl-noise variants of
+    the same page (case, www., default port, trailing slash, tracking
+    params, param order, fragment) collapse to one canonical key; the
+    keeper is the min doc_id. The canonicalizer is a pure codegen
+    projection on the scan; the dedup is one hash groupBy — the
+    standard pre-content-dedup stage at crawl scale. The oracle derives
+    each URL's canonical form analytically from the planted generator,
+    so a canonicalizer that missed ANY noise dimension would split a
+    group and hash-mismatch. See operators/web.py."""
+    from airbnb_cdc_spark.operators.web import url_dedup
+
+    return url_dedup(_raw_doc_urls(spark, sf_dir), "url", "doc_id")
+
+
+_DOMAIN_CAP = 5
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+    SELECT lower(source) || '.example.com' AS domain, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT), doc_id
+           ) AS rnk
+    FROM documents
+)
+SELECT domain, doc_id, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_DOMAIN_CAP}
+"""
+
+
+@query("domain_capped_sample", _DOMAIN_CAP_ORACLE)
+def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-over-representation stage of
+    a web corpus (no single domain floods the training mix): extract
+    the canonical domain, keep at most _DOMAIN_CAP docs per domain in
+    md5-hash order (a deterministic uniform shuffle both engines
+    reproduce). Runs on the skew-proof salted topk_per_group — at
+    crawl scale the biggest domain IS a hot key, exactly what a
+    row_number window would serialize into one task. See
+    operators/web.py + operators/aggregate.py."""
+    from airbnb_cdc_spark.operators.aggregate import topk_per_group
+    from airbnb_cdc_spark.operators.web import canonicalize_url, url_domain
+    from airbnb_cdc_spark.functions.textfns import h60
+
+    docs = _raw_doc_urls(spark, sf_dir).select(
+        url_domain(canonicalize_url(F.col("url"))).alias("domain"),
+        "doc_id",
+        h60(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    capped = topk_per_group(
+        docs, ["domain"], [F.col("__h"), F.col("doc_id")], _DOMAIN_CAP
+    )
+    return capped.select("domain", "doc_id", "rnk")
+
+
+# --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
 # The driver's CORRECTNESS_r{N}.json holds exactly 50 entries, taken in
@@ -4625,17 +4767,23 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # r9 rotation: (a) the five r9-new queries (bloom runtime filter,
-    # z-order layout, fuzzy linkage, diversity sampling) so their first
-    # driver record is this round; (b) pii_scrub/pii_report, whose
-    # COUNT SEMANTICS changed this round (cascaded counts) — their r8
-    # records describe the old formula; (c) the 14 queries never in any
-    # driver record (r7∪r8 gap: O-family basics + the late-r8 winnow
-    # apply/components + r6 tail), so r7∪r8∪r9 covers the whole
-    # registry; (d) fill from the oldest-record (r7-only) set in
-    # registry order. Ceded: everything recorded green in r8 on
-    # unchanged code — still covered by that record, verify_local at
-    # HEAD, and the differential suite.
+    # r10 rotation: (a) contrastive_negatives LEADS — the one registry
+    # query with no driver record in any round (VERDICT r9 ask #1);
+    # (b) the two r10-new web-corpus queries (url_canonical_dedup,
+    # domain_capped_sample) so their first record is this round;
+    # (c) queries whose operator code changed in r10 re-record under
+    # the new code: the bloom pair (auto-sizing default added; the
+    # queries pass explicit num_bits, re-led as proof) and
+    # diversity_sample_by_cluster (topk salt now mixes partition id —
+    # result salt-invariant); (d) the rest of the r9 cut carries over.
+    # Ceded vs r9: conditional_split_bad, filter_by_status,
+    # project_cast — r9-recorded green, code unchanged since, each
+    # shadowed by a structurally identical sibling still in the cut
+    # (conditional_split_accepted; shipping_priority's filter;
+    # alter_row_flags' contract casts).
+    "contrastive_negatives",
+    "url_canonical_dedup",
+    "domain_capped_sample",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -4643,10 +4791,7 @@ _DRIVER_PRIORITY = [
     "diversity_sample_by_cluster",
     "pii_scrub",
     "pii_report",
-    "conditional_split_bad",
     "conditional_split_accepted",
-    "project_cast",
-    "filter_by_status",
     "alter_row_flags",
     "text_stats",
     "language_id",

@@ -105,6 +105,13 @@ DIFF_QUERIES = [
     # shared-fingerprint clusters, exercising the per-cluster cut and
     # the md5 pick order against the window-rank oracle
     "diversity_sample_by_cluster",
+    # r10: web-corpus stage — random (doc_id, source) draws vary which
+    # planted URL-noise dimensions fire per doc (case/www/port/slash/
+    # tracking/fragment), differentially checking the canonicalizer
+    # against the analytic ground-truth form; the domain cap exercises
+    # salted topk vs the window-rank oracle on skewed source draws
+    "url_canonical_dedup",
+    "domain_capped_sample",
 ]
 
 
