@@ -194,20 +194,23 @@ def topk_per_group(
 
     A partitioned window serializes each group into one task: a
     templated corpus whose biggest cluster holds 10% of 100 TB turns
-    the window into a straggler (and its sort buffer into a spill).
-    This runs SALTED TWO-PHASE instead: rows hash into ``n_salts``
-    sub-groups, each sub-group keeps its k smallest via
-    ``slice(sort_array(collect_list(...)), 1, k)`` (bounding state at
-    group_size / n_salts per task), then the ≤ n_salts·k per-group
-    candidates merge the same way. No task ever holds a whole hot
-    group; both phases are ordinary hash aggregations with map-side
-    partials.
+    the window into a straggler (and its sort buffer into one task's
+    spill). This runs SALTED TWO-PHASE instead: rows hash into
+    ``n_salts`` sub-groups, a window over ``(group, salt)`` keeps each
+    sub-group's k smallest, then a second window over the ≤ n_salts·k
+    per-group candidates assigns the final rank. No task ever holds a
+    whole hot group — stage-1 partitions are bounded at
+    group_size/n_salts — and both stages are sort-based windows, so
+    per-task state is a SPILLABLE external sort, not an in-heap array
+    (the earlier ``slice(sort_array(collect_list))`` shape bounded the
+    same row count but materialized it as one array value in executor
+    memory, and measured ~1.4× slower at 24M rows — see COVERAGE.md).
 
     ``order`` must be a total order (ties broken by a trailing unique
-    key), or the k-cut is engine-dependent: sort_array compares the
-    FULL struct, so without a unique prefix the payload itself becomes
-    the tie-break. Deterministic for any salt assignment — salting
-    only load-balances, the merge result is salt-invariant.
+    key), or the k-cut is engine-dependent: with ties at the boundary,
+    which row survives a sub-group's cut depends on salt placement.
+    Deterministic for any salt assignment under a total order —
+    salting only load-balances, the merge result is salt-invariant.
 
     The salt mixes ``spark_partition_id()`` into the row hash: a salt
     over row content alone sends BIT-IDENTICAL duplicate rows (the
@@ -219,15 +222,13 @@ def topk_per_group(
     is salt-invariant, so the partition-dependent (nondeterministic)
     salt never changes the result — only the load balance.
     """
+    from pyspark.sql.window import Window
+
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     cols = df.columns
-    item = F.struct(
-        *[o.alias(f"__o{i}") for i, o in enumerate(order)],
-        F.struct(*[F.col(c) for c in cols]).alias("__row"),
-    )
-    # Nondeterministic expressions are not allowed as grouping
-    # expressions; materialize the salt in a projection first.
+    # Nondeterministic expressions are not allowed as window partition
+    # keys; materialize the salt in a projection first.
     salted = df.withColumn(
         "__s",
         F.pmod(
@@ -235,18 +236,14 @@ def topk_per_group(
             F.lit(n_salts),
         ),
     )
-    stage1 = (
-        salted.groupBy(*group_cols, "__s")
-        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("__top"))
+    w1 = Window.partitionBy(*group_cols, "__s").orderBy(*order)
+    candidates = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__s")
     )
-    stage2 = stage1.groupBy(*group_cols).agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("__top"))), 1, k
-        ).alias("__top")
-    )
-    return stage2.select(
-        F.posexplode("__top").alias("__p", "__item")
-    ).select(
-        F.col("__item.__row.*"),
-        (F.col("__p") + 1).cast("int").alias(rank_col),
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        candidates.withColumn(rank_col, F.row_number().over(w2).cast("int"))
+        .filter(F.col(rank_col) <= k)
     )
