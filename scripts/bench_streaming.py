@@ -1,15 +1,20 @@
-"""Streaming-leg throughput: run_booking_fact_stream foreachBatch-merge
-rows/sec at sf0.1-comparable volume (VERDICT r7 ask #8).
+"""Streaming-leg throughput at sf0.1-comparable volume.
 
-Generates a booking JSON feed sized like the sf0.1 orders table
-(~150k rows) as N_FILES files + one cancellation wave, then drives the
-checkpointed Trigger.AvailableNow stream with maxFilesPerTrigger=1 so
-every file is its own micro-batch (the per-batch merge cost — split,
-contract cast, bucket-pruned LWW upsert — is what's being measured,
-not one giant batch). Prints one JSON line; feed generation is outside
-the timed region.
+Two legs, each printing one JSON line (feed generation outside the
+timed region; maxFilesPerTrigger=1 so every file is its own
+micro-batch — per-batch cost is what's measured, not one giant batch):
 
-Usage: python scripts/bench_streaming.py [n_rows] [n_files]
+- ``merge`` (default; VERDICT r7 ask #8): run_booking_fact_stream
+  foreachBatch-merge rows/sec — split, contract cast, bucket-pruned
+  LWW upsert per micro-batch.
+- ``session`` (VERDICT r9 ask #6): engine session windows
+  (F.session_window + watermark, append mode) rows/sec over an events
+  feed whose files advance in event time, so closed sessions EMIT and
+  their state EVICTS across micro-batches; the JSON carries the
+  per-batch state-rows trajectory from the query progress records —
+  flat-ish state, not monotone growth, is the eviction evidence.
+
+Usage: python scripts/bench_streaming.py [merge|session] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -55,9 +60,114 @@ def write_feed(feed: Path, n_rows: int, n_files: int, cancel_pct: float) -> int:
     return total
 
 
+def write_events_feed(feed: Path, n_rows: int, n_files: int) -> int:
+    """Events whose files ADVANCE in event time (file fi covers hour
+    fi): with a 10-minute watermark and 30-minute gap, sessions from
+    earlier files close and evict while later files stream in. Events
+    sit in the first 20 minutes of each hour so the inter-hour silence
+    (≥ 40 min) always exceeds the gap — at sf0.1 volume (~30 events
+    per user-hour, ~2 min apart) uniform timestamps would otherwise
+    bridge every hour into one never-closing session per user and the
+    bench would measure state growth, not eviction."""
+    rng = random.Random(23)
+    t0 = datetime(2025, 10, 1, 0, 0, 0)
+    per_file = n_rows // n_files
+    total = 0
+    for fi in range(n_files):
+        with open(feed / f"events_{fi:03d}.json", "w") as f:
+            for _ in range(per_file):
+                ts = t0 + timedelta(hours=fi, seconds=rng.randrange(1200))
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": rng.randrange(500),
+                            "ts": ts.isoformat(sep=" "),
+                            "value": rng.randrange(1000) / 4.0,
+                        }
+                    )
+                    + "\n"
+                )
+                total += 1
+    return total
+
+
+def bench_session(n_rows: int, n_files: int) -> None:
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.windowed import session_window_agg
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-session")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_sess_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_events_feed(feed, n_rows, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        sessions = session_window_agg(
+            stream, gap="30 minutes", watermark="10 minutes"
+        )
+        t0 = time.time()
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(work / "out"))
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        progress = [
+            p if isinstance(p, dict) else json.loads(p.json)
+            for p in q.recentProgress
+        ]
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in progress
+            if p.get("stateOperators") and p["numInputRows"] > 0
+        ]
+        n_sessions = spark.read.parquet(str(work / "out")).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "session_window_stream_rows_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "rows/sec",
+                    "feed_rows": total,
+                    "emitted_sessions": n_sessions,
+                    "micro_batches": len(state_rows),
+                    "state_rows_per_batch": state_rows,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = sys.argv[1:]
+    leg = "merge"
+    if args and args[0] in ("merge", "session"):
+        leg = args.pop(0)
+    n_rows = int(args[0]) if args else 150_000
+    n_files = int(args[1]) if len(args) > 1 else 10
+    if leg == "session":
+        bench_session(n_rows, n_files)
+        return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
     from airbnb_cdc_spark.session import get_spark
