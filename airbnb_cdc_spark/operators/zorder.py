@@ -90,6 +90,9 @@ def zorder_stats(
     )
 
 
+MANIFEST_NAME = "_zorder_manifest.json"
+
+
 def zorder_write(
     df: DataFrame,
     out_dir: str,
@@ -97,12 +100,27 @@ def zorder_write(
     y: Column,
     bits: int = 8,
     n_files: int = 64,
-) -> None:
+) -> dict:
     """Physically rewrite ``df`` z-order-clustered: range-partition on
     the z-value into ``n_files`` tasks and sort within each, so both
     the per-file and per-row-group min/max stats are tight on BOTH
     dimensions. The z column is dropped from the output — layout is
-    the product, not a schema change."""
+    the product, not a schema change.
+
+    Also records ``_zorder_manifest.json`` beside the files: each
+    written file's exact per-dimension bounding box, computed by
+    READING BACK the written files (one extra metadata-sized scan — so
+    the manifest describes what is actually on disk, never what the
+    writer intended; the export-manifest precedent). ``zorder_read``
+    consumes it to prune the file listing BEFORE the scan — the
+    engine-independent analog of Delta's per-file stats + data
+    skipping, usable by any reader without a transaction log. The
+    leading underscore keeps parquet readers ignoring it. Returns the
+    manifest dict."""
+    import json
+    import posixpath
+
+    spark = df.sparkSession
     (
         df.withColumn("__z", zvalue(x, y, bits))
         .repartitionByRange(n_files, F.col("__z"))
@@ -111,3 +129,103 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    rows = (
+        spark.read.parquet(out_dir)
+        .select(
+            F.input_file_name().alias("__f"), x.alias("__x"), y.alias("__y")
+        )
+        .groupBy("__f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__x").alias("x_min"),
+            F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"),
+            F.max("__y").alias("y_max"),
+        )
+        .collect()
+    )
+    manifest = {
+        "files": {
+            posixpath.basename(r["__f"]): {
+                "n_rows": r["n_rows"],
+                "x_min": r["x_min"],
+                "x_max": r["x_max"],
+                "y_min": r["y_min"],
+                "y_max": r["y_max"],
+            }
+            for r in rows
+        }
+    }
+    from airbnb_cdc_spark.sources.export import _write_text_file
+
+    _write_text_file(
+        spark,
+        posixpath.join(out_dir, MANIFEST_NAME),
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
+    return manifest
+
+
+def zorder_candidate_files(
+    spark,
+    out_dir: str,
+    x_range: tuple | None = None,
+    y_range: tuple | None = None,
+) -> list[str]:
+    """File names (relative to ``out_dir``) whose manifest bbox
+    INTERSECTS the inclusive query box — ``None`` leaves a dimension
+    unconstrained. The superset guarantee is the contract: a candidate
+    file may hold non-matching rows (the caller re-applies the exact
+    predicate), but no matching row lives outside the candidates,
+    because the bbox is an exact min/max of the file's contents."""
+    import json
+
+    from airbnb_cdc_spark.operators.merge import _fs
+
+    fs, _ = _fs(spark, out_dir)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    p = Path(f"{out_dir}/{MANIFEST_NAME}")
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"no {MANIFEST_NAME} under {out_dir} — was it written by zorder_write?"
+        )
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    manifest = json.loads(data.decode("utf-8"))
+
+    def hits(box, rng):
+        if rng is None:
+            return True
+        lo, hi = rng
+        return not (hi < box[0] or lo > box[1])
+
+    return sorted(
+        name
+        for name, b in manifest["files"].items()
+        if hits((b["x_min"], b["x_max"]), x_range)
+        and hits((b["y_min"], b["y_max"]), y_range)
+    )
+
+
+def zorder_read(
+    spark,
+    out_dir: str,
+    x_range: tuple | None = None,
+    y_range: tuple | None = None,
+) -> DataFrame:
+    """Read a ``zorder_write`` directory touching ONLY the files whose
+    recorded bbox intersects the query box — manifest-driven file
+    skipping ahead of the scan (the row-group stats then prune further
+    inside each file). Returns the candidate-file rows; apply the
+    exact predicate on top — candidates are a superset by design.
+    An empty candidate set returns the empty table with the full
+    schema."""
+    files = zorder_candidate_files(spark, out_dir, x_range, y_range)
+    if not files:
+        return spark.read.parquet(out_dir).limit(0)
+    return spark.read.parquet(*[f"{out_dir}/{name}" for name in files])
