@@ -30,6 +30,7 @@ from airbnb_cdc_spark.operators.merge import merge_dataframes
 from airbnb_cdc_spark.operators.project import cast_to_contract, select_columns
 from airbnb_cdc_spark.operators.split import conditional_split
 from airbnb_cdc_spark.session import load_table
+from airbnb_cdc_spark.oracles import *  # noqa: F401,F403
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -75,45 +76,6 @@ def _customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship: the reference's 17-measure BookingAggregation proc (A1-A17, O6)
 # sql_queries/synapse_table_creation.sql:79-107
 # --------------------------------------------------------------------------
-
-_AGG_ORACLE = """
-WITH fact AS (
-    SELECT o_orderkey AS booking_id,
-           o_custkey AS customer_id,
-           o_orderstatus AS status,
-           o_totalprice AS total_amount,
-           o_orderdate AS booking_created_at,
-           o_orderkey % 30 AS nights
-    FROM orders
-), dim AS (
-    SELECT c_custkey AS customer_id, n_name AS country
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-)
-SELECT
-    d.country AS country,
-    COUNT(*) AS total_bookings,
-    CAST(SUM(CASE WHEN status = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS confirmed_bookings,
-    CAST(SUM(CASE WHEN status = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cancelled_bookings,
-    CAST(SUM(CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
-    CAST(SUM(CASE WHEN status = 'F' THEN CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS confirmed_amount,
-    CAST(SUM(CASE WHEN status = 'O' THEN CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS cancelled_amount,
-    CASE WHEN COUNT(*) = 0 THEN 0.0
-         ELSE CAST(SUM(CASE WHEN status = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-    END AS cancellation_rate,
-    MAX(booking_created_at) AS last_booking_date,
-    MIN(booking_created_at) AS first_booking_date,
-    CAST(SUM(CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_amount,
-    CAST(SUM(CASE WHEN status = 'F' THEN CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2)) END) AS DOUBLE)
-        / CAST(NULLIF(SUM(CASE WHEN status = 'F' THEN 1 END), 0) AS DOUBLE) AS confirmed_avg_amount,
-    CAST(SUM(CASE WHEN status = 'O' THEN CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2)) END) AS DOUBLE)
-        / CAST(NULLIF(SUM(CASE WHEN status = 'O' THEN 1 END), 0) AS DOUBLE) AS cancelled_avg_amount,
-    CAST(MIN(CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2))) AS DOUBLE) AS min_amount,
-    CAST(MAX(CAST(COALESCE(total_amount, 0) AS DECIMAL(18,2))) AS DOUBLE) AS max_amount,
-    COUNT(DISTINCT f.customer_id) AS distinct_customers,
-    CAST(SUM(CAST(COALESCE(nights, 0) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_stay_duration
-FROM fact f JOIN dim d ON f.customer_id = d.customer_id
-GROUP BY d.country
-"""
 
 
 @query("booking_customer_aggregation", _AGG_ORACLE)
@@ -215,19 +177,6 @@ def q_filter_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O5 — lookup: left join against latest-per-key right side, dataflow:108-112
 # --------------------------------------------------------------------------
 
-_LOOKUP_ORACLE = """
-WITH latest AS (
-    SELECT user_id AS customer_id, ts AS t_ts, event_type AS t_event_type,
-           value AS t_value,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-    FROM events
-)
-SELECT c.c_custkey AS customer_id, c.c_name AS name, c.c_mktsegment AS segment,
-       l.t_ts AS t_ts, l.t_event_type AS t_event_type, l.t_value AS t_value
-FROM customer c
-LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l ON c.c_custkey = l.customer_id
-"""
-
 
 @query("lookup_latest_event", _LOOKUP_ORACLE)
 def q_lookup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,21 +199,6 @@ def q_lookup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # O7 — alter-row insert/update flags, dataflow:113-114
 # --------------------------------------------------------------------------
-
-_FLAGS_ORACLE = """
-WITH incoming AS (
-    SELECT user_id, ts, event_type, value,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-    FROM events
-), target AS (
-    SELECT c_custkey FROM customer WHERE c_custkey < 100
-)
-SELECT i.user_id AS user_id, i.ts AS ts, i.event_type AS event_type,
-       i.value AS value,
-       CASE WHEN t.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
-FROM (SELECT * FROM incoming WHERE rn = 1) i
-LEFT JOIN target t ON i.user_id = t.c_custkey
-"""
 
 
 @query("alter_row_flags", _FLAGS_ORACLE)
@@ -293,26 +227,6 @@ def q_alter_row_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # base state (events before the cutoff) merged with an update wave
 # --------------------------------------------------------------------------
 
-_MERGE_ORACLE = """
-WITH base AS (
-    SELECT user_id, ts, event_type, value FROM (
-        SELECT user_id, ts, event_type, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
-    ) WHERE rn = 1
-), upd AS (
-    SELECT user_id, ts, event_type, value FROM (
-        SELECT user_id, ts, event_type, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-    ) WHERE rn = 1
-)
-SELECT b.user_id, b.ts, b.event_type, b.value FROM base b
-WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = b.user_id)
-UNION ALL
-SELECT u.user_id, u.ts, u.event_type, u.value FROM upd u
-"""
-
 
 @query("cdc_merge_upsert", _MERGE_ORACLE)
 def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,70 +253,17 @@ from airbnb_cdc_spark.operators import similarity as _sim  # noqa: E402
 from airbnb_cdc_spark.operators import text as _text  # noqa: E402
 from airbnb_cdc_spark.functions.textfns import LANG_PRIORITY, LANG_STOPWORDS  # noqa: E402
 
-_TOKS_CTE = """
-toks AS (
-    SELECT doc_id, length(text) AS n_chars,
-           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
-                       t -> t <> '') AS t
-    FROM documents
-)
-"""
 # coalesce mirrors textfns.tokens' NULL≡empty normalization, so the
 # token oracles stay aligned if the differential ever draws NULL text.
 
-_SH_CTE = """
-sh AS (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sh
-    FROM toks WHERE len(t) >= 3
-)
-"""
 
 # Frequency-capped inverted index: stop-shingles (doc freq above
 # max(2, n_docs // 100)) dropped — mirrors dedup.AUTO exactly.
-_SH_CAP_CTE = """
-shf AS (
-    SELECT sh FROM sh GROUP BY sh
-    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
-),
-shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN shf USING (sh))
-"""
-
-
-def _stop_list(lang: str) -> str:
-    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-
-
-_TEXT_STATS_ORACLE = f"""
-WITH {_TOKS_CTE}
-SELECT doc_id,
-    CAST(n_chars AS BIGINT) AS n_chars,
-    CAST(len(t) AS BIGINT) AS n_tokens,
-    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-    CASE WHEN len(t) > 0
-         THEN CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE) / CAST(len(t) AS DOUBLE)
-         ELSE 0.0 END AS avg_token_len,
-    CASE WHEN len(t) > 0
-         THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
-         ELSE 0.0 END AS distinct_ratio,
-    CASE WHEN len(t) > 0
-         THEN CAST(len(list_filter(t, x -> x IN ({_stop_list('en')}))) AS DOUBLE) / CAST(len(t) AS DOUBLE)
-         ELSE 0.0 END AS stopword_ratio
-FROM toks
-"""
 
 
 @query("text_stats", _TEXT_STATS_ORACLE)
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.text_stats(load_table(spark, sf_dir, "documents"))
-
-
-_QUALITY_ORACLE = f"""
-WITH stats AS ({_TEXT_STATS_ORACLE})
-SELECT * FROM stats
-WHERE n_tokens >= 20 AND stopword_ratio >= 0.03 AND distinct_ratio >= 0.35
-"""
 
 
 @query("quality_filter", _QUALITY_ORACLE)
@@ -414,21 +275,6 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-integer tf-idf proxy (no float log, so DuckDB reproduces the
 # ranking bit-for-bit; ln() differs in the last ulp between libm and
 # the JVM, which would poison a hash compare).
-_TOP_TERMS_ORACLE = f"""
-WITH {_TOKS_CTE}, terms AS (
-    SELECT doc_id, unnest(t) AS term FROM toks
-), tf AS (
-    SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
-), dfreq AS (
-    SELECT term, count(*) AS df FROM tf GROUP BY term
-)
-SELECT doc_id, term, tf, df, CAST(rnk AS INTEGER) AS rnk FROM (
-    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-           ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                              ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rnk
-    FROM tf JOIN dfreq USING (term)
-) WHERE rnk <= 3
-"""
 
 
 @query("top_terms_per_doc", _TOP_TERMS_ORACLE)
@@ -455,34 +301,9 @@ def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
-    hits = ",\n    ".join(
-        f"CAST(len(list_filter(t, x -> x IN ({_stop_list(lang)}))) AS BIGINT) AS hits_{lang}"
-        for lang in LANG_PRIORITY
-    )
-    greatest = ", ".join(f"hits_{lang}" for lang in LANG_PRIORITY)
-    case = " ".join(
-        f"WHEN hits_{lang} = __best THEN '{lang}'" for lang in LANG_PRIORITY
-    )
-    return f"""
-WITH {_TOKS_CTE}, hits AS (
-    SELECT doc_id, {hits} FROM toks
-)
-SELECT doc_id, {', '.join(f'hits_{lang}' for lang in LANG_PRIORITY)},
-       CASE WHEN __best = 0 THEN 'und' {case} END AS predicted_lang
-FROM (SELECT *, GREATEST({greatest}) AS __best FROM hits)
-"""
-
-
 @query("language_id", _lang_oracle())
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.language_id(load_table(spark, sf_dir, "documents"))
-
-
-_FINGERPRINT_ORACLE = f"""
-WITH {_TOKS_CTE}
-SELECT doc_id, md5(coalesce(array_to_string(t, ' '), '')) AS fingerprint FROM toks
-"""
 
 
 @query("doc_fingerprint", _FINGERPRINT_ORACLE)
@@ -490,41 +311,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
-_DEDUP_EXACT_ORACLE = f"""
-WITH {_TOKS_CTE}, fp AS (
-    SELECT doc_id, md5(coalesce(array_to_string(t, ' '), '')) AS fingerprint FROM toks
-)
-SELECT doc_id, fingerprint FROM (
-    SELECT doc_id, fingerprint,
-           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-    FROM fp
-) WHERE rn = 1
-"""
-
-
 @query("dedup_exact", _DEDUP_EXACT_ORACLE)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
-
-
-_JACCARD_VERIFY = """
-sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-    FROM shc a JOIN shc b USING (sh) WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
-"""
-
-_NGRAM_JACCARD_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY}
-SELECT id_a, id_b,
-       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
-"""
 
 
 @query("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
@@ -537,15 +326,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Containment (near-subset) dedup: |A∩B| / min(|A|,|B|) — catches the
 # boilerplate-inclusion duplication Jaccard misses. Same capped
 # inverted index as the Jaccard oracle.
-_CONTAINMENT_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY}
-SELECT id_a, id_b,
-       CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
-"""
 
 
 # Same semantics and oracle as dedup_ngram_jaccard, exercising the
@@ -570,25 +350,6 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc ids) deduped against the already-ingested corpus (lower half).
 # Survivors = first-per-fingerprint in the batch AND unseen in the
 # corpus store.
-_INCREMENTAL_ORACLE = """
-WITH fp AS (
-    SELECT doc_id,
-           md5(coalesce(array_to_string(list_filter(
-               regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), t -> t <> ''), ' '),
-               ''))
-               AS fingerprint
-    FROM documents
-),
-split AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cut FROM fp),
-seen AS (SELECT DISTINCT fingerprint FROM fp, split WHERE doc_id <= cut),
-batch AS (
-    SELECT doc_id, fingerprint,
-           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-    FROM fp, split WHERE doc_id > cut
-)
-SELECT doc_id, fingerprint FROM batch
-WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM seen)
-"""
 
 
 @query("incremental_dedup_new_docs", _INCREMENTAL_ORACLE)
@@ -601,77 +362,11 @@ def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.incremental_exact_dedup(batch, seen)
 
 
-def _minhash_bands_sql(k: int = 8, band_size: int = 2) -> str:
-    # One-hash MinHash, mirroring dedup._h60/_minhash_cols exactly: one
-    # 60-bit md5-derived hash per shingle, truncated to its lower 32
-    # bits for the k affine transforms (a_j*(h%2^32) + b_j) % P. With
-    # a < 2^31 the product stays < 2^63 — exact BIGINT math in both
-    # engines.
-    from airbnb_cdc_spark.operators.dedup import (
-        _MINHASH_BASE_MOD,
-        MINHASH_P,
-        minhash_params,
-    )
-
-    mins = ", ".join(
-        f"min(({a} * (h % {_MINHASH_BASE_MOD}) + {b}) % {MINHASH_P}) AS mh{j}"
-        for j, (a, b) in enumerate(minhash_params(k))
-    )
-    # signatures, like the verify stage, are built from the CAPPED index
-    bands = ", ".join(
-        "concat_ws('|', '%d', %s)"
-        % (b, ", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
-        for b in range(k // band_size)
-    )
-    return f"""
-hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM shc),
-sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-bands AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
-cand AS (
-    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-    FROM bands x JOIN bands y USING (bucket) WHERE x.doc_id < y.doc_id
-)
-"""
-
-
-_MINHASH_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_minhash_bands_sql()},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-inter AS (
-    SELECT c.id_a, c.id_b, count(*) AS i
-    FROM cand c
-    JOIN shc a ON a.doc_id = c.id_a
-    JOIN shc b ON b.doc_id = c.id_b AND b.sh = a.sh
-    GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
-"""
-
-
 @query("dedup_minhash_lsh", _MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
-
-
-def _simhash_oracle(bits: int = 16) -> str:
-    votes = " + ".join(
-        f"(CASE WHEN COALESCE(list_sum(list_transform(dt, "
-        f"tok -> CASE WHEN substring(md5(tok), {i + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)), 0) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
-    return f"""
-WITH {_TOKS_CTE}, dtoks AS (SELECT doc_id, list_distinct(t) AS dt FROM toks)
-SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM dtoks
-"""
 
 
 @query("dedup_simhash", _simhash_oracle())
@@ -680,41 +375,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- similarity search ------------------------------------------------------
-
-_QUANT_CTE = """
-q AS (
-    SELECT vec_id,
-           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-    FROM embeddings
-)
-"""
-
-
-def _cos_sql(a: str, b: str, av: str = "qe", bv: str = "qe") -> str:
-    return (
-        f"CAST(list_sum(list_transform(range(1, 65), i -> {a}.{av}[i] * {b}.{bv}[i])) AS DOUBLE)"
-        f" / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> {a}.{av}[i] * {a}.{av}[i])) AS DOUBLE))"
-        f" * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> {b}.{bv}[i] * {b}.{bv}[i])) AS DOUBLE)))"
-    )
-
-
-_COS = (
-    "CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS DOUBLE)"
-    " / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS DOUBLE))"
-    " * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS DOUBLE)))"
-)
-
-_ANN_BF_ORACLE = f"""
-WITH {_QUANT_CTE}, scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
-    FROM q a, q b
-    WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM scored
-) WHERE rank <= 5
-"""
 
 
 @query("ann_topk_bruteforce", _ANN_BF_ORACLE)
@@ -729,60 +389,11 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broken toward the smaller label. Composes the ANN top-k with a
 # broadcast-topk label enrichment (the top-k frame is k·|queries| rows;
 # the corpus label map streams against it) and one tiny vote groupBy.
-_KNN_VOTE_ORACLE = f"""
-WITH {_QUANT_CTE}, scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
-    FROM q a, q b
-    WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
-),
-top5 AS (
-    SELECT query_id, neighbor_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= 5
-),
-votes AS (
-    SELECT t.query_id, e.label AS predicted_label, count(*) AS votes
-    FROM top5 t JOIN embeddings e ON t.neighbor_id = e.vec_id
-    GROUP BY 1, 2
-)
-SELECT query_id, predicted_label, CAST(votes AS BIGINT) AS votes FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, predicted_label) AS rn
-    FROM votes
-) WHERE rn = 1
-"""
 
 
 # Deterministic negative sampling (operators/sampling.py
 # hash_negatives): bucket representatives + md5-probed buckets, zero
 # randomness — the oracle replays the identical arithmetic.
-_NEG_K, _NEG_B = 3, 64
-
-_NEG_ORACLE = f"""
-WITH b AS (
-    SELECT vec_id, label,
-           CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-               % {_NEG_B} AS bb
-    FROM embeddings
-),
-reps AS (
-    SELECT bb, MIN(vec_id) AS neg FROM b GROUP BY 1
-),
-repl AS (
-    SELECT r.bb, r.neg, e.label AS neg_label
-    FROM reps r LEFT JOIN embeddings e ON r.neg = e.vec_id
-),
-p AS (
-    SELECT e.vec_id, e.label, j.j,
-           CAST(('0x' || substring(md5(concat(CAST(j.j AS VARCHAR), ':',
-                CAST(e.vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_NEG_B} AS bb
-    FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
-)
-SELECT p.vec_id, CAST(p.j + 1 AS INTEGER) AS neg_rank, r.neg AS neg_id
-FROM p JOIN repl r USING (bb)
-WHERE r.neg <> p.vec_id
-  AND (r.neg_label IS NULL OR p.label IS NULL OR r.neg_label <> p.label)
-"""
 
 
 @query("contrastive_negatives", _NEG_ORACLE)
@@ -823,73 +434,11 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql(alias: str, bits: int = 4) -> str:
-    parts = []
-    for j in range(bits):
-        plane = f"list_transform(range(1, 65), i -> ((1009 * {j + 1} * (i + 6) + 30011 * {j + 3}) % 2003) - 1001)"
-        proj = f"list_sum(list_transform(range(1, 65), i -> {alias}.qe[i] * ({plane})[i]))"
-        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
-    return " + ".join(parts)
-
-
-_ANN_LSH_ORACLE = f"""
-WITH {_QUANT_CTE},
-qb AS (SELECT vec_id, qe, CAST({_bucket_sql('q')} AS INTEGER) AS bucket FROM q),
-scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
-    FROM qb a JOIN qb b USING (bucket)
-    WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM scored
-) WHERE rank <= 5
-"""
-
-
 @query("ann_topk_lsh", _ANN_LSH_ORACLE)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return _sim.lsh_topk(emb, queries_df, k=5, bits=4)
-
-
-_PROJS_SQL = (
-    "list_transform(range(0, 4), j -> list_sum(list_transform(range(1, 65),"
-    " i -> qe[i] * (((1009 * (j + 1) * (i + 6) + 30011 * (j + 3)) % 2003) - 1001))))"
-)
-
-_ANN_LSH_MP_ORACLE = f"""
-WITH {_QUANT_CTE},
-pb AS (SELECT vec_id, qe, {_PROJS_SQL} AS projs FROM q),
-qb AS (
-    SELECT vec_id, qe, projs,
-           CAST(list_sum(list_transform(range(0, 4),
-                j -> CASE WHEN projs[j + 1] > 0 THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket
-    FROM pb
-),
-probes AS (
-    SELECT vec_id, qe,
-           list_prepend(bucket, list_transform(
-               list_slice(list_sort(list_transform(range(0, 4),
-                   j -> {{'a': abs(projs[j + 1]), 'j': j}})), 1, 2),
-               s -> xor(bucket, (1 << s.j)))) AS pbuckets
-    FROM qb WHERE vec_id % 50 = 0
-),
-cand AS (
-    SELECT p.vec_id AS query_id, p.qe, u.b AS bucket
-    FROM probes p, UNNEST(p.pbuckets) AS u(b)
-),
-scored AS (
-    SELECT a.query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
-    FROM cand a JOIN qb b USING (bucket)
-    WHERE a.query_id <> b.vec_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM scored
-) WHERE rank <= 5
-"""
 
 
 @query("ann_topk_lsh_multiprobe", _ANN_LSH_MP_ORACLE)
@@ -904,18 +453,6 @@ def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_topk(emb, queries_df, k=5, bits=4, nprobe=3)
 
 
-_NEARDUP_ORACLE = f"""
-WITH {_QUANT_CTE},
-qb AS (SELECT vec_id, qe, CAST({_bucket_sql('q')} AS INTEGER) AS bucket FROM q),
-pairs AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
-    FROM qb a JOIN qb b USING (bucket)
-    WHERE a.vec_id < b.vec_id
-)
-SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
-"""
-
-
 @query("dedup_embedding_cosine", _NEARDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_neardup_pairs(
@@ -927,26 +464,6 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the IVF assignment (deterministic centroid sample), pairs scored
 # only within a cluster. Threshold matches dedup_embedding_cosine so
 # the two blocking strategies are comparable on the same corpus.
-_SEMDEDUP_ORACLE = f"""
-WITH {_QUANT_CTE},
-cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
-assign AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent c
-    ) WHERE rn = 1
-)
-SELECT id_a, id_b, cid, cosine FROM (
-    SELECT p.vec_id AS id_a, n.vec_id AS id_b, p.cid AS cid,
-           {_cos_sql('p', 'n')} AS cosine
-    FROM assign p JOIN assign n ON p.cid = n.cid
-    WHERE p.vec_id < n.vec_id
-) WHERE cosine >= 0.4
-"""
 
 
 @query("semdedup_pairs", _SEMDEDUP_ORACLE)
@@ -960,15 +477,6 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from airbnb_cdc_spark.operators import multimodal as _mm  # noqa: E402
 
-_MM_ORACLE = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_hash,
-       CAST(CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) % 1920 + 1 AS INTEGER) AS fake_width,
-       CAST(CAST(concat('0x', substring(md5(text), 5, 4)) AS INTEGER) % 1080 + 1 AS INTEGER) AS fake_height
-FROM documents
-"""
-
 
 @query("multimodal_features", _MM_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,22 +486,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Resize: fake-decoded dims fit into a 128-box, exact IEEE scale math
 # reproduced in SQL; "re-encoded" hash = md5(content_hash:w:h).
-_MM_RESIZE_ORACLE = """
-WITH dims AS (
-    SELECT doc_id, md5(text) AS digest,
-           CAST(CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) % 1920 + 1 AS INTEGER) AS w,
-           CAST(CAST(concat('0x', substring(md5(text), 5, 4)) AS INTEGER) % 1080 + 1 AS INTEGER) AS h
-    FROM documents
-), scaled AS (
-    SELECT doc_id, digest,
-           greatest(1, CAST(floor(w * least(128.0 / w, 128.0 / h)) AS INTEGER)) AS out_width,
-           greatest(1, CAST(floor(h * least(128.0 / w, 128.0 / h)) AS INTEGER)) AS out_height
-    FROM dims
-)
-SELECT doc_id, out_width, out_height,
-       md5(concat(digest, ':', out_width, ':', out_height)) AS resized_hash
-FROM scaled
-"""
 
 
 @query("mm_resize", _MM_RESIZE_ORACLE)
@@ -1004,20 +496,6 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Frame sampling: n_frames = n_bytes // 100 + 1, stride = max(1,
 # n_frames // 4), up to 4 frames, per-frame hash md5(content_hash:idx).
-_MM_FRAMES_ORACLE = """
-WITH meta AS (
-    SELECT doc_id, md5(text) AS digest,
-           octet_length(encode(text)) // 100 + 1 AS n_frames
-    FROM documents
-), frames AS (
-    SELECT doc_id, digest,
-           unnest(range(0, least(4, n_frames))) * greatest(1, n_frames // 4) AS frame_idx
-    FROM meta
-)
-SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       md5(concat(digest, ':', frame_idx)) AS frame_hash
-FROM frames
-"""
 
 
 @query("mm_frame_sample", _MM_FRAMES_ORACLE)
@@ -1029,16 +507,6 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- event-time windowed aggregation (streaming-capable, batch-checked) -----
 
 from airbnb_cdc_spark.operators.windowed import tumbling_event_agg  # noqa: E402
-
-_WINDOW_ORACLE = """
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
-       event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-       COUNT(DISTINCT user_id) AS distinct_users
-FROM events
-GROUP BY 1, 2
-"""
 
 
 @query("events_windowed_agg", _WINDOW_ORACLE)
@@ -1052,36 +520,6 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no collisions. Deterministic md5 bucket hashes make every cell (and
 # estimate) engine-exact. operators/sketch.py carries the mergeability
 # argument (cells sum across shards/batches).
-_CMS_ORACLE = """
-WITH toks AS (
-    SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), t -> t <> '') AS t
-    FROM documents
-),
-vocab AS (
-    SELECT u.w AS token, CAST(count(*) AS BIGINT) AS exact_count
-    FROM toks, unnest(t) AS u(w) GROUP BY 1
-),
-top AS (
-    SELECT token, exact_count FROM vocab
-    ORDER BY exact_count DESC, token LIMIT 20
-),
-sketch AS (
-    SELECT j.j AS j,
-           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket,
-           CAST(SUM(exact_count) AS BIGINT) AS c
-    FROM vocab, unnest(range(0, 4)) AS j(j)
-    GROUP BY 1, 2
-),
-probe AS (
-    SELECT t.token, t.exact_count, j.j AS j,
-           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT) % 1024 AS bucket
-    FROM top t, unnest(range(0, 4)) AS j(j)
-)
-SELECT p.token AS token, CAST(max(p.exact_count) AS BIGINT) AS exact_count,
-       CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS cms_estimate
-FROM probe p LEFT JOIN sketch s USING (j, bucket)
-GROUP BY 1
-"""
 
 
 @query("token_count_cms", _CMS_ORACLE)
@@ -1114,27 +552,6 @@ def q_token_count_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here the per-group k-th min runs as a rank window that Spark executes
 # with WindowGroupLimit partial pruning before the shuffle. n_exact
 # rides along to show the estimate against truth.
-_KMV_ORACLE = """
-WITH uh AS (
-    SELECT DISTINCT event_type,
-           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-    FROM events
-),
-ranked AS (
-    SELECT event_type, h,
-           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
-    FROM uh
-),
-ns AS (
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM uh GROUP BY 1
-),
-kth AS (SELECT event_type, h AS hk FROM ranked WHERE rn = 64)
-SELECT ns.event_type AS event_type, ns.n_exact,
-       CASE WHEN kth.hk IS NULL THEN CAST(ns.n_exact AS DOUBLE)
-            ELSE 63.0 * 1152921504606846976.0 / CAST(kth.hk AS DOUBLE)
-       END AS kmv_estimate
-FROM ns LEFT JOIN kth USING (event_type)
-"""
 
 
 @query("distinct_users_kmv", _KMV_ORACLE)
@@ -1169,41 +586,6 @@ def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synopses — the join-size-planning primitive — with the exact
 # intersection alongside. Everything is exact-integer until the final
 # arithmetic, so the estimate value-hash-matches across engines.
-_KMV_OVERLAP_ORACLE = """
-WITH uh AS (
-    SELECT DISTINCT event_type AS grp,
-           CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-    FROM events WHERE event_type IN ('view', 'purchase')
-),
-ranked AS (
-    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM uh
-),
-sk AS (SELECT grp, h FROM ranked WHERE rn <= 64),
-pooled AS (
-    SELECT h, sides, ROW_NUMBER() OVER (ORDER BY h) AS prn
-    FROM (SELECT h, count(*) AS sides FROM sk GROUP BY h)
-),
-stats AS (
-    SELECT max(h) AS hk, count(*) AS m,
-           SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS rho_k
-    FROM pooled WHERE prn <= 64
-),
-est AS (
-    SELECT CASE WHEN m > 0 THEN
-               CAST(rho_k AS DOUBLE) / CAST(m AS DOUBLE)
-               * (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
-                       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END)
-           ELSE 0.0 END AS est_intersection
-    FROM stats
-),
-ex AS (
-    SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM
-    (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
-    JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
-    USING (user_id)
-)
-SELECT est.est_intersection, ex.exact_intersection FROM est, ex
-"""
 
 
 @query("user_overlap_kmv", _KMV_OVERLAP_ORACLE)
@@ -1235,20 +617,6 @@ def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retention triangle. Two aggregations + one user-key join (the join
 # shuffles both sides on user_id, the natural co-partitioning; the
 # matrix itself is months² rows — metadata-sized at any corpus size).
-_COHORT_ORACLE = """
-WITH firsts AS (
-    SELECT user_id, CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS cohort_month
-    FROM events GROUP BY 1
-),
-activity AS (
-    SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS activity_month
-    FROM events
-)
-SELECT f.cohort_month AS cohort_month, a.activity_month AS activity_month,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM firsts f JOIN activity a USING (user_id)
-GROUP BY 1, 2
-"""
 
 
 @query("cohort_retention", _COHORT_ORACLE)
@@ -1277,19 +645,6 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count per observed day. Row volume is exactly 7x the user-day count
 # — linear, shuffle-partitioned by day, no per-day self-join and no
 # single-partition window at any scale.
-_TRAIL7_ORACLE = """
-WITH ud AS (
-    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
-),
-days AS (SELECT DISTINCT day FROM ud),
-contrib AS (
-    SELECT DISTINCT u.user_id, u.day + CAST(r.i AS INTEGER) AS day
-    FROM ud u, unnest(range(0, 7)) AS r(i)
-)
-SELECT c.day AS day, CAST(count(*) AS BIGINT) AS users_7d
-FROM contrib c JOIN days d USING (day)
-GROUP BY 1
-"""
 
 
 @query("trailing_7d_users", _TRAIL7_ORACLE)
@@ -1316,21 +671,6 @@ def q_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly two windows, whose starts are the two most recent 30-min
 # boundaries at-or-before ts (epoch-aligned, session TZ pinned UTC —
 # identical alignment to Spark's window()).
-_HOPPING_ORACLE = """
-WITH starts AS (
-    SELECT unnest([
-               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
-               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
-           ]) AT TIME ZONE 'UTC' AS window_start,
-           value
-    FROM events
-)
-SELECT CAST(window_start AS TIMESTAMP) AS window_start,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM starts
-GROUP BY 1
-"""
 
 
 @query("events_hopping_agg", _HOPPING_ORACLE)
@@ -1345,29 +685,6 @@ def q_events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (an event at EXACTLY prev + gap still merges: pinned by the
 # streaming pytest), end = last event + gap. Exact-microsecond
 # comparison, like user_sessions.
-_SESSION_WINDOW_ORACLE = """
-WITH e AS (
-    SELECT user_id, ts, value FROM events
-    WHERE ts IS NOT NULL AND user_id IS NOT NULL
-), m AS (
-    SELECT user_id, ts, value,
-           CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                THEN 1 ELSE 0 END AS new_s
-    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), s AS (
-    SELECT user_id, ts, value,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS sid
-    FROM m
-)
-SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM s GROUP BY user_id, sid
-"""
 
 
 @query("session_window_stats", _SESSION_WINDOW_ORACLE)
@@ -1387,16 +704,6 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from airbnb_cdc_spark.operators.windowed import attribute_purchases  # noqa: E402
 
-_ATTRIB_ORACLE = """
-SELECT v.user_id AS user_id, v.event_id AS view_event_id,
-       p.event_id AS purchase_event_id,
-       v.ts AS view_ts, p.ts AS purchase_ts
-FROM events v JOIN events p
-  ON v.user_id = p.user_id
- AND v.event_type = 'view' AND p.event_type = 'purchase'
- AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
-"""
-
 
 @query("interval_join_attribution", _ATTRIB_ORACLE)
 def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,14 +714,6 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- BPE-ish token counting (regex word/punct segmentation) -----------------
-
-_BPE_ORACLE = r"""
-SELECT doc_id,
-       CAST(length(coalesce(text, '')) - length(replace(coalesce(text, ''), ' ', '')) + 1
-            AS BIGINT) AS ws_token_count,
-       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_token_count
-FROM documents
-"""
 
 
 @query("token_counts", _BPE_ORACLE)
@@ -1440,28 +739,6 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from airbnb_cdc_spark.operators.sessionize import sessionize_batch  # noqa: E402
 
-_SESSION_ORACLE = """
-WITH flagged AS (
-    SELECT user_id, ts,
-           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  OR epoch_us(ts)
-                     - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
-                     > 1800000000
-                THEN 1 ELSE 0 END AS is_new
-    FROM events
-), numbered AS (
-    SELECT user_id, ts,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session
-    FROM flagged
-)
-SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
-       COUNT(*) AS n_events
-FROM numbered GROUP BY user_id, session
-"""
-
 
 @query("user_sessions", _SESSION_ORACLE)
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,17 +750,6 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semi/anti joins — standard warehouse capabilities a switching user
 # expects, each oracle-checked.
 # --------------------------------------------------------------------------
-
-_ROLLUP_ORACLE = """
-SELECT COALESCE(n_name, '<all>') AS country,
-       COALESCE(o_orderstatus, '<all>') AS status,
-       COUNT(o_orderkey) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY ROLLUP (n_name, o_orderstatus)
-"""
 
 
 @query("rollup_country_status", _ROLLUP_ORACLE)
@@ -1509,20 +775,6 @@ def q_rollup_country_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-
-
-_TOPN_ORACLE = """
-WITH spend AS (
-    SELECT o_custkey AS customer_id,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_custkey
-)
-SELECT customer_id, total_spend, n_orders, CAST(rnk AS INTEGER) AS rnk FROM (
-    SELECT *, ROW_NUMBER() OVER (ORDER BY total_spend DESC, customer_id) AS rnk
-    FROM spend
-) WHERE rnk <= 20
-"""
 
 
 @query("top_spenders", _TOPN_ORACLE)
@@ -1592,43 +844,6 @@ def q_anti_join_never_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bitset's word-level test is equivalent to position-set membership.
 # num_bits is deliberately small (4096) so the false-positive path is
 # EXERCISED at every SF, not just theoretically present.
-_BLOOM_BITS, _BLOOM_K, _BLOOM_BAL = 4096, 3, 8000
-
-
-def _bloom_pos_sql(key_expr: str, i: int) -> str:
-    return (
-        f"(CAST(('0x' || substring(md5(concat('{i}:', "
-        f"CAST({key_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % {_BLOOM_BITS})"
-    )
-
-
-_BLOOM_EFFECT_ORACLE = f"""
-WITH dimk AS (
-    SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
-),
-dpos AS (
-    SELECT DISTINCT pos FROM (
-        SELECT unnest([{", ".join(_bloom_pos_sql("c_custkey", i) for i in range(_BLOOM_K))}]) AS pos
-        FROM dimk
-    )
-),
-f AS (
-    SELECT {", ".join(f"{_bloom_pos_sql('o_custkey', i)} AS q{i}" for i in range(_BLOOM_K))},
-           o_custkey IN (SELECT c_custkey FROM dimk) AS is_match
-    FROM orders
-),
-s AS (
-    SELECT is_match,
-           ({" AND ".join(f"q{i} IN (SELECT pos FROM dpos)" for i in range(_BLOOM_K))}) AS survives
-    FROM f
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
-       CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
-       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-       CAST(SUM(CASE WHEN survives AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_false_pos
-FROM s
-"""
 
 
 @query("bloom_prune_effect", _BLOOM_EFFECT_ORACLE)
@@ -1662,18 +877,6 @@ def q_bloom_prune_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos"
         ),
     )
-
-
-_BLOOM_SEMI_ORACLE = f"""
-SELECT o_orderstatus,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
-FROM orders
-WHERE o_custkey IN (
-    SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
-)
-GROUP BY o_orderstatus
-"""
 
 
 @query("bloom_semi_join_orders", _BLOOM_SEMI_ORACLE)
@@ -1768,18 +971,6 @@ def q_customer_name_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diverge on ties (Java rounds HALF_UP, C printf half-even). Values are
 # non-negative in this feed (floor-division sign rules differ across
 # engines on negatives).
-_JSON_ORACLE = """
-WITH docs AS (
-    SELECT printf('{"et":"%s","uid":%d,"v":%d.%02d}', event_type, user_id,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT) // 100,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT) % 100) AS j
-    FROM events
-)
-SELECT json_extract_string(j, '$.et') AS et,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(CAST(json_extract_string(j, '$.v') AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total_v
-FROM docs GROUP BY 1
-"""
 
 
 @query("json_extract_agg", _JSON_ORACLE)
@@ -1819,20 +1010,6 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # star revenue). Money math: sum exact decimals, render double.
 # --------------------------------------------------------------------------
 
-_PRICING_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
 
 @query("pricing_summary", _PRICING_ORACLE)
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1856,17 +1033,6 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHIPPING_ORACLE = """
-SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-WHERE o_orderstatus = 'O' AND l_shipdate > DATE '1995-03-15'
-GROUP BY o_orderkey, o_orderdate
-ORDER BY revenue DESC, orderkey
-LIMIT 10
-"""
-
-
 @query("shipping_priority", _SHIPPING_ORACLE)
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
@@ -1887,18 +1053,6 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
-
-
-_LOCAL_SUPPLIER_ORACLE = """
-SELECT n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders   ON o_custkey = c_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-JOIN nation   ON c_nationkey = n_nationkey
-GROUP BY n_name
-"""
 
 
 @query("local_supplier_revenue", _LOCAL_SUPPLIER_ORACLE)
@@ -1963,23 +1117,6 @@ def q_salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int64 arithmetic: h = (h*313 + tok_hash) mod 2^53. Order-sensitive
 # (unlike the md5 set fingerprint) — the classic streaming fingerprint.
 
-_ROLLING_ORACLE = """
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), t -> t <> '') AS t
-    FROM documents
-), hashes AS (
-    SELECT doc_id,
-           list_transform(t, tok -> CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT)) AS h
-    FROM toks
-)
-SELECT doc_id,
-       CASE WHEN len(h) = 0 THEN 0
-            ELSE list_reduce(h, (a, b) -> (a * 313 + b) % 9007199254740992)
-       END AS rolling_hash
-FROM hashes
-"""
-
 
 @query("rolling_fingerprint", _ROLLING_ORACLE)
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,36 +1142,6 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- IVF ANN (inverted-file variant; centroids = deterministic sample) ------
 
-_IVF_ORACLE = f"""
-WITH {_QUANT_CTE},
-cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
-assign AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * c.ce[i])) AS DOUBLE)
-                            / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS DOUBLE))
-                               * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])) AS DOUBLE))) DESC,
-                            c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent c
-    ) WHERE rn = 1
-),
-scored AS (
-    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
-           CAST(list_sum(list_transform(range(1, 65), i -> p.qe[i] * n.qe[i])) AS DOUBLE)
-           / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> p.qe[i] * p.qe[i])) AS DOUBLE))
-              * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * n.qe[i])) AS DOUBLE))) AS cosine
-    FROM assign p JOIN assign n ON p.cid = n.cid
-    WHERE p.vec_id % 50 = 0 AND p.vec_id <> n.vec_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM scored
-) WHERE rank <= 5
-"""
-
 
 @query("ann_topk_ivf", _IVF_ORACLE)
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,44 +1150,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_topk(emb, queries_df, k=5)
 
 
-
 # nprobe>1 variants: queries probe their N nearest centroids' lists —
 # recall rises with the probed fraction of the corpus (COVERAGE.md
 # curve: 0.26/0.44/0.56/0.82 at nprobe 1/2/4/8).
-def _ivf_nprobe_sql(nprobe: int) -> str:
-    return f"""
-WITH {_QUANT_CTE},
-cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
-assign AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent c
-    ) WHERE rn = 1
-),
-probe AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent c WHERE a.vec_id % 50 = 0
-    ) WHERE rn <= {nprobe}
-),
-scored AS (
-    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id, {_cos_sql('p', 'n')} AS cosine
-    FROM probe p JOIN assign n ON p.cid = n.cid
-    WHERE p.vec_id <> n.vec_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM scored
-) WHERE rank <= 5
-"""
 
 
 @query("ann_topk_ivf_nprobe", _ivf_nprobe_sql(2))
@@ -2106,56 +1178,6 @@ def q_ann_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then the usual inverted-file probe at nprobe=2. On this near-uniform
 # synthetic data refinement doesn't improve recall (see COVERAGE.md);
 # the query proves the refinement pipeline is exact cross-engine.
-_IVF_KMEANS_ORACLE = f"""
-WITH {_QUANT_CTE},
-cent0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 37 = 3),
-a0 AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent0 c
-    ) WHERE rn = 1
-),
-dims AS (
-    SELECT cid, i AS pos,
-           CAST(floor(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-    FROM a0, unnest(range(1, 65)) AS t(i)
-    GROUP BY cid, i
-),
-cent AS (SELECT cid, list(m ORDER BY pos) AS ce FROM dims GROUP BY cid),
-assign AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent c
-    ) WHERE rn = 1
-),
-probe AS (
-    SELECT vec_id, cid, qe FROM (
-        SELECT a.vec_id, c.cid, a.qe,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_cos_sql('a', 'c', 'qe', 'ce')} DESC, c.cid
-               ) AS rn
-        FROM q a CROSS JOIN cent c WHERE a.vec_id % 50 = 0
-    ) WHERE rn <= 2
-),
-scored AS (
-    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id, {_cos_sql('p', 'n')} AS cosine
-    FROM probe p JOIN assign n ON p.cid = n.cid
-    WHERE p.vec_id <> n.vec_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM scored
-) WHERE rank <= 5
-"""
 
 
 @query("ann_topk_ivf_kmeans", _IVF_KMEANS_ORACLE)
@@ -2170,19 +1192,6 @@ def q_ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user's latest view event at or before it. Union+window single-shuffle
 # implementation — see operators/asof.py.
 # --------------------------------------------------------------------------
-
-_ASOF_ORACLE = """
-WITH purchases AS (
-    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-), views AS (
-    SELECT user_id, ts, max(event_id) AS event_id
-    FROM events WHERE event_type = 'view' GROUP BY user_id, ts
-)
-SELECT p.user_id AS user_id, p.ts AS ts, p.event_id AS event_id,
-       v.ts AS view_ts, v.event_id AS view_event_id
-FROM purchases p
-ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
-"""
 
 
 @query("asof_last_view_before_purchase", _ASOF_ORACLE)
@@ -2314,21 +1323,6 @@ def q_status_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pivot: order counts by status x priority (fixed column contract)
 # --------------------------------------------------------------------------
 
-_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-_PRIORITY_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
-
-
-def _pivot_oracle() -> str:
-    cols = ",\n           ".join(
-        f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
-        for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
-    )
-    return f"""
-    SELECT o_orderstatus AS status,
-           {cols}
-    FROM orders GROUP BY o_orderstatus
-    """
-
 
 # --------------------------------------------------------------------------
 # Windowed range aggregation: per event, activity of the same user in the
@@ -2336,16 +1330,6 @@ def _pivot_oracle() -> str:
 # user, no self-join / no candidate-pair explosion (the scalable form of
 # a time-range self-join when the frame is one-sided).
 # --------------------------------------------------------------------------
-
-_TRAILING_ORACLE = """
-SELECT event_id, user_id, ts,
-       COUNT(*) OVER w - 1 AS n_prior_1h,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
-            - CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_prior_1h
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-"""
 
 
 @query("trailing_hour_activity", _TRAILING_ORACLE)
@@ -2373,14 +1357,6 @@ def q_trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lead/lag: gap to the user's previous event + next event's type
 # --------------------------------------------------------------------------
 
-_LEADLAG_ORACLE = """
-SELECT event_id, user_id, ts,
-       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,
-       lead(event_type) OVER w AS next_event_type
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
 
 @query("event_gaps_leadlag", _LEADLAG_ORACLE)
 def q_event_gaps_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2401,20 +1377,6 @@ def q_event_gaps_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Set operations: INTERSECT / EXCEPT over customer key sets
 # --------------------------------------------------------------------------
-
-_SETOPS_ORACLE = """
-SELECT c AS customer_id, 'both' AS tag FROM (
-    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-)
-UNION ALL
-SELECT c AS customer_id, 'f_only' AS tag FROM (
-    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-)
-"""
 
 
 @query("set_ops_customers", _SETOPS_ORACLE)
@@ -2458,32 +1420,9 @@ from airbnb_cdc_spark.operators import funnel as _funnel  # noqa: E402
 from airbnb_cdc_spark.operators import profile as _profile  # noqa: E402
 from airbnb_cdc_spark.operators import sampling as _sampling  # noqa: E402
 
-_CHUNK_W, _CHUNK_S = 64, 48
 
 # Shared chunk CTE (ends with a `chunks` table) — the chunker query and
 # the chunk-level dedup family all reproduce the same boundaries/hashes.
-_CHUNKS_CTE = f"""{_TOKS_CTE}, c AS (
-    SELECT doc_id, t, len(t) AS n,
-           1 + CASE WHEN len(t) > {_CHUNK_W}
-                    THEN (len(t) - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
-                    ELSE 0 END AS nc
-    FROM toks
-), chunks AS (
-    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
-           CAST(len(ck) AS BIGINT) AS chunk_tokens,
-           md5(array_to_string(ck, ' ')) AS chunk_hash
-    FROM (
-        SELECT doc_id, i,
-               list_slice(t, (i-1)*{_CHUNK_S} + 1,
-                          least((i-1)*{_CHUNK_S} + {_CHUNK_W}, n)) AS ck
-        FROM c, unnest(range(1, nc + 1)) AS u(i)
-    ) WHERE len(ck) > 0
-)"""
-
-_CHUNKS_ORACLE = f"""
-WITH {_CHUNKS_CTE}
-SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash FROM chunks
-"""
 
 
 @query("doc_chunks", _CHUNKS_ORACLE)
@@ -2497,22 +1436,6 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximation): keeper = first occurrence in (doc_id, chunk_idx)
 # order; every other occurrence of the same token window is a
 # droppable span — including repeats WITHIN one document.
-_CHUNK_KEEPER_CTE = f"""{_CHUNKS_CTE}, k AS (
-    SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx
-    FROM (SELECT chunk_hash, doc_id, chunk_idx,
-                 row_number() OVER (PARTITION BY chunk_hash
-                                    ORDER BY doc_id, chunk_idx) AS rn
-          FROM chunks) WHERE rn = 1
-)"""
-
-_CHUNK_DEDUP_ORACLE = f"""
-WITH {_CHUNK_KEEPER_CTE}
-SELECT c.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_hash,
-       k.keep_doc_id, k.keep_chunk_idx,
-       NOT (c.doc_id = k.keep_doc_id AND c.chunk_idx = k.keep_chunk_idx)
-           AS is_dup
-FROM chunks c JOIN k USING (chunk_hash)
-"""
 
 
 @query("chunk_dedup_spans", _CHUNK_DEDUP_ORACLE)
@@ -2520,22 +1443,6 @@ def q_chunk_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.chunk_dedup(
         load_table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
     )
-
-
-_CHUNK_DEDUP_SUMMARY_ORACLE = f"""
-WITH {_CHUNK_KEEPER_CTE}, m AS (
-    SELECT c.doc_id,
-           NOT (c.doc_id = k.keep_doc_id AND c.chunk_idx = k.keep_chunk_idx)
-               AS is_dup
-    FROM chunks c JOIN k USING (chunk_hash)
-)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_dup_chunks,
-       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
-FROM m GROUP BY doc_id
-"""
 
 
 @query("chunk_dedup_summary", _CHUNK_DEDUP_SUMMARY_ORACLE)
@@ -2548,30 +1455,6 @@ def q_chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Merged per-doc token intervals to cut: droppable chunk occurrences
 # mapped to token spans and coalesced where they overlap/touch (the
 # interval-merge both engines express with the same two windows).
-_CHUNK_INTERVALS_ORACLE = f"""
-WITH {_CHUNK_KEEPER_CTE}, d AS (
-    SELECT c.doc_id,
-           CAST(c.chunk_idx AS BIGINT) * {_CHUNK_S} AS s,
-           CAST(c.chunk_idx AS BIGINT) * {_CHUNK_S} + c.chunk_tokens AS e
-    FROM chunks c JOIN k USING (chunk_hash)
-    WHERE NOT (c.doc_id = k.keep_doc_id AND c.chunk_idx = k.keep_chunk_idx)
-), g AS (
-    SELECT doc_id, s, e,
-           SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s
-                     ROWS UNBOUNDED PRECEDING) AS grp
-    FROM (
-        SELECT doc_id, s, e,
-               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING) AS pe
-        FROM d
-    )
-)
-SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_chunks
-FROM g GROUP BY doc_id, grp
-"""
 
 
 @query("chunk_dedup_intervals", _CHUNK_INTERVALS_ORACLE)
@@ -2584,65 +1467,16 @@ def q_chunk_dedup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental chunk dedup: the growing-corpus shape — batch (upper half
 # of doc ids) marked against the store (lower half's chunk hashes),
 # same split convention as incremental_dedup_new_docs.
-_INCR_CHUNK_ORACLE = f"""
-WITH {_CHUNKS_CTE},
-split AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cut FROM documents),
-seen AS (SELECT DISTINCT chunk_hash FROM chunks, split WHERE doc_id <= cut),
-batch AS (
-    SELECT c.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_hash,
-           row_number() OVER (PARTITION BY chunk_hash
-                              ORDER BY doc_id, chunk_idx) AS rn
-    FROM chunks c, split WHERE doc_id > cut
-)
-SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash,
-       (rn > 1 OR chunk_hash IN (SELECT chunk_hash FROM seen)) AS is_dup
-FROM batch
-"""
 
 
 # Winnowing (MOSS): per-doc window-min gram fingerprints; pairs share
 # >= min_shared capped fingerprints. h60 and AUTO cap mirror the
 # Jaccard family conventions exactly.
-_H60_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
-
-_WINNOW_CTE = f"""{{toks}}, g AS (
-    SELECT doc_id,
-           list_transform(range(1, len(t) - 1),
-               i -> {_H60_SQL.format(x="concat_ws(' ', t[i], t[i+1], t[i+2])")}) AS g
-    FROM toks
-), wn AS (
-    SELECT doc_id,
-           list_distinct(list_transform(
-               range(1, greatest(len(g) - 3, 1) + 1),
-               i -> list_min(list_slice(g, i, i + 3)))) AS wf
-    FROM g WHERE len(g) > 0
-)"""
-
-
-_WINNOW_FP_ORACLE = f"""
-WITH {_WINNOW_CTE.format(toks=_TOKS_CTE)}
-SELECT doc_id, unnest(wf) AS fp FROM wn
-"""
 
 
 @query("winnow_fingerprints", _WINNOW_FP_ORACLE)
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.winnowed_fingerprints(load_table(spark, sf_dir, "documents"))
-
-
-_WINNOW_PAIRS_ORACLE = f"""
-WITH {_WINNOW_CTE.format(toks=_TOKS_CTE)},
-p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
-keep AS (
-    SELECT fp FROM p GROUP BY fp
-    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
-),
-pc AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp))
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(count(*) AS BIGINT) AS shared_fps
-FROM pc a JOIN pc b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 2
-"""
 
 
 @query("winnow_pairs", _WINNOW_PAIRS_ORACLE)
@@ -2654,68 +1488,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_components, over near-substring (winnowed) pairs — groups of
 # documents chained by shared boilerplate runs, even when no two ends
 # of the chain share anything directly.
-_WINNOW_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_WINNOW_CTE.format(toks=_TOKS_CTE)},
-p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
-keep AS (
-    SELECT fp FROM p GROUP BY fp
-    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
-),
-pc AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
-np AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM pc a JOIN pc b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= 2
-),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM np
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM np
-),
-reach(node, r) AS (
-    SELECT src, dst FROM edges
-    UNION
-    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
-)
-SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
-"""
 
 
 # The APPLY step over winnow clusters: drop every cluster member but
 # its min-id representative — same broadcast anti-join shape as
 # dedup_keep_canonical, driven by near-substring pairs.
-_WINNOW_CANONICAL_ORACLE = f"""
-WITH RECURSIVE {_WINNOW_CTE.format(toks=_TOKS_CTE)},
-p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
-keep AS (
-    SELECT fp FROM p GROUP BY fp
-    HAVING count(*) <= (SELECT greatest(2, count(*) // 100) FROM documents)
-),
-pc AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
-np AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM pc a JOIN pc b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= 2
-),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM np
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM np
-),
-reach(node, r) AS (
-    SELECT src, dst FROM edges
-    UNION
-    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
-),
-comp AS (SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node)
-SELECT d.doc_id AS doc_id, d.source AS source,
-       CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_cluster
-FROM documents d
-LEFT JOIN comp c ON d.doc_id = c.node AND c.node = c.component
-WHERE NOT EXISTS (
-    SELECT 1 FROM comp x WHERE x.node = d.doc_id AND x.node <> x.component
-)
-"""
 
 
 @query("winnow_keep_canonical", _WINNOW_CANONICAL_ORACLE)
@@ -2765,27 +1542,8 @@ def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII scrub/report — the oracle SQL is BUILT from text.PII_PATTERNS so
 # the regexes are literally identical on both engines (the pattern
 # subset is chosen to mean the same thing in Java regex and RE2).
-def _pii_sql_exprs() -> tuple[str, list[str]]:
-    # Counts cascade like the replacements (each class counted on the
-    # text with earlier classes redacted) — mirrors text.pii_scrub.
-    scrub = "coalesce(text, '')"
-    counts = []
-    for name, pat, repl in _text.PII_PATTERNS:
-        counts.append(
-            f"CAST(len(regexp_extract_all({scrub}, '{pat}'))"
-            f" AS BIGINT) AS n_{name}"
-        )
-        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
-    return scrub, counts
 
 
-_PII_SCRUB_EXPR, _PII_COUNT_EXPRS = _pii_sql_exprs()
-
-_PII_SCRUB_ORACLE = f"""
-SELECT doc_id, {_PII_SCRUB_EXPR} AS scrubbed,
-       {", ".join(_PII_COUNT_EXPRS)}
-FROM documents
-"""
 
 
 @query("pii_scrub", _PII_SCRUB_ORACLE)
@@ -2793,30 +1551,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
-_PII_REPORT_ORACLE = f"""
-WITH p AS (
-    SELECT {", ".join(_PII_COUNT_EXPRS)} FROM documents
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN {" + ".join(f"n_{n}" for n, _, _ in _text.PII_PATTERNS)} > 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
-       {", ".join(f"CAST(SUM(n_{n}) AS BIGINT) AS total_{n}" for n, _, _ in _text.PII_PATTERNS)}
-FROM p
-"""
-
-
 @query("pii_report", _PII_REPORT_ORACLE)
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.pii_report(load_table(spark, sf_dir, "documents"))
-
-
-_BUCKET_SQL = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
-
-_SAMPLE_ORACLE = f"""
-SELECT doc_id, lang, source FROM (
-    SELECT doc_id, lang, source, {_BUCKET_SQL} AS b FROM documents
-) WHERE b < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
-"""
 
 
 @query("sample_by_lang", _SAMPLE_ORACLE)
@@ -2825,16 +1562,6 @@ def q_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this corpus) to 10%, everything else to 50%."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return _sampling.stratified_sample(docs, "doc_id", "lang", {"en": 10}, default_pct=50)
-
-
-_SPLIT_ORACLE = f"""
-SELECT split, lang, COUNT(*) AS n_docs FROM (
-    SELECT lang, CASE WHEN b < 80 THEN 'train'
-                      WHEN b < 90 THEN 'valid'
-                      ELSE 'test' END AS split
-    FROM (SELECT lang, {_BUCKET_SQL} AS b FROM documents)
-) GROUP BY split, lang
-"""
 
 
 @query("dataset_split_counts", _SPLIT_ORACLE)
@@ -2856,18 +1583,6 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort; at 100 TB with few strata, swap to approx-quantile cut points
 # (approx_percentile + range binning) — the exact form is kept because
 # the driver gate needs bitwise-reproducible bins.
-_NTILE_ORACLE = """
-SELECT lang, CAST(quartile AS INTEGER) AS quartile,
-       COUNT(*) AS n_docs,
-       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-       CAST(MAX(n_chars) AS BIGINT) AS max_chars
-FROM (
-    SELECT lang, n_chars,
-           NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
-    FROM documents
-)
-GROUP BY 1, 2
-"""
 
 
 @query("length_quartiles_by_lang", _NTILE_ORACLE)
@@ -2895,31 +1610,6 @@ def q_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: one groupBy(token) for corpus frequencies, TakeOrdered
 # top-K (K rows to the driver, never the full vocab), broadcast vocab
 # array membership per doc — the corpus never shuffles for the join.
-_OOV_ORACLE = f"""
-WITH {_TOKS_CTE},
-ex AS (
-    SELECT doc_id, u.tok FROM toks, unnest(toks.t) AS u(tok)
-),
-freq AS (
-    SELECT tok, count(*) AS n FROM ex GROUP BY 1
-),
-vocab AS (
-    SELECT tok FROM freq ORDER BY n DESC, tok LIMIT 10
-),
-oov AS (
-    SELECT e.doc_id, count(*) AS n_oov
-    FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
-    WHERE v.tok IS NULL
-    GROUP BY 1
-)
-SELECT t.doc_id,
-       CAST(len(t.t) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
-       CASE WHEN len(t.t) > 0
-            THEN CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
-            ELSE 0.0 END AS oov_rate
-FROM toks t LEFT JOIN oov o USING (doc_id)
-"""
 
 
 @query("oov_rate", _OOV_ORACLE)
@@ -2969,47 +1659,6 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3-value split would serialize the running-sum window into 3 giant
 # partitions at 100 TB, while split×source scales with the corpus's
 # source count (real pipelines pack per output shard anyway).
-_PREP_ORACLE = f"""
-WITH {_TOKS_CTE},
-stats AS (
-    SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
-    FROM toks
-    WHERE len(t) >= 20
-      AND CAST(len(list_filter(t, x -> x IN ({_stop_list('en')}))) AS DOUBLE)
-          / CAST(len(t) AS DOUBLE) >= 0.03
-      AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.35
-),
-fp AS (
-    SELECT doc_id, n_tokens, md5(coalesce(array_to_string(t, ' '), '')) AS fingerprint,
-           row_number() OVER (PARTITION BY md5(coalesce(array_to_string(t, ' '), ''))
-                              ORDER BY doc_id) AS rn
-    FROM stats
-),
-sp AS (
-    SELECT f.doc_id, f.n_tokens,
-           CASE WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 80 THEN 'train'
-                WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 90 THEN 'valid'
-                ELSE 'test' END AS split,
-           concat(CASE WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 80 THEN 'train'
-                       WHEN {_BUCKET_SQL.replace('doc_id', 'f.doc_id')} < 90 THEN 'valid'
-                       ELSE 'test' END, '|', d.source) AS shard
-    FROM fp f JOIN documents d ON f.doc_id = d.doc_id
-    WHERE f.rn = 1
-),
-packed AS (
-    SELECT split, shard, n_tokens,
-           (SUM(n_tokens) OVER w - n_tokens) // 512 AS seq_id
-    FROM sp
-    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT split,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT) AS n_sequences
-FROM packed
-GROUP BY 1
-"""
 
 
 @query("corpus_prep_summary", _PREP_ORACLE)
@@ -3039,27 +1688,6 @@ def q_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality filter): fraction of trigram occurrences that repeat an
 # earlier trigram of the same doc. Mirrors textfns.shingles exactly —
 # ALL trigrams, duplicates preserved, before the distinct.
-_REPETITION_ORACLE = f"""
-WITH {_TOKS_CTE},
-gr AS (
-    SELECT doc_id,
-           CASE WHEN len(t) >= 3
-                THEN list_transform(range(1, len(t) - 1),
-                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                ELSE [] END AS g
-    FROM toks
-)
-SELECT doc_id,
-       CAST(len(g) AS BIGINT) AS n_ngrams,
-       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_ngrams,
-       CASE WHEN len(g) > 0
-            THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
-            ELSE 0.0 END AS repetition_ratio,
-       CAST(CASE WHEN len(g) > 0
-                  AND 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE) > 0.2
-                 THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
-FROM gr
-"""
 
 
 @query("repetition_filter", _REPETITION_ORACLE)
@@ -3069,20 +1697,6 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Greedy sequence packing: per-source running token offsets chunked
 # into 512-token training sequences (concat-then-chunk batching).
-_PACK_ORACLE = """
-WITH tk AS (
-    SELECT doc_id, source,
-           CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
-                t -> t <> '')) AS BIGINT) AS n_tokens
-    FROM documents
-)
-SELECT doc_id, source, n_tokens,
-       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset,
-       CAST((SUM(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS seq_id
-FROM tk
-WINDOW w AS (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-"""
 
 
 @query("pack_sequences", _PACK_ORACLE)
@@ -3099,25 +1713,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair list rolled up to an (unordered) source-pair overlap matrix.
 # Composition query: the jaccard pair operator feeds two broadcast dim
 # joins + one tiny groupBy; at 100 TB the matrix is |sources|² rows.
-_PAIR_SOURCES_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY},
-np AS (
-    SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
-)
-SELECT least(da.source, db.source) AS source_lo,
-       greatest(da.source, db.source) AS source_hi,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       max(np.jaccard) AS max_jaccard
-FROM np
-JOIN documents da ON np.id_a = da.doc_id
-JOIN documents db ON np.id_b = db.doc_id
-GROUP BY 1, 2
-"""
 
 
 @query("dedup_pair_sources", _PAIR_SOURCES_ORACLE)
@@ -3146,52 +1741,9 @@ def q_dedup_pair_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_cluster_oracle(bits: int = 32, maxh: int = 3) -> str:
-    # The oracle runs the plain quadratic join over DISTINCT fingerprints
-    # (tiny); the Spark side band-blocks it — lossless for
-    # maxh < n_bands, so results match exactly.
-    return f"""
-WITH sims AS ({_simhash_oracle(bits)}),
-fps AS (SELECT simhash, min(doc_id) AS rep FROM sims GROUP BY 1),
-cmap AS (
-    SELECT a.simhash, min(b.rep) AS cluster_rep
-    FROM fps a JOIN fps b ON bit_count(xor(a.simhash, b.simhash)) <= {maxh}
-    GROUP BY 1
-)
-SELECT s.doc_id, c.cluster_rep FROM sims s JOIN cmap c USING (simhash)
-"""
-
-
 @query("dedup_simhash_cluster", _simhash_cluster_oracle())
 def q_dedup_simhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_cluster(load_table(spark, sf_dir, "documents"))
-
-
-def _diversity_oracle(per_cluster: int = 2) -> str:
-    # Cluster assignment = the simhash-cluster oracle; the pick order
-    # inside each cluster is (md5-h60(doc_id), doc_id) — deterministic,
-    # so the sampled SET (not just its size) matches cross-engine.
-    return f"""
-WITH sims AS ({_simhash_oracle(32)}),
-fps AS (SELECT simhash, min(doc_id) AS rep FROM sims GROUP BY 1),
-cmap AS (
-    SELECT a.simhash, min(b.rep) AS cluster_rep
-    FROM fps a JOIN fps b ON bit_count(xor(a.simhash, b.simhash)) <= 3
-    GROUP BY 1
-),
-assigned AS (SELECT s.doc_id, c.cluster_rep FROM sims s JOIN cmap c USING (simhash)),
-ranked AS (
-    SELECT doc_id, cluster_rep,
-           row_number() OVER (
-               PARTITION BY cluster_rep
-               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
-                        doc_id
-           ) AS rn
-    FROM assigned
-)
-SELECT doc_id, cluster_rep, CAST(rn AS INTEGER) AS pick_rank
-FROM ranked WHERE rn <= {per_cluster}
-"""
 
 
 @query("diversity_sample_by_cluster", _diversity_oracle())
@@ -3208,49 +1760,10 @@ def q_diversity_sample_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame
     return diversity_sample(clusters, "cluster_rep", per_cluster=2)
 
 
-_FUNNEL_ORACLE = """
-WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
-c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
-      JOIN v ON e.user_id = v.user_id AND e.ts >= v.tv
-      WHERE e.event_type = 'click' GROUP BY 1),
-p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
-      JOIN c ON e.user_id = c.user_id AND e.ts >= c.tc
-      WHERE e.event_type = 'purchase' GROUP BY 1),
-j AS (SELECT v.user_id, tv, tc, tp
-      FROM v LEFT JOIN c ON v.user_id = c.user_id
-             LEFT JOIN p ON v.user_id = p.user_id)
-SELECT 'view' AS stage, CAST(0 AS INT) AS stage_idx, COUNT(tv) AS n_users FROM j
-UNION ALL
-SELECT 'click', CAST(1 AS INT), COUNT(tc) FROM j
-UNION ALL
-SELECT 'purchase', CAST(2 AS INT), COUNT(tp) FROM j
-"""
-
-
 @query("user_funnel", _FUNNEL_ORACLE)
 def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return _funnel.funnel_counts(events, ["view", "click", "purchase"])
-
-
-_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
-
-
-def _profile_oracle() -> str:
-    aggs = ["COUNT(*) AS n"]
-    selects = []
-    for i, c in enumerate(_PROFILE_COLS):
-        aggs += [
-            f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS null{i}",
-            f"COUNT(DISTINCT {c}) AS dist{i}",
-            f"CAST(MIN({c}) AS VARCHAR) AS min{i}",
-            f"CAST(MAX({c}) AS VARCHAR) AS max{i}",
-        ]
-        selects.append(
-            f"SELECT '{c}' AS col_name, n AS n_rows, null{i} AS n_null, "
-            f"dist{i} AS n_distinct, min{i} AS min_val, max{i} AS max_val FROM a"
-        )
-    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n" + "\nUNION ALL\n".join(selects)
 
 
 @query("orders_profile", _profile_oracle())
@@ -3261,15 +1774,6 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q4 shape on available columns: orders in a quarter having at
 # least one "late" lineitem (shipped >= 90 days after the order date),
 # counted per priority — the EXISTS/semi-join pattern.
-_LATE_SHIP_ORACLE = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey
-                AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
-GROUP BY o_orderpriority
-"""
 
 
 @query("late_ship_priority_check", _LATE_SHIP_ORACLE)
@@ -3292,14 +1796,6 @@ def q_late_ship_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # TPC-H Q12 shape: lineitems shipped in 1994, classified by the owning
 # order's priority (high = urgent/high), grouped by linestatus.
-_LINESTATUS_ORACLE = """
-SELECT l_linestatus,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-GROUP BY l_linestatus
-"""
 
 
 @query("linestatus_priority_class", _LINESTATUS_ORACLE)
@@ -3322,19 +1818,6 @@ def q_linestatus_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # TPC-H Q18 shape: large-volume orders (total quantity > 300) with
 # customer attribution — aggregate-then-join with a HAVING prefilter.
-_LARGE_ORDERS_ORACLE = """
-WITH big AS (
-    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
-    FROM lineitem GROUP BY 1
-    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
-)
-SELECT c_name, o_orderkey AS orderkey, o_orderdate,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
-       CAST(qty AS DOUBLE) AS total_qty
-FROM big
-JOIN orders ON o_orderkey = big.l_orderkey
-JOIN customer ON c_custkey = o_custkey
-"""
 
 
 @query("large_orders", _LARGE_ORDERS_ORACLE)
@@ -3364,31 +1847,9 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decontamination, BPE pair counts, OHLC buckets, histograms
 # --------------------------------------------------------------------------
 
-_H60_SQL = "CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)"
 
 # Benchmark stand-in: every 97th doc plays the eval set; the rest is the
 # training corpus being screened for leakage.
-_DECONTAM_ORACLE = f"""
-WITH {_TOKS_CTE}, {_SH_CTE},
-h AS (SELECT doc_id, {_H60_SQL} AS h FROM sh),
-bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
-corpus AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0),
-cd AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
-sizes AS (
-    SELECT cd.doc_id, COALESCE(x.cnt, 0) AS n_shingles
-    FROM cd LEFT JOIN (SELECT doc_id, count(DISTINCT h) AS cnt FROM corpus GROUP BY 1) x
-    USING (doc_id)
-),
-ov AS (
-    SELECT c.doc_id, count(DISTINCT c.h) AS n_overlap
-    FROM corpus c JOIN bench USING (h) GROUP BY 1
-)
-SELECT s.doc_id, s.n_shingles, COALESCE(ov.n_overlap, 0) AS n_overlap,
-       CASE WHEN s.n_shingles > 0
-            THEN CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
-            ELSE 0.0 END AS overlap_ratio
-FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
-"""
 
 
 @query("decontaminate_vs_benchmark", _DECONTAM_ORACLE)
@@ -3399,42 +1860,9 @@ def q_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.benchmark_overlap(corpus, bench)
 
 
-_BIGRAM_ORACLE = f"""
-WITH {_TOKS_CTE}, pairs AS (
-    SELECT concat_ws(' ', t[i], t[i+1]) AS bigram
-    FROM toks, unnest(range(1, len(t))) AS u(i)
-    WHERE len(t) >= 2
-)
-SELECT bigram, n, CAST(rnk AS INT) AS rnk FROM (
-    SELECT bigram, count(*) AS n,
-           ROW_NUMBER() OVER (ORDER BY count(*) DESC, bigram) AS rnk
-    FROM pairs GROUP BY 1
-) WHERE rnk <= 50
-"""
-
-
 @query("bigram_vocab", _BIGRAM_ORACLE)
 def q_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bigram_counts(load_table(spark, sf_dir, "documents"), top_k=50)
-
-
-_OHLC_ORACLE = """
-WITH r AS (
-    SELECT event_type, date_trunc('hour', ts) AS hour, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                              ORDER BY ts, event_id) AS ra,
-           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                              ORDER BY ts DESC, event_id DESC) AS rd
-    FROM events
-)
-SELECT event_type, hour,
-       MAX(CASE WHEN ra = 1 THEN value END) AS open_v,
-       MAX(value) AS high_v,
-       MIN(value) AS low_v,
-       MAX(CASE WHEN rd = 1 THEN value END) AS close_v,
-       COUNT(*) AS n_events
-FROM r GROUP BY 1, 2
-"""
 
 
 @query("events_ohlc", _OHLC_ORACLE)
@@ -3471,15 +1899,6 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HIST_ORACLE = """
-WITH b AS (
-    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, COUNT(*) AS n
-    FROM events GROUP BY 1
-)
-SELECT bucket, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share FROM b
-"""
-
-
 @query("value_histogram", _HIST_ORACLE)
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram + share-of-total: the scalable
@@ -3511,20 +1930,6 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # new version row (valid_from = change ts) and closes the prior one
 # (valid_to = next change ts, NULL while current). Pure window chain —
 # lag to detect changes, lead to close intervals — one shuffle per user.
-_SCD2_ORACLE = """
-WITH c AS (
-    SELECT user_id, ts, event_id, event_type,
-           LAG(event_type) OVER w AS prev_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
-SELECT user_id, event_type AS state, ts AS valid_from,
-       LEAD(ts) OVER w2 AS valid_to,
-       CAST(CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
-FROM ch
-WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
 
 
 @query("scd2_user_state_history", _SCD2_ORACLE)
@@ -3553,26 +1958,6 @@ def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantized vectors, exactly the k-means mean trick), cosine of every
 # vector to it, outlier = below a fixed similarity floor. The centroid
 # aggregation shuffles only (pos, partial_sum) rows (map-side combine).
-_OUTLIER_ORACLE = f"""
-WITH {_QUANT_CTE},
-dims AS (
-    SELECT i AS pos,
-           CAST(floor(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-    FROM q, unnest(range(1, 65)) AS t(i)
-    GROUP BY i
-),
-cent AS (SELECT list(m ORDER BY pos) AS ce FROM dims),
-scored AS (
-    SELECT vec_id,
-           CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) AS DOUBLE)
-           / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS DOUBLE))
-              * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])) AS DOUBLE))) AS cos_centroid
-    FROM q CROSS JOIN cent
-)
-SELECT vec_id, cos_centroid,
-       CAST(CASE WHEN cos_centroid < 0.0 THEN 1 ELSE 0 END AS INT) AS is_outlier
-FROM scored
-"""
 
 
 @query("embedding_outliers", _OUTLIER_ORACLE)
@@ -3624,27 +2009,6 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum(cluster_size^2) over small clusters, recursion depth = graph
 # diameter. Spark runs min-label propagation / union-find instead
 # (operators/graph.py); both yield component = min reachable node id.
-_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY},
-np AS (
-    SELECT id_a, id_b
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
-),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM np
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM np
-),
-reach(node, r) AS (
-    SELECT src, dst FROM edges
-    UNION
-    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
-)
-SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
-"""
 
 
 @query("dedup_components", _COMPONENTS_ORACLE)
@@ -3677,25 +2041,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark side reuses asof_join against the version START points instead
 # (union + one Exchange + ordered window fill, no range explosion),
 # which is exactly why the SCD2 table stores change points.
-_PIT_ORACLE = """
-WITH c AS (
-    SELECT user_id, ts, event_id, event_type,
-           LAG(event_type) OVER w AS prev_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-hist AS (
-    SELECT user_id, event_type AS state, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-    FROM c WHERE prev_type IS NULL OR prev_type <> event_type
-)
-SELECT p.event_id, p.user_id, p.ts, h.state AS state_at_purchase
-FROM events p
-JOIN hist h ON p.user_id = h.user_id
-           AND h.valid_from <= p.ts
-           AND (h.valid_to IS NULL OR p.ts < h.valid_to)
-WHERE p.event_type = 'purchase'
-"""
 
 
 @query("pit_state_at_purchase", _PIT_ORACLE)
@@ -3740,16 +2085,6 @@ def q_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within Levenshtein distance 1 of its own. Spark blocks candidates
 # with SymSpell deletion keys (lossless for d<=1); the oracle runs the
 # plain quadratic join over DISTINCT names — identical result.
-_CANON_ORACLE = """
-WITH n AS (SELECT DISTINCT p_name FROM part),
-cmap AS (
-    SELECT a.p_name, min(b.p_name) AS canonical
-    FROM n a JOIN n b ON levenshtein(a.p_name, b.p_name) <= 1
-    GROUP BY 1
-)
-SELECT p.p_partkey, p.p_name, c.canonical
-FROM part p JOIN cmap c USING (p_name)
-"""
 
 
 @query("part_name_canonical", _CANON_ORACLE)
@@ -3767,22 +2102,6 @@ def q_part_name_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deleted at an md5-chosen position — the same h60 convention), so the
 # oracle regenerates identical probes and brute-forces the distance-1
 # pairs the SymSpell block must reproduce exactly.
-_FUZZY_LINK_ORACLE = """
-WITH names AS (SELECT DISTINCT p_name FROM part WHERE length(p_name) > 0),
-probes AS (
-    SELECT DISTINCT
-        substring(p_name, 1, dp - 1) || substring(p_name, dp + 1) AS probe_name
-    FROM (
-        SELECT p_name,
-               CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT)
-                   % length(p_name) + 1 AS dp
-        FROM names
-    )
-)
-SELECT p.probe_name, n.p_name,
-       CAST(levenshtein(p.probe_name, n.p_name) AS INTEGER) AS dist
-FROM probes p JOIN names n ON levenshtein(p.probe_name, n.p_name) <= 1
-"""
 
 
 @query("fuzzy_link_part_names", _FUZZY_LINK_ORACLE)
@@ -3813,21 +2132,6 @@ def q_fuzzy_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q14 shape: monthly promo revenue share in 1996. Exact-decimal
 # sums; the percentage is a DOUBLE division of two already-exact
 # doubles (decimal division scale rules differ across engines).
-_PROMO_ORACLE = """
-SELECT date_trunc('month', l_shipdate) AS month,
-       CAST(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-       CASE WHEN SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) = 0 THEN NULL
-            ELSE 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) END AS promo_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-GROUP BY 1
-"""
 
 
 @query("promo_revenue_share", _PROMO_ORACLE)
@@ -3869,34 +2173,6 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair/cluster output into the training corpus. Oracle reuses the
 # recursive components closure; survivors = docs that are not a
 # non-representative member.
-_CANONICAL_ORACLE = f"""
-WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE}, {_SH_CAP_CTE}, {_JACCARD_VERIFY},
-np AS (
-    SELECT id_a, id_b
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
-),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM np
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM np
-),
-reach(node, r) AS (
-    SELECT src, dst FROM edges
-    UNION
-    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
-),
-comp AS (SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node)
-SELECT d.doc_id AS doc_id, d.source AS source,
-       CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_cluster
-FROM documents d
-LEFT JOIN comp c ON d.doc_id = c.node AND c.node = c.component
-WHERE NOT EXISTS (
-    SELECT 1 FROM comp x WHERE x.node = d.doc_id AND x.node <> x.component
-)
-"""
 
 
 @query("dedup_keep_canonical", _CANONICAL_ORACLE)
@@ -3918,34 +2194,6 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Collocations by PMI ratio (Church & Hanks): adjacent-pair lift over
 # unigram expectation, exact-integer products with ONE double division
 # so the ranking is engine-reproducible (no libm log).
-_PMI_ORACLE = f"""
-WITH {_TOKS_CTE},
-uni AS (
-    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
-    FROM toks, unnest(t) AS u(w) GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
-nb AS (
-    SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bi FROM toks
-),
-bi AS (
-    SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
-    FROM toks, unnest(range(1, len(t))) AS r(i)
-    GROUP BY 1, 2
-    HAVING count(*) >= 5
-),
-scored AS (
-    SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.c_ab, a.c AS c_a, b.c AS c_b,
-           CAST(bi.c_ab * tot.n_uni * tot.n_uni AS DOUBLE)
-           / CAST(nb.n_bi * a.c * b.c AS DOUBLE) AS pmi_ratio
-    FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w, tot, nb
-)
-SELECT bigram, c_ab, c_a, c_b, pmi_ratio,
-       CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, bigram) AS INT) AS rnk
-FROM scored
-ORDER BY pmi_ratio DESC, bigram
-LIMIT 50
-"""
 
 
 @query("bigram_pmi", _PMI_ORACLE)
@@ -3956,27 +2204,6 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Data-mixture carving: deterministic hash-prefix of each source worth
 # ~budget tokens (per-source overrides), the weights→tokens step of
 # pretraining mixture construction.
-_MIXTURE_ORACLE = """
-WITH tk AS (
-    SELECT doc_id, source,
-           CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
-                t -> t <> '')) AS BIGINT) AS n_tokens,
-           md5(CAST(doc_id AS VARCHAR)) AS ok
-    FROM documents
-),
-off AS (
-    SELECT doc_id, source, n_tokens,
-           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset
-    FROM tk
-    WINDOW w AS (PARTITION BY source ORDER BY ok
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT doc_id, source, n_tokens, token_offset
-FROM off
-WHERE token_offset < (CASE source WHEN 'src0' THEN 200
-                                  WHEN 'src1' THEN 100000000
-                                  ELSE 600 END)
-"""
 
 
 @query("mixture_by_token_budget", _MIXTURE_ORACLE)
@@ -4000,19 +2227,6 @@ def q_mixture_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from airbnb_cdc_spark.operators import timeseries as _ts  # noqa: E402
-
-_ASOF_FWD_ORACLE = """
-WITH views AS (
-    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
-), purchases AS (
-    SELECT user_id, ts, min(event_id) AS event_id
-    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-)
-SELECT v.user_id AS user_id, v.ts AS ts, v.event_id AS event_id,
-       p.ts AS purchase_ts, p.event_id AS purchase_event_id
-FROM views v
-ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
-"""
 
 
 @query("asof_next_purchase_after_view", _ASOF_FWD_ORACLE)
@@ -4047,28 +2261,6 @@ def q_asof_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-_RESAMPLE_ORACLE = """
-WITH hourly AS (
-    SELECT event_type, date_trunc('hour', ts) AS bucket,
-           last(value ORDER BY ts, event_id) AS r
-    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-), spans AS (
-    SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
-    FROM hourly GROUP BY 1
-), spine AS (
-    SELECT event_type,
-           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
-    FROM spans
-)
-SELECT s.event_type, s.bucket,
-       LAST_VALUE(h.r IGNORE NULLS) OVER (
-           PARTITION BY s.event_type ORDER BY s.bucket
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading,
-       (h.r IS NULL) AS is_gap
-FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
-"""
-
-
 @query("events_resample_ffill", _RESAMPLE_ORACLE)
 def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly grid regularization of the event stream per type: latest
@@ -4076,36 +2268,6 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed span. The spine is generated distributed (sequence() per
     key, exploded where the key lives); see operators/timeseries.py."""
     return _ts.resample_ffill(load_table(spark, sf_dir, "events"))
-
-
-_TREND_ORACLE = """
-WITH pts AS (
-    SELECT event_type,
-           epoch_us(ts) // 1000000 AS x,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
-    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-), s AS (
-    SELECT event_type, COUNT(*) AS n,
-           SUM(x) AS sx, SUM(yi) AS syi,
-           SUM(CAST(x AS HUGEINT) * yi) AS sxy,
-           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
-    FROM pts GROUP BY 1
-), d AS (
-    SELECT event_type, n,
-           CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-           CAST(syi AS DOUBLE) AS syid,
-           CAST(CAST(n AS HUGEINT) * sxy
-                - CAST(sx AS HUGEINT) * syi AS DOUBLE) AS numd,
-           CAST(CAST(n AS HUGEINT) * sxx
-                - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS dend
-    FROM s
-)
-SELECT event_type, n,
-       (numd / NULLIF(dend, 0.0) / 1000000.0) * 86400.0 AS slope_per_day,
-       (syid / 1000000.0
-        - (numd / NULLIF(dend, 0.0) / 1000000.0) * sxd) / nd AS intercept
-FROM d
-"""
 
 
 @query("value_trend_by_type", _TREND_ORACLE)
@@ -4120,27 +2282,6 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-order layout audit (operators/zorder.py): the oracle's Morton
 # expression is GENERATED by the same bit loop as the Spark column, so
 # the interleave is literally identical cross-engine.
-_ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
-
-
-def _zorder_oracle() -> str:
-    from airbnb_cdc_spark.operators.zorder import zvalue_sql
-
-    shift = 2 * _ZORDER_BITS - _ZORDER_FILE_BITS
-    return f"""
-WITH q AS (
-    SELECT (user_id % 256) AS x,
-           ((epoch_us(ts) // 1000000 // 3600) % 256) AS y
-    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-), z AS (
-    SELECT x, y, {zvalue_sql("x", "y", _ZORDER_BITS)} AS zv FROM q
-)
-SELECT (zv >> {shift}) AS zfile,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       MIN(x) AS x_min, MAX(x) AS x_max,
-       MIN(y) AS y_min, MAX(y) AS y_max
-FROM z GROUP BY 1
-"""
 
 
 @query("zorder_events_layout", _zorder_oracle())
@@ -4162,17 +2303,6 @@ def q_zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WEIGHTED_SAMPLE_ORACLE = f"""
-WITH {_TOKS_CTE}
-SELECT doc_id,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(LEAST(1000, len(t) * 10) AS BIGINT) AS weight
-FROM toks
-WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-      % 1000 < LEAST(1000, len(t) * 10)
-"""
-
-
 @query("weighted_sample_by_length", _WEIGHTED_SAMPLE_ORACLE)
 def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted Bernoulli sampling: keep probability =
@@ -4189,32 +2319,6 @@ def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(1000), n * 10).alias("weight"),
     )
     return _sampling.weighted_sample(weighted, "doc_id", F.col("weight"))
-
-
-_EXPECTATIONS_ORACLE = """
-SELECT 'not_null(o_custkey)' AS "constraint",
-       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
-       COUNT(*) AS n_checked
-FROM orders
-UNION ALL
-SELECT 'in_range(o_totalprice, 0.0, 1000000.0)',
-       CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
-                             AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS BIGINT),
-       COUNT(*)
-FROM orders
-UNION ALL
-SELECT 'unique(o_orderkey)',
-       CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
-       CAST(COALESCE(SUM(c), 0) AS BIGINT)
-FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
-UNION ALL
-SELECT 'foreign_key(o_custkey)',
-       CAST((SELECT COUNT(*) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM customer c
-                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
-       COUNT(*)
-FROM orders
-"""
 
 
 @query("orders_expectations", _EXPECTATIONS_ORACLE)
@@ -4245,22 +2349,6 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRANSITIONS_ORACLE = """
-WITH seq AS (
-    SELECT user_id, event_type AS cur,
-           LAG(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
-    FROM events
-), pairs AS (
-    SELECT prev, cur, COUNT(*) AS n FROM seq WHERE prev IS NOT NULL
-    GROUP BY 1, 2
-)
-SELECT prev, cur, n,
-       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev) AS prob
-FROM pairs
-"""
-
-
 @query("event_transitions", _TRANSITIONS_ORACLE)
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (sequence mining / next-
@@ -4288,37 +2376,6 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "prob", F.col("n").cast("double") / F.sum("n").over(wp)
     )
-
-
-_TS_SIM_ORACLE = """
-WITH hourly AS (
-    SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS s
-    FROM events WHERE value IS NOT NULL
-    GROUP BY 1, 2, 3
-), qd AS (
-    SELECT MIN(CAST(ts AS DATE)) AS qd FROM events WHERE value IS NOT NULL
-), q AS (
-    SELECT h, s AS qs FROM hourly, qd
-    WHERE event_type = 'purchase' AND d = qd.qd
-), sq2 AS (
-    SELECT COALESCE(SUM(qs * qs), 0) AS v FROM q
-), cand AS (
-    SELECT hourly.* FROM hourly, qd
-    WHERE NOT (event_type = 'purchase' AND d = qd.qd)
-), per AS (
-    SELECT c.event_type, c.d,
-           SUM(c.s * c.s) AS sc2,
-           SUM(c.s * COALESCE(q.qs, CAST(0 AS DECIMAL(19,6)))) AS dot
-    FROM cand c LEFT JOIN q ON c.h = q.h
-    GROUP BY 1, 2
-)
-SELECT event_type, d,
-       CAST(sc2 + sq2.v - 2 * dot AS DOUBLE) AS dist2
-FROM per, sq2
-ORDER BY dist2, event_type, d
-LIMIT 10
-"""
 
 
 @query("ts_profile_similarity", _TS_SIM_ORACLE)
@@ -4383,47 +2440,12 @@ def q_ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sentiment_oracle() -> str:
-    from airbnb_cdc_spark.functions.textfns import SENTIMENT_LEXICON
-
-    pos = ", ".join(f"'{w}'" for w in SENTIMENT_LEXICON["pos"])
-    neg = ", ".join(f"'{w}'" for w in SENTIMENT_LEXICON["neg"])
-    return f"""
-WITH {_TOKS_CTE}
-SELECT doc_id,
-       CAST(len(list_filter(t, x -> x IN ({pos}))) AS BIGINT) AS pos_hits,
-       CAST(len(list_filter(t, x -> x IN ({neg}))) AS BIGINT) AS neg_hits,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(t, x -> x IN ({pos})))
-            - len(list_filter(t, x -> x IN ({neg}))) AS DOUBLE)
-           / NULLIF(CAST(len(t) AS BIGINT), 0) AS polarity
-FROM toks
-"""
-
-
 @query("doc_sentiment", _sentiment_oracle())
 def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment scoring (SURVEY §7 M7's named text-analysis
     op): in-codegen IN-list membership counts, one deterministic
     division — scan-speed projection (operators/text.py)."""
     return _text.sentiment_score(load_table(spark, sf_dir, "documents"))
-
-
-_DECILES_ORACLE = """
-WITH c AS (
-    SELECT o_totalprice AS v, COUNT(*) AS n FROM orders GROUP BY 1
-), s AS (
-    SELECT v, n,
-           SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND CURRENT ROW) AS r
-    FROM c
-), t AS (SELECT SUM(n) AS total FROM c),
-qs AS (SELECT unnest(range(1, 10)) AS q)
-SELECT CAST(qs.q AS INT) AS decile, s.v AS value
-FROM qs CROSS JOIN t JOIN s
-  ON (s.r - s.n) < (qs.q * t.total + 9) // 10
- AND (qs.q * t.total + 9) // 10 <= s.r
-"""
 
 
 @query("price_deciles_distributed", _DECILES_ORACLE)
@@ -4454,44 +2476,6 @@ def q_price_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAGERANK_ORACLE = """
-WITH e AS (
-    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-                    'c' || CAST(o_custkey AS VARCHAR) AS dst
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
-p0 AS (SELECT node, 1000000000000 // n AS pr FROM nodes, nn),
-i1 AS (
-    SELECT nodes.node, 150000000000 // n + (85 * COALESCE(s.m, 0)) // 100 AS pr
-    FROM nodes CROSS JOIN nn
-    LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
-               FROM e JOIN p0 p ON e.src = p.node
-                      JOIN deg d ON e.src = d.node
-               GROUP BY 1) s ON nodes.node = s.node
-),
-i2 AS (
-    SELECT nodes.node, 150000000000 // n + (85 * COALESCE(s.m, 0)) // 100 AS pr
-    FROM nodes CROSS JOIN nn
-    LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
-               FROM e JOIN i1 p ON e.src = p.node
-                      JOIN deg d ON e.src = d.node
-               GROUP BY 1) s ON nodes.node = s.node
-),
-i3 AS (
-    SELECT nodes.node, 150000000000 // n + (85 * COALESCE(s.m, 0)) // 100 AS pr
-    FROM nodes CROSS JOIN nn
-    LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
-               FROM e JOIN i2 p ON e.src = p.node
-                      JOIN deg d ON e.src = d.node
-               GROUP BY 1) s ON nodes.node = s.node
-)
-SELECT node, CAST(pr AS BIGINT) AS pr FROM i3
-"""
-
-
 @query("supplier_customer_pagerank", _PAGERANK_ORACLE)
 def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration quantized PageRank over the supplier→customer
@@ -4510,22 +2494,6 @@ def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_quantized(edges)
 
 
-_VALUE_OUTLIER_ORACLE = """
-WITH yi AS (
-    SELECT event_id, event_type, value,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
-    FROM events WHERE value IS NOT NULL
-), s AS (
-    SELECT event_type, COUNT(*) AS n, SUM(y) AS s1, SUM(y * y) AS s2
-    FROM yi GROUP BY 1
-)
-SELECT e.event_id, e.event_type, e.value,
-       (CAST(n AS HUGEINT) * e.y - s1) * (CAST(n AS HUGEINT) * e.y - s1)
-           > 9 * (CAST(n AS HUGEINT) * s2 - s1 * s1) AS is_outlier
-FROM yi e JOIN s USING (event_type)
-"""
-
-
 @query("value_outliers_by_type", _VALUE_OUTLIER_ORACLE)
 def q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type 3-sigma outlier flag decided entirely in exact integer
@@ -4539,29 +2507,6 @@ def q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pareto / cumulative-share: distributed global prefix sum — NO
 # single-partition window (operators/prefix.py, two-phase Blelloch scan)
 # --------------------------------------------------------------------------
-
-_PARETO_ORACLE = """
-WITH spend AS (
-    SELECT o_custkey AS customer_id,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-    FROM orders GROUP BY 1
-), scanned AS (
-    SELECT customer_id, spend,
-           SUM(spend) OVER (ORDER BY spend DESC, customer_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS running_spend,
-           SUM(spend) OVER () AS total
-    FROM spend
-)
-SELECT customer_id,
-       CAST(spend AS DOUBLE) AS spend,
-       CAST(running_spend AS DOUBLE) AS running_spend,
-       CAST(running_spend AS DOUBLE) / NULLIF(CAST(total AS DOUBLE), 0.0)
-           AS cum_share,
-       (CAST(running_spend AS DOUBLE) / NULLIF(CAST(total AS DOUBLE), 0.0))
-           <= 0.8 AS in_top80
-FROM scanned
-"""
 
 
 @query("revenue_pareto", _PARETO_ORACLE)
@@ -4616,27 +2561,6 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Raw-URL generator, mirrored byte-for-byte in the oracle's SQL (needed
 # there only for COUNT(DISTINCT raw)).
-_RAW_URL_SQL = """
-    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
-    || '://'
-    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
-    || (CASE WHEN doc_id % 5 = 0 THEN upper(source || '.Example.com')
-             ELSE source || '.Example.com' END)
-    || (CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 0 THEN ':443' ELSE '' END)
-    || '/docs/' || CAST(doc_id % 150 AS VARCHAR)
-    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-    || (CASE WHEN doc_id % 2 = 0
-             THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
-             WHEN doc_id % 11 = 0
-             THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
-             ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR) END)
-    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
-"""
-
-_CANON_URL_SQL = (
-    "'https://' || lower(source) || '.example.com/docs/' "
-    "|| CAST(doc_id % 150 AS VARCHAR) || '?id=' || CAST(doc_id % 10 AS VARCHAR)"
-)
 
 
 def _raw_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4673,19 +2597,6 @@ def _raw_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_URL_DEDUP_ORACLE = f"""
-WITH urls AS (
-    SELECT doc_id, {_RAW_URL_SQL} AS url, {_CANON_URL_SQL} AS canonical_url
-    FROM documents
-)
-SELECT canonical_url,
-       MIN(doc_id) AS keeper_doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_variants,
-       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
-FROM urls GROUP BY 1
-"""
-
-
 @query("url_canonical_dedup", _URL_DEDUP_ORACLE)
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact URL dedup AFTER canonicalization: crawl-noise variants of
@@ -4700,23 +2611,6 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.web import url_dedup
 
     return url_dedup(_raw_doc_urls(spark, sf_dir), "url", "doc_id")
-
-
-_DOMAIN_CAP = 5
-
-_DOMAIN_CAP_ORACLE = f"""
-WITH ranked AS (
-    SELECT lower(source) || '.example.com' AS domain, doc_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY source
-               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                             AS BIGINT), doc_id
-           ) AS rnk
-    FROM documents
-)
-SELECT domain, doc_id, CAST(rnk AS INT) AS rnk
-FROM ranked WHERE rnk <= {_DOMAIN_CAP}
-"""
 
 
 @query("domain_capped_sample", _DOMAIN_CAP_ORACLE)
