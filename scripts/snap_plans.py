@@ -124,10 +124,22 @@ SNAPS = [
     ),
     (
         "diversity_sample_by_cluster",
-        "salted two-phase top-k: ObjectHashAggregate with map-side "
-        "partial collect_list per (cluster, salt) sub-group, candidate "
-        "merge on the cluster key — no partitioned window, no hot-key "
-        "straggler task",
+        "salted two-phase top-k (r10 shape): bounded row_number window "
+        "per (cluster, salt) sub-group — spillable external sort, not "
+        "an in-heap collect_list — then the final rank over the tiny "
+        "candidate set; no hot-key straggler task",
+    ),
+    (
+        "url_canonical_dedup",
+        "URL canonicalization is a pure whole-stage-codegen projection "
+        "on the scan (split_part/lower/filter/sort_array chains, zero "
+        "Python), followed by ONE hash aggregate on the canonical key",
+    ),
+    (
+        "domain_capped_sample",
+        "canonical-domain extraction fused into the scan projection; "
+        "per-domain cap via the salted two-window top-k — two bounded "
+        "Exchanges, no unbounded per-domain state",
     ),
 ]
 
