@@ -250,3 +250,66 @@ def cms_lookup(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def kmv_write(sketches: DataFrame, out_dir: str) -> None:
+    """Persist ``kmv_minhashes`` output partitioned by ``group`` — the
+    sketch-table layout for pre-aggregated rollups: one partition per
+    group (e.g. per day), each holding that group's fixed-k k-min set.
+    At 100 TB the raw corpus is scanned ONCE per new partition (build
+    today's sketch, append it); every later range query touches only
+    k-row sketch partitions, never the corpus. Re-writing an existing
+    group replaces exactly that partition (dynamic partition
+    overwrite), so daily rebuilds are idempotent."""
+    (
+        sketches.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("group")
+        .parquet(out_dir)
+    )
+
+
+def kmv_read_range(spark, out_dir: str, lo=None, hi=None) -> DataFrame:
+    """Sketch partitions for groups in the inclusive ``[lo, hi]`` range
+    (``None`` = unbounded) — the filter is on the partition column, so
+    the scan PRUNES to the requested partitions (PartitionFilters, no
+    data files outside the range are opened)."""
+    df = spark.read.parquet(out_dir)
+    if lo is not None:
+        df = df.filter(F.col("group") >= lo)
+    if hi is not None:
+        df = df.filter(F.col("group") <= hi)
+    return df
+
+
+def kmv_union_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """One-row distinct-count estimate for the UNION of the input
+    sketch groups (Beyer et al. SIGMOD'07 multi-set algebra): the k
+    smallest distinct hashes pooled across the groups' k-min sets ARE
+    the union's KMV synopsis — valid because any hash among the
+    union's k smallest is necessarily among its own group's k smallest
+    — so pre-aggregated per-day sketches answer any date-range
+    distinct query without touching the corpus.
+
+    Returns ``(m, est_distinct)``: ``m < k`` means the pooled set is
+    the exact union (estimate = m); otherwise the standard
+    ``(k-1)·2^60 / h_k`` estimator. The k-cut is a distributed
+    TakeOrdered over the pooled hashes (groups·k rows — never a
+    single-partition window); every quantity except the one final
+    division is an exact integer, so the estimate is engine-exact and
+    oracle-checkable."""
+    pooled = sketches.select("h").distinct()
+    kmin = pooled.orderBy("h").limit(k)
+    agg = kmin.agg(
+        F.count(F.lit(1)).cast("long").alias("m"), F.max("h").alias("hk")
+    )
+    return agg.select(
+        "m",
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(1152921504606846976.0)
+            / F.col("hk").cast("double")
+        )
+        .alias("est_distinct"),
+    )

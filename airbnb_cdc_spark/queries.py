@@ -2638,6 +2638,37 @@ def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("domain", "doc_id", "rnk")
 
 
+@query("kmv_range_rollup", _KMV_ROLLUP_ORACLE)
+def q_kmv_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over a 14-day range answered from PER-DAY KMV
+    sketches (Beyer et al. SIGMOD'07 multi-set algebra): each day keeps
+    its k smallest distinct user-hashes, the range query pools the
+    days' sketches and re-cuts to k — the union's synopsis — and one
+    division yields the estimate. The corpus is touched once per day
+    at build time; any range after that reads k-row sketches (the
+    persisted layout + partition pruning is `sketch.py:kmv_write` /
+    `kmv_read_range`, pytest-proven equal to this in-plan form). The
+    k-cut is a distributed TakeOrdered, never a single-partition
+    window; the oracle replays the sketch algebra hash-exactly."""
+    from airbnb_cdc_spark.operators.sketch import (
+        kmv_minhashes,
+        kmv_union_estimate,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .filter(
+            (F.col("d") >= F.lit(_KMV_ROLLUP_LO).cast("date"))
+            & (F.col("d") <= F.lit(_KMV_ROLLUP_HI).cast("date"))
+        )
+    )
+    daily = kmv_minhashes(ev, "user_id", "d", k=_KMV_ROLLUP_K)
+    est = kmv_union_estimate(daily, k=_KMV_ROLLUP_K)
+    n_days = ev.agg(F.countDistinct("d").cast("long").alias("n_days"))
+    return est.join(F.broadcast(n_days)).select("n_days", "m", "est_distinct")
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2678,6 +2709,9 @@ _DRIVER_PRIORITY = [
     "contrastive_negatives",
     "url_canonical_dedup",
     "domain_capped_sample",
+    # r10 late addition: KMV range rollup (cedes text_stats —
+    # r9-recorded, unchanged since, still in the differential suite)
+    "kmv_range_rollup",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2687,7 +2721,6 @@ _DRIVER_PRIORITY = [
     "pii_report",
     "conditional_split_accepted",
     "alter_row_flags",
-    "text_stats",
     "language_id",
     "winnow_keep_canonical",
     "winnow_components",
