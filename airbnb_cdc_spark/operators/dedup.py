@@ -1319,3 +1319,116 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def _sig_band_buckets(
+    sigs: DataFrame, id_col: str, out_id: str, k: int, band_size: int
+) -> DataFrame:
+    """(out_id, bucket) band keys from a signature frame (id, mh0..) —
+    the banding shape shared by batch-vs-corpus joins."""
+    n_bands = k // band_size
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"mh{b * band_size + r}")
+                            for r in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def incremental_minhash_neardup(
+    batch: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    min_agree: int = 4,
+) -> DataFrame:
+    """Near-duplicate detection for a NEW batch against the ingested
+    corpus using only the corpus's stored MinHash signatures — the
+    near-dup analog of ``incremental_exact_dedup``: the corpus text is
+    NEVER rescanned. ``store_sigs`` is ``minhash_signatures`` output
+    persisted at ingest (k bigints per doc — a fixed-size sketch
+    table, like the chunk-hash and KMV stores); the batch computes its
+    own signatures, candidates come from the banded-bucket equi-join,
+    and verification is SIGNATURE AGREEMENT: the fraction of the k
+    minhashes that match is the standard unbiased Jaccard estimator,
+    so ``min_agree``/k is the effective similarity threshold. Exact
+    Jaccard verification would need the corpus shingle sets — exactly
+    the rescan this operator exists to avoid; the estimator's variance
+    is the price of O(batch) incremental cost, and is honest: both
+    engines compute the identical integer agreement counts.
+
+    Signatures must be built UNCAPPED (``max_doc_freq=None``): a
+    corpus-frequency cap computed at ingest time would drift from one
+    computed on a later batch, silently breaking signature
+    comparability across time.
+
+    Returns one row per near-dup batch doc: ``(id, match_id,
+    n_agree)`` — the corpus doc with the highest agreement (ties to
+    the smallest id), only where ``n_agree >= min_agree``. Shuffles:
+    the band-bucket join (bucket-sized) and the per-batch-doc argmax —
+    nothing corpus-sized moves."""
+    if band_size <= 0 or k % band_size != 0:
+        raise ValueError(f"band_size must divide k: k={k}, band_size={band_size}")
+    if not 1 <= min_agree <= k:
+        raise ValueError(f"min_agree must be in [1, {k}], got {min_agree}")
+    missing = [f"mh{j}" for j in range(k) if f"mh{j}" not in store_sigs.columns]
+    if missing:
+        raise ValueError(f"store_sigs lacks signature columns {missing}")
+
+    bsigs = persist_tracked(
+        minhash_signatures(batch, id_col, text_col, n, k, max_doc_freq=None)
+    )
+    cand = (
+        _sig_band_buckets(bsigs, id_col, "__bid", k, band_size)
+        .join(
+            _sig_band_buckets(store_sigs, id_col, "__cid", k, band_size),
+            "bucket",
+        )
+        .select("__bid", "__cid")
+        .distinct()
+    )
+    a = bsigs.select(
+        F.col(id_col).alias("__bid"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(k)],
+    )
+    c = store_sigs.select(
+        F.col(id_col).alias("__cid"),
+        *[F.col(f"mh{j}").alias(f"__c{j}") for j in range(k)],
+    )
+    agree = sum(
+        (F.col(f"__a{j}") == F.col(f"__c{j}")).cast("int") for j in range(k)
+    )
+    verified = (
+        cand.join(a, "__bid")
+        .join(c, "__cid")
+        .select("__bid", "__cid", agree.alias("__agree"))
+        .filter(F.col("__agree") >= min_agree)
+    )
+    best = verified.groupBy("__bid").agg(
+        F.min(
+            F.struct(
+                (F.lit(k) - F.col("__agree")).alias("d"),
+                F.col("__cid").alias("c"),
+            )
+        ).alias("__best")
+    )
+    return best.select(
+        F.col("__bid").alias(id_col),
+        F.col("__best.c").alias("match_id"),
+        (F.lit(k) - F.col("__best.d")).cast("int").alias("n_agree"),
+    )

@@ -28,7 +28,7 @@ _ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
 # shared by the chunk-dedup oracles AND their Spark query bodies
 _CHUNK_W, _CHUNK_S = 64, 48
 
-__all__ = ['_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE']
+__all__ = ['_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE']
 
 _AGG_ORACLE = """
 WITH fact AS (
@@ -2297,4 +2297,56 @@ SELECT n_days, m,
             ELSE {float(_KMV_ROLLUP_K - 1)} * 1152921504606846976.0
                  / CAST(hk AS DOUBLE) END AS est_distinct
 FROM ag, nd
+"""
+
+
+def _incr_minhash_oracle(k: int = 8, band_size: int = 2, min_agree: int = 4) -> str:
+    """Replays incremental_minhash_neardup exactly: UNCAPPED shingle
+    hashes (signature comparability across time forbids a corpus-
+    frequency cap), the k affine minhash transforms, batch-vs-corpus
+    band candidates, integer signature-agreement verify, best match
+    per batch doc (highest agreement, ties to smallest corpus id)."""
+    from airbnb_cdc_spark.operators.dedup import (
+        _MINHASH_BASE_MOD,
+        MINHASH_P,
+        minhash_params,
+    )
+
+    mins = ", ".join(
+        f"min(({a} * (h % {_MINHASH_BASE_MOD}) + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_params(k))
+    )
+    bands = ", ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"mh{b * band_size + r}" for r in range(band_size)))
+        for b in range(k // band_size)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{j} = c.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+split AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cut FROM documents),
+bands AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
+cand AS (
+    SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+    FROM bands b JOIN bands c USING (bucket), split
+    WHERE b.doc_id > cut AND c.doc_id <= cut
+),
+ver AS (
+    SELECT cand.bid, cand.cid, ({agree}) AS agree
+    FROM cand
+    JOIN sig a ON a.doc_id = cand.bid
+    JOIN sig c ON c.doc_id = cand.cid
+    WHERE ({agree}) >= {min_agree}
+),
+best AS (
+    SELECT bid, cid, agree,
+           ROW_NUMBER() OVER (PARTITION BY bid ORDER BY agree DESC, cid) AS rn
+    FROM ver
+)
+SELECT bid AS doc_id, cid AS match_id, CAST(agree AS INT) AS n_agree
+FROM best WHERE rn = 1
 """

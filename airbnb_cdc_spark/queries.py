@@ -2638,6 +2638,27 @@ def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("domain", "doc_id", "rnk")
 
 
+@query("incremental_minhash_neardup", _incr_minhash_oracle())
+def q_incremental_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection for NEW docs against the ingested corpus from
+    stored MinHash signatures only — the corpus text is never rescanned
+    (dedup.py:incremental_minhash_neardup). Same half-split convention
+    as incremental_dedup_new_docs; verification is integer signature
+    agreement (the unbiased Jaccard estimator), so the oracle replays
+    every hash bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
+    with_cut = docs.join(F.broadcast(cut))
+    corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+        "doc_id", "text"
+    )
+    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
+        "doc_id", "text"
+    )
+    store = _dedup.minhash_signatures(corpus, max_doc_freq=None)
+    return _dedup.incremental_minhash_neardup(batch, store)
+
+
 @query("kmv_range_rollup", _KMV_ROLLUP_ORACLE)
 def q_kmv_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users over a 14-day range answered from PER-DAY KMV
@@ -2709,9 +2730,11 @@ _DRIVER_PRIORITY = [
     "contrastive_negatives",
     "url_canonical_dedup",
     "domain_capped_sample",
-    # r10 late addition: KMV range rollup (cedes text_stats —
-    # r9-recorded, unchanged since, still in the differential suite)
+    # r10 late additions: KMV range rollup and incremental MinHash
+    # near-dup (cede text_stats and language_id — both r9-recorded,
+    # unchanged since, still covered by the differential suite)
     "kmv_range_rollup",
+    "incremental_minhash_neardup",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2721,7 +2744,6 @@ _DRIVER_PRIORITY = [
     "pii_report",
     "conditional_split_accepted",
     "alter_row_flags",
-    "language_id",
     "winnow_keep_canonical",
     "winnow_components",
     "dedup_keep_canonical",

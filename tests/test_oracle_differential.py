@@ -112,6 +112,10 @@ DIFF_QUERIES = [
     # salted topk vs the window-rank oracle on skewed source draws
     "url_canonical_dedup",
     "domain_capped_sample",
+    # r10: incremental near-dup from stored signatures — random tiny
+    # corpora exercise the empty-batch, no-candidate, and tie-break
+    # paths of the signature-agreement verify
+    "incremental_minhash_neardup",
 ]
 
 
