@@ -1356,6 +1356,7 @@ def incremental_minhash_neardup(
     k: int = 8,
     band_size: int = 2,
     min_agree: int = 4,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate detection for a NEW batch against the ingested
     corpus using only the corpus's stored MinHash signatures — the
@@ -1381,7 +1382,11 @@ def incremental_minhash_neardup(
     n_agree)`` — the corpus doc with the highest agreement (ties to
     the smallest id), only where ``n_agree >= min_agree``. Shuffles:
     the band-bucket join (bucket-sized) and the per-batch-doc argmax —
-    nothing corpus-sized moves."""
+    nothing corpus-sized moves.
+
+    ``batch_sigs`` lets a caller that also needs the batch signatures
+    (the streaming leg appends keepers' signatures to the store) pass
+    the precomputed frame so the shingle/minhash pass runs once."""
     if band_size <= 0 or k % band_size != 0:
         raise ValueError(f"band_size must divide k: k={k}, band_size={band_size}")
     if not 1 <= min_agree <= k:
@@ -1390,8 +1395,12 @@ def incremental_minhash_neardup(
     if missing:
         raise ValueError(f"store_sigs lacks signature columns {missing}")
 
-    bsigs = persist_tracked(
-        minhash_signatures(batch, id_col, text_col, n, k, max_doc_freq=None)
+    bsigs = (
+        batch_sigs
+        if batch_sigs is not None
+        else persist_tracked(
+            minhash_signatures(batch, id_col, text_col, n, k, max_doc_freq=None)
+        )
     )
     cand = (
         _sig_band_buckets(bsigs, id_col, "__bid", k, band_size)
@@ -1432,3 +1441,145 @@ def incremental_minhash_neardup(
         F.col("__best.c").alias("match_id"),
         (F.lit(k) - F.col("__best.d")).cast("int").alias("n_agree"),
     )
+
+
+def streaming_minhash_neardup(
+    stream_docs: DataFrame,
+    store,
+    report_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    min_agree: int = 4,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming near-dup ingest against a PERSISTENT MinHash signature
+    store — the near-dup sibling of ``streaming_chunk_dedup``: each
+    micro-batch is checked with ``incremental_minhash_neardup`` (store
+    signatures only, no corpus rescan), its near-dup report lands
+    idempotently in ``report_dir/batch_id=N``, and the KEEPERS'
+    signatures (batch docs with no store match) are appended so any
+    earlier batch or run suppresses later recurrences. Intra-batch
+    near-dups are NOT cross-checked (run ``minhash_lsh_pairs`` on a
+    batch where that matters) — the store is the dedup authority,
+    exactly like the chunk store.
+
+    ``store`` is a ``ParquetMergeTable`` keyed on ``id_col`` holding
+    ``minhash_signatures`` rows plus ``(run_id, batch_id)`` provenance;
+    the same ``(run_id, batch_id)`` replay-exclusion protocol as
+    ``_chunk_dedup_batch`` makes a crashed epoch's re-run reproduce its
+    marking bit-for-bit, and keeps a SECOND run (fresh checkpoint dir,
+    epochs restarting at 0) from un-suppressing the first run's
+    documents.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+    import hashlib
+    import uuid as _uuid
+
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    if not isinstance(store, ParquetMergeTable):
+        raise TypeError(
+            f"store must be a ParquetMergeTable, got {type(store).__name__}"
+        )
+    if store.keys != [id_col]:
+        raise ValueError(f"store must be keyed on [{id_col!r}], got {store.keys}")
+
+    run_id = (
+        hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()
+        if checkpoint_dir is not None
+        else _uuid.uuid4().hex
+    )
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _minhash_neardup_batch(
+            batch_df,
+            epoch,
+            store,
+            report_dir,
+            id_col,
+            text_col,
+            n,
+            k,
+            band_size,
+            min_agree,
+            run_id=run_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def _minhash_neardup_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    store,
+    report_dir: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    band_size: int,
+    min_agree: int,
+    run_id: str = "",
+) -> None:
+    """One ``streaming_minhash_neardup`` micro-batch, replay-idempotent
+    under the ``(run_id, batch_id)`` exclusion protocol (see
+    ``_chunk_dedup_batch`` — identical reasoning). Module-level so the
+    replay and cross-run properties are directly testable."""
+    import posixpath
+
+    from airbnb_cdc_spark.session import cache_scope
+
+    sig_cols = [f"mh{j}" for j in range(k)]
+    with cache_scope():
+        if store.exists():
+            seen = store.read()
+            if "batch_id" in seen.columns:
+                same_run = F.coalesce(
+                    F.col("run_id") if "run_id" in seen.columns else F.lit(None),
+                    F.lit(""),
+                ) == F.lit(run_id)
+                same_epoch = (
+                    F.coalesce(F.col("batch_id"), F.lit(-1)) == F.lit(epoch)
+                )
+                seen = seen.filter(~(same_run & same_epoch))
+            seen = seen.select(id_col, *sig_cols)
+        else:
+            schema = f"{id_col} long, " + ", ".join(
+                f"{c} long" for c in sig_cols
+            )
+            seen = batch_df.sparkSession.createDataFrame([], schema)
+        bsigs = persist_tracked(
+            minhash_signatures(
+                batch_df, id_col, text_col, n, k, max_doc_freq=None
+            )
+        )
+        # persisted: consumed twice (report write + keeper anti-join) —
+        # without the barrier the band join would run once per consumer
+        matches = persist_tracked(
+            incremental_minhash_neardup(
+                batch_df,
+                seen,
+                id_col,
+                text_col,
+                n,
+                k,
+                band_size,
+                min_agree,
+                batch_sigs=bsigs,
+            )
+        )
+        matches.write.mode("overwrite").parquet(
+            posixpath.join(report_dir, f"batch_id={epoch}")
+        )
+        fresh = (
+            bsigs.join(matches.select(id_col), id_col, "left_anti")
+            .withColumn("batch_id", F.lit(epoch).cast("long"))
+            .withColumn("run_id", F.lit(run_id))
+        )
+        store.merge(fresh, allow_schema_evolution=True)

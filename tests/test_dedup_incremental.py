@@ -84,3 +84,60 @@ def test_incremental_minhash_empty_batch(spark):
     store = minhash_signatures(corpus, max_doc_freq=None)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert incremental_minhash_neardup(empty, store).count() == 0
+
+
+def test_streaming_minhash_batches_replay_and_cross_run(spark, tmp_path):
+    """The foreachBatch leg: (a) keepers' signatures accumulate so a
+    later batch's recurrence is suppressed against the STORE, (b) a
+    crash-replay of an epoch under the same run_id is a no-op, (c) a
+    second run reusing epoch 0 still sees the first run's history."""
+    from airbnb_cdc_spark.operators.dedup import _minhash_neardup_batch
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    store = ParquetMergeTable(spark, str(tmp_path / "sigstore"), ["doc_id"])
+    report = str(tmp_path / "report")
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def run(rows, epoch, run_id):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _minhash_neardup_batch(
+            df, epoch, store, report, "doc_id", "text", 3, 8, 2, 4,
+            run_id=run_id,
+        )
+
+    run([(1, text), (2, "one two three four five six seven")], 0, "runA")
+    # batch 1 re-sends doc 1's text -> matched against the store
+    run([(3, text)], 1, "runA")
+    rep = {
+        (r.doc_id, r.match_id)
+        for r in spark.read.parquet(report).collect()
+    }
+    assert rep == {(3, 1)}
+    store_rows = {
+        (r.doc_id, r.batch_id, r.run_id) for r in store.read().collect()
+    }
+    assert store_rows == {(1, 0, "runA"), (2, 0, "runA")}  # 3 was a dup
+
+    # crash-replay of epoch 1: identical report, store unchanged
+    run([(3, text)], 1, "runA")
+    assert {
+        (r.doc_id, r.match_id) for r in spark.read.parquet(report).collect()
+    } == rep
+    assert {
+        (r.doc_id, r.batch_id, r.run_id) for r in store.read().collect()
+    } == store_rows
+
+    # a NEW run restarting at epoch 0 must still be suppressed by
+    # run A's epoch-0 signatures (the cross-run advice protocol)
+    report_b = str(tmp_path / "report_b")
+    df = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    _minhash_neardup_batch(
+        df, 0, store, report_b, "doc_id", "text", 3, 8, 2, 4, run_id="runB"
+    )
+    assert {
+        (r.doc_id, r.match_id)
+        for r in spark.read.parquet(report_b).collect()
+    } == {(9, 1)}
+    assert {
+        (r.doc_id, r.batch_id, r.run_id) for r in store.read().collect()
+    } == store_rows
