@@ -313,3 +313,67 @@ def hash_negatives(
         (F.col("__j") + 1).cast("int").alias("neg_rank"),
         F.col("__neg").alias("neg_id"),
     )
+
+
+def pack_concat_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+) -> DataFrame:
+    """Concatenation packing (the GPT-style pretraining layout):
+    conceptually concatenate every document's tokens in ``id_col``
+    order into one global stream and cut it into fixed ``seq_len``
+    windows — documents SPLIT across sequence boundaries (unlike
+    ``pack_sequences``' greedy whole-doc bins, which trade fill for
+    boundary alignment). The output is the SAMPLE-BOUNDARY INDEX:
+    one row per (sequence, document) overlap with the doc-relative
+    token slice ``[tok_start, tok_end)`` that lands in that sequence —
+    exactly what a training loader needs to materialize sequence
+    ``seq_id`` without re-tokenizing anything else.
+
+    The only global coordination is each doc's starting offset in the
+    concatenated stream — a running sum of token counts over the id
+    order, computed with the distributed two-phase Blelloch scan
+    (``prefix.global_running_sum``): no single-partition window at any
+    corpus size. Everything after is per-row integer arithmetic plus a
+    ``sequence()`` explode bounded by each doc's own span count.
+
+    Zero-token docs are dropped (they occupy no stream positions).
+    Deterministic: offsets are exact integer sums over a total order,
+    so sequence boundaries are bit-identical across engines and
+    partitionings."""
+    from airbnb_cdc_spark.functions.textfns import token_count
+    from airbnb_cdc_spark.operators.prefix import global_running_sum
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    counts = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("__n")
+    ).filter(F.col("__n") > 0)
+    scanned = global_running_sum(
+        counts, order_col=id_col, value_col="__n", tie_breaks=[], out_col="__ge"
+    )
+    gs = F.col("__ge") - F.col("__n")
+    L = F.lit(seq_len).cast("long")
+    spans = scanned.select(
+        F.col(id_col),
+        gs.alias("__gs"),
+        F.col("__ge"),
+        F.explode(
+            F.sequence(
+                F.floor(gs / L).cast("long"),
+                F.floor((F.col("__ge") - 1) / L).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    return spans.select(
+        "seq_id",
+        id_col,
+        (F.greatest(F.col("__gs"), F.col("seq_id") * L) - F.col("__gs"))
+        .cast("long")
+        .alias("tok_start"),
+        (F.least(F.col("__ge"), (F.col("seq_id") + 1) * L) - F.col("__gs"))
+        .cast("long")
+        .alias("tok_end"),
+    )

@@ -2659,6 +2659,22 @@ def q_incremental_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return _dedup.incremental_minhash_neardup(batch, store)
 
 
+@query("pack_concat_split", _PACK_CONCAT_ORACLE)
+def q_pack_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenation packing: the corpus token stream in
+    doc_id order cut into fixed 512-token windows, returned as the
+    sample-boundary index (one row per sequence x document overlap
+    with the doc-relative slice). The only global stage is the
+    distributed Blelloch running sum of token counts
+    (operators/prefix.py) — never a single-partition window. See
+    sampling.py:pack_concat_split."""
+    from airbnb_cdc_spark.operators.sampling import pack_concat_split
+
+    return pack_concat_split(
+        load_table(spark, sf_dir, "documents"), seq_len=_PACK_CONCAT_LEN
+    )
+
+
 @query("kmv_range_rollup", _KMV_ROLLUP_ORACLE)
 def q_kmv_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users over a 14-day range answered from PER-DAY KMV
@@ -2735,6 +2751,10 @@ _DRIVER_PRIORITY = [
     # unchanged since, still covered by the differential suite)
     "kmv_range_rollup",
     "incremental_minhash_neardup",
+    # r10 late addition: concatenation packing (cedes winnow_components
+    # — r9-recorded, unchanged since; its family stays led by
+    # winnow_keep_canonical which SUBSUMES the components loop)
+    "pack_concat_split",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2745,7 +2765,6 @@ _DRIVER_PRIORITY = [
     "conditional_split_accepted",
     "alter_row_flags",
     "winnow_keep_canonical",
-    "winnow_components",
     "dedup_keep_canonical",
     "asof_next_purchase_after_view",
     "events_resample_ffill",

@@ -116,6 +116,10 @@ DIFF_QUERIES = [
     # corpora exercise the empty-batch, no-candidate, and tie-break
     # paths of the signature-agreement verify
     "incremental_minhash_neardup",
+    # r10: concatenation packing — random token counts exercise docs
+    # spanning 0, 1, and multiple sequence boundaries and the
+    # empty-doc drop against the window running-sum oracle
+    "pack_concat_split",
 ]
 
 
