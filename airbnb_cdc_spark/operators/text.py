@@ -531,3 +531,96 @@ def rarity_score(
             .alias("rare_ratio"),
         )
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    min_df: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: delete every W-token segment
+    whose segment hash occurs in at least ``min_df`` DISTINCT documents
+    — navigation bars, license footers, templated headers. Unlike
+    first-wins chunk dedup (``dedup.chunk_dedup``, which keeps one copy
+    of each repeated span), frequency-based stripping removes ALL
+    copies, because corpus-frequent segments are boilerplate rather
+    than content; the two are complementary pipeline stages (CCNet runs
+    paragraph-frequency dedup before quality filtering).
+
+    Returns one row per input document: ``(id, n_segments, n_dropped,
+    clean_fingerprint)`` where ``clean_fingerprint`` is the md5 of the
+    surviving segments re-joined in order (md5('') when everything was
+    stripped or the document was empty). Exact integers + md5, so the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: segmenting is a projection + explode (no shuffle);
+    segment document-frequency is one distinct + hash groupBy on the
+    segment hash; the strip is a left_anti join on that hash (the
+    boilerplate set is vocabulary-sized, far smaller than the corpus);
+    re-assembly is one per-doc groupBy whose state is bounded by the
+    document's own kept text. The segment frame is persisted because
+    both the frequency side and the strip side consume it — without
+    the barrier the tokenize+hash projection runs twice from the scan
+    (the chunk-dedup precedent, memory: self-join-shaped ops).
+    """
+    toks = tokens(F.col(text_col))
+    base = persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.ceil(F.size(toks) / F.lit(window)).cast("int").alias("__ns"),
+        )
+    )
+    seg = F.slice("__toks", F.col("seg_idx") * window + 1, window)
+    segs = persist_tracked(
+        base.select(
+            id_col,
+            "__toks",
+            # greatest() keeps the sequence ascending for empty docs
+            # (sequence(0,-1) would count DOWN and fabricate segments);
+            # their single empty segment is dropped by the size filter.
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("__ns"), F.lit(1)) - 1)
+            ).alias("seg_idx"),
+        )
+        .select(
+            id_col,
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.concat_ws(" ", seg).alias("__seg"),
+            F.size(seg).alias("__seg_n"),
+        )
+        .filter(F.col("__seg_n") > 0)
+        .withColumn("__h", F.md5("__seg"))
+    )
+    boiler = (
+        segs.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h")
+    )
+    kept = segs.join(boiler, "__h", "left_anti")
+    perdoc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "__seg"))),
+                lambda x: x["__seg"],
+            ),
+        ).alias("__clean"),
+    )
+    return base.join(perdoc, id_col, "left").select(
+        F.col(id_col),
+        F.col("__ns").cast("long").alias("n_segments"),
+        (
+            F.col("__ns").cast("long")
+            - F.coalesce(F.col("__nk"), F.lit(0))
+        ).alias("n_dropped"),
+        F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias(
+            "clean_fingerprint"
+        ),
+    )

@@ -2706,6 +2706,20 @@ def q_kmv_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(n_days)).select("n_days", "m", "est_distinct")
 
 
+@query("boilerplate_strip", _BOILERPLATE_ORACLE)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every 16-token segment
+    whose hash occurs in >= 2 distinct documents (ALL copies — the
+    frequency-based complement of first-wins chunk dedup), re-join the
+    survivors in order, fingerprint the cleaned text. See
+    text.py:boilerplate_strip for the shuffle budget."""
+    return _text.boilerplate_strip(
+        load_table(spark, sf_dir, "documents"),
+        window=_BOILER_W,
+        min_df=_BOILER_MIN_DF,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2755,13 +2769,16 @@ _DRIVER_PRIORITY = [
     # — r9-recorded, unchanged since; its family stays led by
     # winnow_keep_canonical which SUBSUMES the components loop)
     "pack_concat_split",
+    # r10 late addition: CCNet-style boilerplate strip (cedes
+    # pii_report — re-recorded green in r9 under the cascaded-count
+    # semantics, unchanged since; pii_scrub keeps the family led)
+    "boilerplate_strip",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
     "fuzzy_link_part_names",
     "diversity_sample_by_cluster",
     "pii_scrub",
-    "pii_report",
     "conditional_split_accepted",
     "alter_row_flags",
     "winnow_keep_canonical",

@@ -120,6 +120,10 @@ DIFF_QUERIES = [
     # spanning 0, 1, and multiple sequence boundaries and the
     # empty-doc drop against the window running-sum oracle
     "pack_concat_split",
+    # r10: boilerplate strip — random short docs plant cross-doc
+    # repeated segments (small word pool), exercising the all-copies
+    # drop, the everything-stripped doc, and the empty-doc row
+    "boilerplate_strip",
 ]
 
 
