@@ -2720,6 +2720,22 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bm25_topk", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval for a 3-term query: rational
+    (log-free) Robertson-Sparck-Jones idf, binary-exact k1/b, and the
+    term IN-list filter applied to the exploded token stream right off
+    the scan — inverted-index behavior without materializing one. See
+    operators/retrieval.py for the determinism + scale contract."""
+    from airbnb_cdc_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        terms=list(_BM25_TERMS),
+        k=_BM25_K,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2773,6 +2789,10 @@ _DRIVER_PRIORITY = [
     # pii_report — re-recorded green in r9 under the cascaded-count
     # semantics, unchanged since; pii_scrub keeps the family led)
     "boilerplate_strip",
+    # r10 late addition: BM25 retrieval (cedes distinct_users_kmv —
+    # r9-recorded, unchanged since; the KMV family is led this round
+    # by kmv_range_rollup, which exercises the same sketch core)
+    "bm25_topk",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2795,7 +2815,6 @@ _DRIVER_PRIORITY = [
     "mm_frame_sample",
     "events_windowed_agg",
     "token_count_cms",
-    "distinct_users_kmv",
     "cohort_retention",
     "trailing_7d_users",
     "events_hopping_agg",

@@ -124,6 +124,12 @@ DIFF_QUERIES = [
     # repeated segments (small word pool), exercising the all-copies
     # drop, the everything-stripped doc, and the empty-doc row
     "boilerplate_strip",
+    # r10: BM25 retrieval — the query terms ('the','scan','zz') are in
+    # WORDS, so random corpora draw real tf/df spreads; checks the
+    # fixed-order double score is bit-identical cross-engine (repr
+    # compare through _norm's 10-place round, plus the driver's strict
+    # hash at sf0.01)
+    "bm25_topk",
 ]
 
 
