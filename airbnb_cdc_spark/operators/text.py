@@ -624,3 +624,67 @@ def boilerplate_strip(
             "clean_fingerprint"
         ),
     )
+
+
+def quality_filter_chain(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.03,
+    min_distinct_ratio: float = 0.35,
+    max_repetition: float = 0.2,
+) -> DataFrame:
+    """FineWeb/CCNet-style composite quality gate with REASON CODES:
+    every document gets a verdict ``(keep, reason)`` where ``reason``
+    is the FIRST failing rule in the fixed audit order
+
+        too_short -> low_stopword -> low_distinct -> repetitive ->
+        non_english -> ok
+
+    — the per-reason breakdown is what corpus curation actually
+    consumes (how much did each rule remove?), which the boolean
+    ``quality_filter`` / ``quality_predicate`` cannot answer. Rules
+    share their exact definitions with text_stats / repetition_stats /
+    language_id (same lexicon counts, same division-form ratios), so
+    the chain can never desynchronize from the individual filters.
+
+    Scale: one pure projection per row — tokenize once, derive every
+    signal from the same token array, zero shuffle, zero UDFs; at
+    100 TB this runs at parquet-scan speed with pruning to (id, text).
+    CASE short-circuits, so the n=0 document never evaluates the
+    ratio divisions (too_short catches it first).
+    """
+    toks_c = tokens(F.col(text_col))
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks_c.alias("__toks")
+    )
+    t = F.col("__toks")
+    n = F.size(t).cast("long")
+    nd = F.size(F.array_distinct(t)).cast("long")
+    hits = {lang: stopword_hits(t, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    sh = shingles(t, 3)
+    ng = F.size(sh).cast("long")
+    ngd = F.size(F.array_distinct(sh)).cast("long")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(
+            dbl(hits["en"]) / dbl(n) < min_stopword_ratio,
+            F.lit("low_stopword"),
+        )
+        .when(dbl(nd) / dbl(n) < min_distinct_ratio, F.lit("low_distinct"))
+        .when(
+            (ng > 0) & (F.lit(1.0) - dbl(ngd) / dbl(ng) > max_repetition),
+            F.lit("repetitive"),
+        )
+        .when(~((best > 0) & (hits["en"] == best)), F.lit("non_english"))
+        .otherwise(F.lit("ok"))
+    )
+    return base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )

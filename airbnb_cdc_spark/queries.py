@@ -2736,6 +2736,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("quality_filter_chain", _quality_chain_oracle())
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style composite quality gate with first-failing-rule
+    reason codes (too_short -> low_stopword -> low_distinct ->
+    repetitive -> non_english -> ok) — the per-reason removal
+    breakdown corpus curation consumes. One pure projection, zero
+    shuffle. See text.py:quality_filter_chain."""
+    return _text.quality_filter_chain(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2793,6 +2803,10 @@ _DRIVER_PRIORITY = [
     # r9-recorded, unchanged since; the KMV family is led this round
     # by kmv_range_rollup, which exercises the same sketch core)
     "bm25_topk",
+    # r10 late addition: quality chain with reason codes (cedes
+    # mm_frame_sample — r9-recorded, unchanged since; mm_resize keeps
+    # the multimodal Arrow-leg family led)
+    "quality_filter_chain",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2812,7 +2826,6 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_new_docs",
     "knn_label_vote",
     "mm_resize",
-    "mm_frame_sample",
     "events_windowed_agg",
     "token_count_cms",
     "cohort_retention",

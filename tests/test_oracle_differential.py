@@ -130,6 +130,10 @@ DIFF_QUERIES = [
     # compare through _norm's 10-place round, plus the driver's strict
     # hash at sf0.01)
     "bm25_topk",
+    # r10: quality chain — random corpora drive the too_short /
+    # low_stopword / low_distinct / repetitive legs and the CASE
+    # short-circuit on empty docs
+    "quality_filter_chain",
 ]
 
 
