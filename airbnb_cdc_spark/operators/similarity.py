@@ -532,6 +532,75 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a ``build_ivf_index`` layout: assign each new
+    vector to its nearest EXISTING centroid (same deterministic scoring
+    and tie-break as the build pass) and append the quantized rows to
+    the matching ``lists/cid=N/`` partitions. The corpus already in the
+    index is never rescanned or rewritten — the cost of ingesting a
+    batch is (batch x centroids) scoring plus a partition-pruned
+    existence probe, independent of index size. This is the standard
+    IVF maintenance story (FAISS ``add``): centroids drift only on a
+    full rebuild, matching how production ANN services batch-ingest.
+
+    ``skip_existing=True`` makes re-running the SAME batch idempotent
+    (crash-replay safe, the insert-only-merge pattern of the dedup
+    stores): already-indexed ids are dropped by an anti-join against
+    ONLY the ``cid=`` partitions this batch assigns into — the probe
+    reads the touched lists, not the index (verify: ``inputFiles()``).
+    Returns the number of rows appended.
+
+    Note the assignment uses the PERSISTED centroids, so a query after
+    append sees old + new vectors under the same geometry; recall on
+    appended vectors matches the build-time recall as long as the new
+    batch is drawn from a distribution the centroids still cover (the
+    rebuild cadence knob at 100 TB)."""
+    import os
+
+    from pyspark.sql import Window
+
+    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    base = _with_quant(new_vectors, id_col, vec_col)
+    scored = base.crossJoin(cents).withColumn(
+        "__cos",
+        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("cid").asc()
+    )
+    # persist: the touched-cid collect, the existence probe, and the
+    # append all consume this frame — unpersisted, the batch x
+    # centroids scoring pass would run three times.
+    assigned = persist_tracked(
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid"))
+    )
+    if skip_existing:
+        touched = [r.cid for r in assigned.select("cid").distinct().collect()]
+        existing = (
+            spark.read.parquet(os.path.join(path, "lists"))
+            .filter(F.col("cid").isin(touched))
+            .select(id_col)
+        )
+        assigned = persist_tracked(
+            assigned.join(existing, id_col, "left_anti")
+        )
+    n = assigned.count()
+    if n:
+        assigned.write.mode("append").partitionBy("cid").parquet(
+            os.path.join(path, "lists")
+        )
+    return n
+
+
 def query_ivf_index(
     spark,
     path: str,

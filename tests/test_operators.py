@@ -661,3 +661,49 @@ def test_winnowing_detects_shifted_copy(spark):
     }
     assert (0, 1) in pairs
     assert all(2 not in p for p in pairs)
+
+
+def test_ivf_append_equals_full_build_and_is_idempotent(spark, tmp_path):
+    """append_ivf_index's load-bearing claims: (a) build-on-400 +
+    append-100 answers queries IDENTICALLY to a one-shot build on all
+    500 (the centroid residue class 3 mod 37 tops out at vec_id 484,
+    so both layouts share the exact centroid set and assignments);
+    (b) re-appending the same batch is a no-op (skip_existing's
+    insert-only-merge idempotence — the crash-replay contract)."""
+    from airbnb_cdc_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from airbnb_cdc_spark.session import load_table, release_cached
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    base, batch = (
+        emb.filter(F.col("vec_id") < 490),
+        emb.filter(F.col("vec_id") >= 490),
+    )
+    queries = emb.filter(F.col("vec_id") % 250 == 1)
+    full_idx, incr_idx = str(tmp_path / "full"), str(tmp_path / "incr")
+
+    build_ivf_index(emb, full_idx)
+    build_ivf_index(base, incr_idx)
+    n1 = append_ivf_index(spark, incr_idx, batch)
+    assert n1 == 10
+
+    expect = sorted(
+        map(tuple, query_ivf_index(spark, full_idx, queries, k=5, nprobe=2).collect())
+    )
+    got = sorted(
+        map(tuple, query_ivf_index(spark, incr_idx, queries, k=5, nprobe=2).collect())
+    )
+    assert got == expect
+
+    # replaying the identical batch appends nothing and changes nothing
+    n2 = append_ivf_index(spark, incr_idx, batch)
+    assert n2 == 0
+    again = sorted(
+        map(tuple, query_ivf_index(spark, incr_idx, queries, k=5, nprobe=2).collect())
+    )
+    assert again == expect
+    release_cached()
