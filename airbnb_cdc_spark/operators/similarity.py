@@ -659,6 +659,58 @@ def query_ivf_index(
     return _rank_topk(joined, k)
 
 
+def semantic_decontam(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    cosine to ANY benchmark/eval vector reaches ``threshold``, with its
+    best-matching eval id — the semantic complement of the n-gram
+    ``benchmark_overlap`` decontamination (catches paraphrased eval
+    leakage that token overlap misses). One row per contaminated
+    corpus vector: ``(id, eval_id, cosine)``, best match ranked
+    (cosine DESC, eval_id ASC).
+
+    Scale shape: the eval side is benchmark-sized (thousands of rows),
+    so it broadcasts; the corpus is scanned ONCE with a broadcast
+    nested-loop score against the eval block — embarrassingly parallel,
+    no corpus shuffle. The only exchange is the best-match window over
+    the HIT set (pairs already past the threshold), which is
+    contamination-sized, not corpus-sized. Cosines come from the exact
+    integer quantized dot/norm core (deterministic doubles — sqrt is
+    correctly rounded IEEE, unlike ln), shared with every ANN oracle.
+    """
+    base = _with_quant(corpus, id_col, vec_col)
+    ev = _with_quant(eval_set, id_col, vec_col, widen=False).select(
+        F.col(id_col).alias("__eid"),
+        F.col("__q").alias("__qe"),
+        F.col("__norm").alias("__ne"),
+    )
+    hits = (
+        base.crossJoin(F.broadcast(ev))
+        .withColumn(
+            "cosine",
+            _pair_cosine(
+                F.col("__q"), F.col("__qe"), F.col("__norm"), F.col("__ne")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__eid").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    return _rank_topk(hits, 1).select(
+        F.col("query_id").alias(id_col),
+        F.col("neighbor_id").alias("eval_id"),
+        "cosine",
+    )
+
+
 def semdedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

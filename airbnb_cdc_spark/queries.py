@@ -2746,6 +2746,22 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.quality_filter_chain(load_table(spark, sf_dir, "documents"))
 
 
+@query("semantic_decontam", _SEM_DECONTAM_ORACLE)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination of the corpus against the eval
+    split (vec_id % 50 = 7 as the stand-in benchmark): eval block
+    broadcast, corpus scanned once, best eval match per flagged
+    vector. Complements the n-gram benchmark_overlap decontamination
+    (catches paraphrase-level leakage). See
+    similarity.py:semantic_decontam."""
+    from airbnb_cdc_spark.operators.similarity import semantic_decontam
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % _DECON_MOD != _DECON_REM)
+    ev = emb.filter(F.col("vec_id") % _DECON_MOD == _DECON_REM)
+    return semantic_decontam(corpus, ev, threshold=_DECON_TAU)
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2807,6 +2823,11 @@ _DRIVER_PRIORITY = [
     # mm_frame_sample — r9-recorded, unchanged since; mm_resize keeps
     # the multimodal Arrow-leg family led)
     "quality_filter_chain",
+    # r10 late addition: semantic decontamination (cedes knn_label_vote
+    # — r9-recorded, unchanged since; the broadcast-eval-block scoring
+    # core is the same shape, and the ANN family stays led by
+    # ann_topk_ivf / ann_topk_ivf_nprobe)
+    "semantic_decontam",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2824,7 +2845,6 @@ _DRIVER_PRIORITY = [
     "top_terms_per_doc",
     "dedup_containment",
     "incremental_dedup_new_docs",
-    "knn_label_vote",
     "mm_resize",
     "events_windowed_agg",
     "token_count_cms",
