@@ -377,3 +377,62 @@ def pack_concat_split(
         .cast("long")
         .alias("tok_end"),
     )
+
+
+# power-of-two padding buckets for batch construction; docs past the
+# last bucket are truncated to it (the training-time context cut)
+LENGTH_BUCKETS: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batch
+    construction: each document lands in the smallest power-of-two
+    bucket holding its token count (longer docs truncate to the last
+    bucket), and per bucket we report how many pad tokens a
+    fixed-length batch of that bucket size would waste —
+    ``waste_ratio = padded / (n_docs * bucket)``. This is the standard
+    pre-training dataloader question (bucketed batching vs packing);
+    the packing answer is ``pack_concat_split``, and this report is
+    how you decide between them per corpus.
+
+    One projection + one tiny groupBy (|buckets| rows, map-side
+    combined) — scan-speed at any corpus size. Ratios from exact
+    integer sums with a single final double division.
+    """
+    from airbnb_cdc_spark.functions.textfns import tokens
+    from airbnb_cdc_spark.session import ensure_parallelism
+
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    last = buckets[-1]
+    bucket = F.lit(last)
+    for b in reversed(buckets[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    used = F.least(n, F.lit(last))
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        bucket.cast("long").alias("bucket"),
+        used.alias("__used"),
+        (n > last).cast("long").alias("__trunc"),
+    )
+    agg = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__used").cast("long").alias("used_tokens"),
+        F.sum("__trunc").cast("long").alias("n_truncated"),
+    )
+    padded = F.col("bucket") * F.col("n_docs") - F.col("used_tokens")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "used_tokens",
+        padded.alias("padded_tokens"),
+        (
+            padded.cast("double")
+            / (F.col("bucket") * F.col("n_docs")).cast("double")
+        ).alias("waste_ratio"),
+        "n_truncated",
+    )

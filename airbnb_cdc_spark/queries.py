@@ -2762,6 +2762,17 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontam(corpus, ev, threshold=_DECON_TAU)
 
 
+@query("length_bucket_stats", _length_bucket_oracle())
+def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for power-of-two length-bucketed batch
+    construction (the bucketing-vs-packing dataloader decision;
+    pack_concat_split is the packing alternative). One projection +
+    a |buckets|-row groupBy. See sampling.py:length_bucket_stats."""
+    from airbnb_cdc_spark.operators.sampling import length_bucket_stats
+
+    return length_bucket_stats(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2828,6 +2839,11 @@ _DRIVER_PRIORITY = [
     # core is the same shape, and the ANN family stays led by
     # ann_topk_ivf / ann_topk_ivf_nprobe)
     "semantic_decontam",
+    # r10 late addition: length-bucket padding report (cedes
+    # token_counts — r9-recorded, unchanged since; the token-count
+    # family keeps differential coverage via text_stats and the
+    # packing/mixture oracles)
+    "length_bucket_stats",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2852,7 +2868,6 @@ _DRIVER_PRIORITY = [
     "trailing_7d_users",
     "events_hopping_agg",
     "interval_join_attribution",
-    "token_counts",
     "user_sessions",
     "rollup_country_status",
     "semi_join_buyers",

@@ -134,6 +134,10 @@ DIFF_QUERIES = [
     # low_stopword / low_distinct / repetitive legs and the CASE
     # short-circuit on empty docs
     "quality_filter_chain",
+    # r10: length buckets — random token counts land in the smallest
+    # buckets and the empty-doc row; boundary equality (n == bucket)
+    # draws at n=16 exercise the <=-vs-< edge on both engines
+    "length_bucket_stats",
 ]
 
 
