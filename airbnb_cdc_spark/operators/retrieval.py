@@ -69,12 +69,17 @@ def bm25_scores(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum("dl").cast("double").alias("__t"),
     )
-    postings = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
-        )
-        .filter(F.col("term").isin(list(terms)))
+    # filter INSIDE the token array, then explode: the per-row fan-out
+    # is hits-only (query terms are a handful), instead of exploding
+    # the full token stream and filtering the generated rows — at
+    # corpus scale the difference is the whole token volume.
+    postings = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                tokens(F.col(text_col)), lambda t: t.isin(*list(terms))
+            )
+        ).alias("term"),
     )
     tf = postings.groupBy(id_col).agg(
         *[
