@@ -14,7 +14,13 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   per-batch state-rows trajectory from the query progress records —
   flat-ish state, not monotone growth, is the eviction evidence.
 
-Usage: python scripts/bench_streaming.py [merge|session] [n_rows] [n_files]
+- ``minhash`` (r10): streaming MinHash near-dup ingest docs/sec —
+  each micro-batch banded against the persistent signature store,
+  keepers appended; a planted 10% cross-file near-dup cohort must be
+  suppressed by the STORE (earlier files' signatures), so the number
+  reflects the real band-join + verify + merge cost per batch.
+
+Usage: python scripts/bench_streaming.py [merge|session|minhash] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -158,15 +164,97 @@ def bench_session(n_rows: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def write_docs_feed(feed: Path, n_docs: int, n_files: int) -> int:
+    """10% of docs (i % 10 == 7, beyond the first file) are 39/40-token
+    near-copies of a FILE-0 original (a non-cohort doc, so its
+    signatures are in the store) — every later file's cohort is caught
+    only via the store, file after file."""
+    per_file = n_docs // n_files
+    total = 0
+    for fi in range(n_files):
+        with open(feed / f"docs_{fi:03d}.json", "w") as f:
+            for j in range(per_file):
+                i = fi * per_file + j
+                if i % 10 == 7 and i >= per_file:
+                    base = i % per_file
+                    if base % 10 == 7:  # keep the base an original
+                        base -= 1
+                    toks = [f"w{base}_{t}" for t in range(39)] + ["changed"]
+                else:
+                    toks = [f"w{i}_{t}" for t in range(40)]
+                f.write(
+                    json.dumps({"doc_id": i, "text": " ".join(toks)}) + "\n"
+                )
+                total += 1
+    return total
+
+
+def bench_minhash(n_docs: int, n_files: int) -> None:
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.dedup import streaming_minhash_neardup
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-minhash")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_mh_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        store = ParquetMergeTable(spark, str(work / "sigstore"), ["doc_id"])
+        report = str(work / "report")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_minhash_neardup(
+            stream, store, report, checkpoint_dir=str(work / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        n_dups = spark.read.parquet(report).count()
+        n_store = store.read().count()
+        print(
+            json.dumps(
+                {
+                    "metric": "minhash_neardup_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "dup_reports": n_dups,
+                    "store_signatures": n_store,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session"):
+    if args and args[0] in ("merge", "session", "minhash"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
     if leg == "session":
         bench_session(n_rows, n_files)
+        return
+    if leg == "minhash":
+        bench_minhash(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
