@@ -141,6 +141,36 @@ SNAPS = [
         "per-domain cap via the salted two-window top-k — two bounded "
         "Exchanges, no unbounded per-domain state",
     ),
+    (
+        "boilerplate_strip",
+        "segment explode is a projection; df = distinct + one hash agg "
+        "on the segment hash; strip = left_anti on that key; reassembly "
+        "agg state bounded by each doc's own text — chunk dedup's "
+        "shuffle budget",
+    ),
+    (
+        "bm25_topk",
+        "term IN-list filter INSIDE the token array before the explode "
+        "(hits-only fan-out); one partial+final tf hash agg; single-row "
+        "broadcast stats/dfs; TakeOrderedAndProject cut — never a "
+        "global sort",
+    ),
+    (
+        "quality_filter_chain",
+        "every quality signal from ONE tokenize in ONE codegen "
+        "projection over the scan — zero exchanges",
+    ),
+    (
+        "semantic_decontam",
+        "eval block broadcast; corpus scanned once through the "
+        "quantized-cosine BroadcastNestedLoopJoin; only exchange feeds "
+        "the best-match window over the thresholded hit set",
+    ),
+    (
+        "length_bucket_stats",
+        "projection + a |buckets|-row partial/final hash aggregate — "
+        "scan-speed",
+    ),
 ]
 
 
