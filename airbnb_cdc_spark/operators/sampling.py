@@ -436,3 +436,40 @@ def length_bucket_stats(
         ).alias("waste_ratio"),
         "n_truncated",
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Train/valid/test assignment that CANNOT leak near-duplicates
+    across splits: documents are split by their near-dup CLUSTER, not
+    individually, so every member of a duplicate cluster lands in the
+    same split (the eval-contamination failure mode of per-doc random
+    splitting — a test doc whose near-copy sits in train). ``components``
+    is the (node, component) frame from ``graph.connected_components``
+    over any near-dup pair source (Jaccard, MinHash, winnowing);
+    singleton documents are their own cluster. The bucket formula is
+    ``split_assign``'s md5-of-key mod 100, applied to the CLUSTER id —
+    same determinism contract, split membership stable as the corpus
+    grows.
+
+    Scale: the component frame is metadata-sized (thresholded pair
+    output, not corpus-sized — the keep_canonical precedent), so the
+    mark-back is a broadcast left join; the split column itself is a
+    pure projection. One row per input document: (id, cluster, split).
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    base = df.select(id_col).join(F.broadcast(comp), id_col, "left")
+    clustered = base.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col))
+        .cast("long")
+        .alias("cluster"),
+    )
+    return split_assign(clustered, "cluster", train_pct, valid_pct)

@@ -2773,6 +2773,28 @@ def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_stats(load_table(spark, sf_dir, "documents"))
 
 
+@query("leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split that cannot leak near-duplicates across
+    splits: documents split by near-dup CLUSTER (connected components
+    over the Jaccard pair list — dedup_components' verified core), the
+    cluster id bucketed with split_assign's md5 formula, every member
+    inheriting the cluster's split. The per-doc-random alternative
+    puts a test doc's near-copy in train — the classic eval
+    contamination. See sampling.py:leakage_safe_split."""
+    from airbnb_cdc_spark.operators.graph import connected_components
+    from airbnb_cdc_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs)
+    comp, converged = connected_components(pairs, max_iters=16)
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within max_iters=16"
+        )
+    return leakage_safe_split(docs, comp)
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -2844,6 +2866,11 @@ _DRIVER_PRIORITY = [
     # family keeps differential coverage via text_stats and the
     # packing/mixture oracles)
     "length_bucket_stats",
+    # r10 late addition: leakage-safe cluster split (cedes
+    # cohort_retention — r7-recorded and re-recorded r9, unchanged
+    # since; the events family stays led by trailing_7d_users and
+    # events_hopping_agg)
+    "leakage_safe_split",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -2864,7 +2891,6 @@ _DRIVER_PRIORITY = [
     "mm_resize",
     "events_windowed_agg",
     "token_count_cms",
-    "cohort_retention",
     "trailing_7d_users",
     "events_hopping_agg",
     "interval_join_attribution",

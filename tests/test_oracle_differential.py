@@ -138,6 +138,10 @@ DIFF_QUERIES = [
     # buckets and the empty-doc row; boundary equality (n == bucket)
     # draws at n=16 exercise the <=-vs-< edge on both engines
     "length_bucket_stats",
+    # r10: leakage-safe split — random corpora draw multi-doc near-dup
+    # clusters AND singletons, checking cluster inheritance and the
+    # coalesce-to-own-id leg against the recursive-closure oracle
+    "leakage_safe_split",
 ]
 
 
