@@ -1,0 +1,147 @@
+"""DSIR-style data selection via hashed-n-gram importance weights
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023) — the standard pretraining-corpus stage
+that picks raw-web documents which LOOK LIKE a small high-quality
+target set: fit bag-of-hashed-unigram models over the target and the
+source (raw) corpus, score every candidate by its likelihood ratio,
+keep the top slice.
+
+Spark-first shape (this is part of the LLM-training-data surface,
+like operators/dedup.py — the reference ADF pipeline has no analog):
+
+- The two "models" are just bucket-count aggregations — a map-side
+  combined ``groupBy(bucket)`` each, producing AT MOST ``n_buckets``
+  rows regardless of corpus size. At 100 TB those tables are a few KB.
+- The per-bucket score table is densified over ``spark.range(
+  n_buckets)`` and **broadcast** into candidate scoring, so the
+  scoring pass is scan → explode → broadcast-hash-join → one
+  ``groupBy(doc)`` partial-agg shuffle. The corpus shuffles once, on
+  the doc key, at token-count ≪ raw-byte volume.
+- No Python anywhere: tokenization/hashing are Catalyst expressions
+  (functions/textfns.py), so the whole score sits in whole-stage
+  codegen.
+
+Determinism (the DuckDB oracle replays this bit-for-bit): the DSIR
+log-likelihood-ratio is replaced by a MONOTONE integer proxy — the
+Laplace-smoothed probability ratio, scaled and floor-divided:
+
+    score(b) = floor( (t_b + 1) * SCALE * (S + n_buckets)
+                      / ((s_b + 1) * (T + n_buckets)) )
+
+with t_b/s_b the target/source bucket counts and T/S their totals.
+All-integer arithmetic: numerator and denominator are computed in
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so nothing overflows even at
+web-corpus counts, and ``div`` (truncating integral division, equal to
+floor for the positive operands here) is exact on both engines. A doc
+score is then an exact BIGINT sum of per-token bucket scores. Summing
+scores (instead of summing ``count * log-ratio``) preserves DSIR's
+ranking whenever the log is replaced by any fixed monotone transform
+applied bucket-wise; the scaled ratio is that transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.functions.textfns import h60, tokens
+
+DEFAULT_N_BUCKETS = 512
+DEFAULT_SCALE = 1 << 16
+
+
+def token_buckets(
+    df: DataFrame, text_col: str, n_buckets: int = DEFAULT_N_BUCKETS
+) -> DataFrame:
+    """One row per token instance with its hashed feature bucket.
+    ``h60`` is non-negative (60-bit md5 prefix), so plain ``%`` is
+    already the canonical bucket on both engines."""
+    return df.select(
+        *df.columns,
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("bucket", (h60(F.col("__tok")) % F.lit(n_buckets)))
+
+
+def _bucket_counts(tok: DataFrame) -> DataFrame:
+    return tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_bucket_scores(
+    target_tok: DataFrame,
+    source_tok: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Dense per-bucket integer score table (exactly ``n_buckets``
+    rows: bucket, score). Both inputs are ``token_buckets`` outputs.
+
+    The dense frame (``spark.range``) guarantees every candidate
+    token joins a score row even for buckets the target never hit,
+    and pins the broadcast size to ``n_buckets`` rows."""
+    spark = target_tok.sparkSession
+    t = _bucket_counts(target_tok).withColumnRenamed("c", "tc")
+    s = _bucket_counts(source_tok).withColumnRenamed("c", "sc")
+    # Totals are 1-row aggregates over the (metadata-sized) count
+    # tables; the cross joins below broadcast single rows.
+    t_tot = t.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("T"))
+    s_tot = s.agg(F.coalesce(F.sum("sc"), F.lit(0)).alias("S"))
+    dense = (
+        spark.range(n_buckets)
+        .withColumnRenamed("id", "bucket")
+        .join(t, "bucket", "left")
+        .join(s, "bucket", "left")
+        .join(F.broadcast(t_tot))
+        .join(F.broadcast(s_tot))
+        .select(
+            "bucket",
+            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+            F.coalesce(F.col("sc"), F.lit(0)).alias("sc"),
+            "T",
+            "S",
+        )
+    )
+    # DECIMAL(19,0) * DECIMAL(19,0) -> DECIMAL(38,0): exact for any
+    # realistic corpus (each factor < 1e19); `div` truncates, which
+    # equals floor for these positive operands. DuckDB mirror uses
+    # HUGEINT `//`.
+    num = (
+        ((F.col("tc") + 1) * F.lit(scale)).cast("decimal(19,0)")
+        * (F.col("S") + F.lit(n_buckets)).cast("decimal(19,0)")
+    )
+    den = (F.col("sc") + 1).cast("decimal(19,0)") * (
+        F.col("T") + F.lit(n_buckets)
+    ).cast("decimal(19,0)")
+    return dense.select(
+        "bucket",
+        num.alias("__num"),
+        den.alias("__den"),
+    ).select(
+        "bucket",
+        F.expr("CAST(__num div __den AS BIGINT)").alias("score"),
+    )
+
+
+def dsir_select(
+    candidates: DataFrame,
+    scores: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` candidate docs by summed bucket score (ties broken by
+    ``id_col`` ascending — a total order, so the cut is deterministic).
+
+    Plan shape: explode → broadcast join with the n_buckets-row score
+    table → partial-agg groupBy(doc). The only full shuffle is on the
+    doc key; the final top-k is a TakeOrdered over (score, id) — no
+    single-partition global sort materializes."""
+    tok = token_buckets(candidates, text_col, n_buckets)
+    per_doc = (
+        tok.join(F.broadcast(scores), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("score").alias("dsir_score"))
+    )
+    return per_doc.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col)
+    ).limit(k)

@@ -473,3 +473,73 @@ def leakage_safe_split(
         .alias("cluster"),
     )
     return split_assign(clustered, "cluster", train_pct, valid_pct)
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    weight_scale: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-scaled sampling quotas at tau = 0.5 — the standard
+    multilingual/domain rebalancing step (raw proportions ^ tau, here
+    sqrt) that keeps head domains from drowning the mixture while
+    still weighting by size. Quotas are apportioned by the largest-
+    remainder (Hamilton) method, so they sum to ``budget`` EXACTLY.
+
+    Engine-exact by construction — the whole computation is integers:
+    ``sqrt`` is IEEE correctly-rounded on both engines, multiplying by
+    a power-of-two ``weight_scale`` is exact in double, and ``floor``
+    lands on BIGINT — so group weights are exact integers, the total
+    is an order-free integer sum, base quotas use integral division,
+    and remainders compare as exact integers over the common
+    denominator (no double is ever summed across rows).
+
+    Scale: one map-combined groupBy to a GROUPS-sized frame (dozens of
+    languages / thousands of domains — metadata); everything after is
+    arithmetic on that frame. The apportionment window sorts the tiny
+    frame, never the corpus. Output: (group, n_docs, weight_scaled,
+    quota); callers feed quotas into topk_per_group / split sampling.
+    """
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = g.select(
+        "grp",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(weight_scale))
+        .alias("weight_scaled"),
+    )
+    tot = w.agg(F.sum("weight_scaled").alias("W"))
+    base = w.join(F.broadcast(tot)).select(
+        "grp",
+        "n_docs",
+        "weight_scaled",
+        F.expr(f"CAST(({budget} * weight_scaled) div W AS BIGINT)").alias(
+            "base"
+        ),
+        # remainder numerator over the common denominator W — exact.
+        F.expr(
+            f"{budget} * weight_scaled - "
+            f"(({budget} * weight_scaled) div W) * W"
+        ).alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(budget) - F.sum("base")).alias("leftover")
+    )
+    rk = Window.orderBy(F.col("rem").desc(), F.col("grp"))
+    return (
+        base.join(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(rk))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "weight_scaled",
+            (
+                F.col("base")
+                + (F.col("rk") <= F.col("leftover")).cast("long")
+            ).alias("quota"),
+        )
+    )

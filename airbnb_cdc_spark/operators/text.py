@@ -688,3 +688,71 @@ def quality_filter_chain(
         reason.alias("reason"),
         (reason == "ok").cast("int").alias("keep"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size ``v``,
+    the share of ALL token instances covered by the ``v`` most frequent
+    tokens — the curve a tokenizer team reads before fixing a vocab
+    size (the knee is where marginal vocab stops buying coverage).
+
+    Output: one row per vocab size with exact BIGINT ``covered_tokens``
+    / ``total_tokens`` / ``n_distinct`` and ``coverage`` as the single
+    final double division (exact-int discipline, so the DuckDB oracle
+    hash-matches bitwise).
+
+    Scale: the corpus-sized work is ONE map-side-combined
+    ``groupBy(token)`` — the same shuffle exact dedup pays. Everything
+    after runs on the VOCAB table (distinct tokens ≪ corpus; low
+    millions even at 100 TB): the global rank/cumsum window on that
+    table is a deliberate single-partition sort of a metadata-sized
+    frame, same stance as the sketch tables. Requesting a ``v`` larger
+    than the vocab clamps to full coverage (``least(v, n_distinct)``).
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # (c DESC, token ASC) is a total order — rank and cumsum are exact.
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    ordered = counts.select(
+        "token",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    stats = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    spark = df.sparkSession
+    sizes = spark.createDataFrame(
+        [(int(v),) for v in sorted(vocab_sizes)], "vocab_size bigint"
+    )
+    return (
+        sizes.join(F.broadcast(stats))
+        .join(
+            F.broadcast(ordered),
+            F.col("rn") == F.least(F.col("vocab_size"), F.col("n_distinct")),
+        )
+        .select(
+            "vocab_size",
+            F.col("cum").alias("covered_tokens"),
+            "total_tokens",
+            "n_distinct",
+            (
+                F.col("cum").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -2795,6 +2795,71 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, comp)
 
 
+@query("dsir_select", _DSIR_ORACLE)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023): treat one
+    source domain as the high-quality TARGET, the whole corpus as the
+    raw SOURCE, and pick the top-k non-target docs whose hashed-unigram
+    distribution best matches the target — the standard "make raw web
+    look like Wikipedia" pretraining-data stage. The two bucket-count
+    "models" are metadata-sized aggregates; scoring is one broadcast
+    join + one doc-key shuffle (operators/importance.py). The oracle
+    replays the exact integer Laplace-ratio scores, so any drift in
+    hashing, smoothing, or the top-k cut hash-mismatches."""
+    from airbnb_cdc_spark.operators.importance import (
+        dsir_bucket_scores,
+        dsir_select,
+        token_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = token_buckets(
+        docs.select("doc_id", "source", "text"), "text", _DSIR_BUCKETS
+    )
+    scores = dsir_bucket_scores(
+        tok.filter(F.col("source") == _DSIR_TARGET),
+        tok,
+        _DSIR_BUCKETS,
+        _DSIR_SCALE,
+    )
+    cand = docs.filter(F.col("source") != _DSIR_TARGET).select(
+        "doc_id", "text"
+    )
+    return dsir_select(cand, scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS)
+
+
+@query("vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — token-instance share covered by the
+    top-v tokens for each candidate vocab size, the read a tokenizer
+    team takes before fixing vocab size. The corpus-scale work is one
+    map-combined groupBy(token); the rank/cumsum window runs on the
+    metadata-sized vocab table (operators/text.py:vocab_coverage). A
+    size past the vocab clamps to full coverage (the 32 row here —
+    the synthetic corpus has 31 distinct tokens)."""
+    from airbnb_cdc_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, list(_VOCAB_SIZES))
+
+
+@query("temperature_mixture", _TEMP_MIXTURE_ORACLE)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.5) language-mixture quotas with exact
+    largest-remainder apportionment — quotas sum to the budget EXACTLY
+    (operators/sampling.py:temperature_mixture_plan). The head language
+    (en, 43.6% of docs) flattens to ~30% of the sampling budget — the
+    standard multilingual rebalance. All-integer arithmetic (IEEE sqrt
+    scaled by a power of two, then floor), so the oracle hash-matches
+    bit-for-bit with zero float summation anywhere."""
+    from airbnb_cdc_spark.operators.sampling import temperature_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_plan(
+        docs, "lang", _TEMP_BUDGET, _TEMP_WSCALE
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
