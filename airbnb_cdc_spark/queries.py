@@ -2860,6 +2860,129 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("neardup_cluster_sizes", _CLUSTER_SIZE_ORACLE)
+def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report: the cluster-size histogram of the
+    transitive near-dup closure (singletons included), with the
+    removal count a keep-one-per-cluster dedup realizes at each size —
+    the number a curation team reads to decide whether near-dedup is
+    worth the pass at all. Reuses the jaccard-pair + min-label
+    component core; the corpus-sized mark-back is a broadcast left
+    join (components are thresholded pairs — metadata), then two
+    metadata-sized groupBys."""
+    from airbnb_cdc_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs)
+    comp, converged = connected_components(pairs, max_iters=16)
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within max_iters=16"
+        )
+    cl = (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster")
+        )
+    )
+    sizes = cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        sizes.join(F.broadcast(tot))
+        .groupBy("cluster_size", "total_docs")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("docs_total"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "docs_removed"
+            ),
+            (
+                ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast(
+                    "double"
+                )
+                / F.col("total_docs").cast("double")
+            ).alias("removed_share"),
+        )
+    )
+
+
+@query("returned_item_revenue", _RETURNED_REV_ORACLE)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in a half-year window. Filters (returnflag, date range) are
+    pushed to both scans BEFORE the joins; nation broadcasts; the
+    top-20 cut sorts on the EXACT decimal sum (then custkey) so the
+    boundary never depends on double rounding — the double cast is the
+    last projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    return (
+        g.orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query("top_supplier", _TOP_SUPPLIER_ORACLE)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue. The max joins on the EXACT decimal revenue (all-tied-at-
+    max semantics, engine-independent); the 1-row max broadcasts, and
+    the supplier dim broadcasts into the final enrich."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    g = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    m = g.agg(F.max("__rev").alias("__mx"))
+    return (
+        g.join(F.broadcast(m), g.__rev == m.__mx)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
