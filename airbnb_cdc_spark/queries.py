@@ -806,7 +806,6 @@ def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "semi_join_buyers",
     """
     SELECT c_custkey, c_name FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -823,7 +822,6 @@ def q_semi_join_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "anti_join_never_bought",
     """
     SELECT c_custkey, c_name FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
@@ -912,7 +910,6 @@ def q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "orders_by_month",
     """
     SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
            CAST(date_part('month', o_orderdate) AS INTEGER) AS mon,
@@ -937,7 +934,6 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customer_name_clean",
     """
     SELECT c_custkey AS customer_id,
            upper(trim(c_name)) AS name_upper,
@@ -1225,7 +1221,6 @@ def q_asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
-    "cube_status_priority",
     """
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
@@ -3059,6 +3054,23 @@ _DRIVER_PRIORITY = [
     # since; the events family stays led by trailing_7d_users and
     # events_hopping_agg)
     "leakage_safe_split",
+    # r10 late additions, second batch. Ceded (each r9-recorded green,
+    # code unchanged since, family representative stays in the cut):
+    # semi_join_buyers / anti_join_never_bought (the semi/anti join
+    # shapes are led this round by bloom_semi_join_orders and by
+    # incremental_dedup_new_docs' anti-join core), cube_status_priority
+    # (grouping-sets family led by rollup_country_status),
+    # orders_by_month (date-bucket groupBy led by events_hopping_agg /
+    # trailing_7d_users), customer_name_clean (string-normalize
+    # projection led by part_name_canonical's r8 record and unchanged
+    # textfns), json_extract_agg (scalar-function family led by
+    # alter_row_flags' contract casts).
+    "dsir_select",
+    "vocab_coverage",
+    "temperature_mixture",
+    "neardup_cluster_sizes",
+    "returned_item_revenue",
+    "top_supplier",
     "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
@@ -3084,16 +3096,10 @@ _DRIVER_PRIORITY = [
     "interval_join_attribution",
     "user_sessions",
     "rollup_country_status",
-    "semi_join_buyers",
-    "anti_join_never_bought",
-    "orders_by_month",
-    "customer_name_clean",
-    "json_extract_agg",
     "shipping_priority",
     "local_supplier_revenue",
     "ann_topk_ivf",
     "ann_topk_ivf_nprobe",
-    "cube_status_priority",
     "running_customer_spend",
     "status_percentiles",
     # r9 late addition: engine session windows (cedes

@@ -171,6 +171,31 @@ SNAPS = [
         "projection + a |buckets|-row partial/final hash aggregate — "
         "scan-speed",
     ),
+    (
+        "dsir_select",
+        "target/source bucket models are n_buckets-row aggregates; the "
+        "dense score table broadcasts into candidate scoring (explode → "
+        "BroadcastHashJoin → doc-key partial agg); TakeOrdered cut — "
+        "the corpus shuffles once, on the doc key",
+    ),
+    (
+        "vocab_coverage",
+        "one map-combined groupBy(token) is the only corpus-scale "
+        "exchange; rank/cumsum window and the size join run on the "
+        "metadata-sized vocab table (broadcast both sides)",
+    ),
+    (
+        "temperature_mixture",
+        "groups-sized aggregate, then pure integer arithmetic + a "
+        "broadcast of the 1-row total — the apportionment window sorts "
+        "the tiny group frame, never the corpus",
+    ),
+    (
+        "returned_item_revenue",
+        "returnflag/date filters pushed into both parquet scans "
+        "(PushedFilters), nation BroadcastHashJoin, partial agg before "
+        "the group exchange, TakeOrderedAndProject top-20",
+    ),
 ]
 
 

@@ -1,0 +1,90 @@
+"""Semantic unit tests for the r10 selection/planning operators —
+properties the oracle hash compare can't state: DSIR actually prefers
+target-like docs, temperature quotas flatten the head and sum exactly,
+vocab coverage is a monotone curve."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.importance import (
+    dsir_bucket_scores,
+    dsir_select,
+    token_buckets,
+)
+from airbnb_cdc_spark.operators.sampling import temperature_mixture_plan
+from airbnb_cdc_spark.operators.text import vocab_coverage
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # Target talks about "spark shuffle join"; candidate 10 matches it,
+    # candidate 11 is off-distribution. DSIR must rank 10 first.
+    df = _docs(
+        spark,
+        [
+            (0, "tgt", "spark shuffle join spark shuffle join"),
+            (1, "tgt", "join shuffle spark plan"),
+            (10, "raw", "spark shuffle join plan"),
+            (11, "raw", "banana apple cherry mango"),
+        ],
+    )
+    tok = token_buckets(df, "text")
+    scores = dsir_bucket_scores(tok.filter(F.col("source") == "tgt"), tok)
+    top = dsir_select(
+        df.filter(F.col("source") == "raw"), scores, "text", "doc_id", k=2
+    ).collect()
+    assert [r.doc_id for r in top] == [10, 11]
+    assert top[0].dsir_score > top[1].dsir_score
+
+
+def test_dsir_empty_target_still_total_order(spark):
+    # No target docs at all: smoothing keeps every score defined and
+    # the k-cut remains a total order (score desc, doc_id asc).
+    df = _docs(spark, [(0, "raw", "a b c"), (1, "raw", "a b c")])
+    tok = token_buckets(df, "text")
+    scores = dsir_bucket_scores(
+        tok.filter(F.col("source") == "nope"), tok
+    )
+    got = dsir_select(df, scores, "text", "doc_id", k=2).collect()
+    assert [r.doc_id for r in got] == [0, 1]
+    assert got[0].dsir_score == got[1].dsir_score
+
+
+def test_temperature_quotas_sum_exactly_and_flatten(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    plan = {
+        r.lang: r for r in temperature_mixture_plan(df, "lang", 777).collect()
+    }
+    assert sum(r.quota for r in plan.values()) == 777
+    # raw head share 90% -> tau=0.5 share sqrt(90)/(sqrt(90)+sqrt(10)) = 75%
+    assert plan["en"].quota < 0.9 * 777
+    assert plan["en"].quota > plan["fr"].quota
+
+
+def test_temperature_single_group_takes_all(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = temperature_mixture_plan(df, "lang", 5000).collect()
+    assert len(plan) == 1 and plan[0].quota == 5000
+
+
+def test_vocab_coverage_monotone_and_clamped(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a a b b c"), (1, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.vocab_size: r
+        for r in vocab_coverage(df, [1, 2, 100], id_col="doc_id").collect()
+    }
+    assert rows[1].covered_tokens == 5  # "a" x5
+    assert rows[1].coverage < rows[2].coverage <= rows[100].coverage
+    assert rows[100].coverage == 1.0  # clamp past n_distinct
+    assert rows[100].n_distinct == 4
+    assert rows[100].total_tokens == 11

@@ -142,6 +142,23 @@ DIFF_QUERIES = [
     # clusters AND singletons, checking cluster inheritance and the
     # coalesce-to-own-id leg against the recursive-closure oracle
     "leakage_safe_split",
+    # r10: DSIR importance selection — random corpora draw an EMPTY
+    # target set (sources s1-s3 never match src0), all-stopword docs,
+    # and tiny vocabularies, exercising the Laplace smoothing and the
+    # dense-bucket default score path of the integer ratio
+    "dsir_select",
+    # r10: vocab coverage — random corpora exercise the clamp
+    # (vocab < requested size), count ties broken by token order, and
+    # the empty-corpus 0-row contract on both engines
+    "vocab_coverage",
+    # r10: temperature mixture — random lang draws exercise 1-group
+    # and 2-group apportionment and the quota-sums-to-budget invariant
+    # (checked exactly by the hash compare, all-integer arithmetic)
+    "temperature_mixture",
+    # r10: dedup yield report — random corpora draw singleton-only
+    # histograms and multi-size cluster mixes against the
+    # recursive-closure oracle
+    "neardup_cluster_sizes",
 ]
 
 
