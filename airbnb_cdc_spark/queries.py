@@ -2978,6 +2978,90 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("important_parts_share", _PART_SHARE_ORACLE)
+def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction
+    (1/1500) of GLOBAL revenue. The global total is a 1-row broadcast;
+    the HAVING compares exact decimals (rev * 1500 > total — never a
+    double at the boundary); part dim broadcasts into the final
+    enrich. DECIMAL(32,4) keeps the sum's native scale — the cast never
+    rounds — while staying inside DuckDB's p1+p2 <= 38 multiply cap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    g = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(32,4)").alias("__rev")
+    )
+    tot = g.agg(F.sum("__rev").cast("decimal(32,4)").alias("__tot"))
+    return (
+        g.join(F.broadcast(tot))
+        .filter(F.col("__rev") * F.lit(1500) > F.col("__tot"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("__rev").cast("double").alias("revenue"),
+            (
+                F.col("__rev").cast("double") / F.col("__tot").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+@query("keep_best_quality", _BEST_KEEPER_ORACLE)
+def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keeper dedup apply: per near-dup cluster keep the
+    LONGEST document (ties by doc_id) — the C4/RefinedWeb keeper
+    choice, vs dedup_keep_canonical's min-id rule. Composition:
+    jaccard pairs → components (metadata) → broadcast mark-back →
+    skew-proof salted top-1 per cluster (a mega-cluster never
+    serializes into one task). n_tokens desc realized by negating the
+    exact integer — total order preserved."""
+    from airbnb_cdc_spark.functions.textfns import token_count
+    from airbnb_cdc_spark.operators.aggregate import topk_per_group
+    from airbnb_cdc_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs)
+    comp, converged = connected_components(pairs, max_iters=16)
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within max_iters=16"
+        )
+    cl = (
+        docs.select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster"),
+            "n_tokens",
+        )
+    )
+    sizes = cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    keeper = topk_per_group(
+        cl, ["cluster"], [(-F.col("n_tokens")), F.col("doc_id")], 1
+    )
+    return keeper.join(sizes, "cluster").select(
+        "cluster",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("n_tokens").alias("keeper_tokens"),
+        "cluster_size",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3065,7 +3149,14 @@ _DRIVER_PRIORITY = [
     # projection led by part_name_canonical's r8 record and unchanged
     # textfns), json_extract_agg (scalar-function family led by
     # alter_row_flags' contract casts).
+    # Third batch cedes: dedup_containment (r9-recorded, unchanged; its
+    # capped inverted-index core is led this round by
+    # dedup_keep_canonical, keep_best_quality, and
+    # neardup_cluster_sizes) and user_sessions (r9-recorded, unchanged;
+    # gap sessionization led by session_window_stats).
     "dsir_select",
+    "keep_best_quality",
+    "important_parts_share",
     "vocab_coverage",
     "temperature_mixture",
     "neardup_cluster_sizes",
@@ -3086,7 +3177,6 @@ _DRIVER_PRIORITY = [
     "value_trend_by_type",
     "revenue_pareto",
     "top_terms_per_doc",
-    "dedup_containment",
     "incremental_dedup_new_docs",
     "mm_resize",
     "events_windowed_agg",
@@ -3094,7 +3184,6 @@ _DRIVER_PRIORITY = [
     "trailing_7d_users",
     "events_hopping_agg",
     "interval_join_attribution",
-    "user_sessions",
     "rollup_country_status",
     "shipping_priority",
     "local_supplier_revenue",

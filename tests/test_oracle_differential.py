@@ -159,6 +159,10 @@ DIFF_QUERIES = [
     # histograms and multi-size cluster mixes against the
     # recursive-closure oracle
     "neardup_cluster_sizes",
+    # r10: quality-keeper apply — random corpora draw equal-length
+    # cluster members (doc_id tie-break) and singleton keepers against
+    # the window-rank oracle
+    "keep_best_quality",
 ]
 
 
