@@ -145,3 +145,17 @@ def dsir_select(
     return per_doc.orderBy(
         F.col("dsir_score").desc(), F.col(id_col)
     ).limit(k)
+
+
+def write_dsir_scores(scores: DataFrame, path: str) -> None:
+    """Persist the dense bucket-score table (the fitted "model") as a
+    single tiny parquet — n_buckets rows regardless of the corpus that
+    fitted it. Incremental ingest then scores ANY new batch against
+    the stored model without rescanning the corpus (the same
+    store-not-rescan contract as the fingerprint / MinHash-signature
+    stores in operators/dedup.py)."""
+    scores.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_dsir_scores(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -28,7 +28,7 @@ _ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
 # shared by the chunk-dedup oracles AND their Spark query bodies
 _CHUNK_W, _CHUNK_S = 64, 48
 
-__all__ = ['_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE']
+__all__ = ['_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE']
 
 _AGG_ORACLE = """
 WITH fact AS (
@@ -2686,7 +2686,10 @@ JOIN ordered o ON o.rn = least(v.vocab_size, s.n_distinct)
 # arithmetic (`//` == Spark `div` for positive operands).
 _TEMP_BUDGET, _TEMP_WSCALE = 10000, 1 << 20
 
-_TEMP_MIXTURE_ORACLE = f"""
+def _temp_mixture_sql(budget: int) -> str:
+    """Apportionment chain parameterized by budget — reused by the
+    plan query (10000) and the sample-execution query (200)."""
+    return f"""
 WITH g AS (
     SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY lang
@@ -2700,12 +2703,12 @@ w AS (
 tot AS (SELECT SUM(weight_scaled) AS W FROM w),
 base AS (
     SELECT grp, n_docs, weight_scaled,
-           CAST(({_TEMP_BUDGET} * weight_scaled) // W AS BIGINT) AS base,
-           {_TEMP_BUDGET} * weight_scaled
-               - (({_TEMP_BUDGET} * weight_scaled) // W) * W AS rem
+           CAST(({budget} * weight_scaled) // W AS BIGINT) AS base,
+           {budget} * weight_scaled
+               - (({budget} * weight_scaled) // W) * W AS rem
     FROM w CROSS JOIN tot
 ),
-lv AS (SELECT {_TEMP_BUDGET} - SUM(base) AS leftover FROM base),
+lv AS (SELECT {budget} - SUM(base) AS leftover FROM base),
 ranked AS (
     SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rk FROM base
 )
@@ -2714,6 +2717,9 @@ SELECT grp AS lang, n_docs, weight_scaled,
            AS quota
 FROM ranked CROSS JOIN lv
 """
+
+
+_TEMP_MIXTURE_ORACLE = _temp_mixture_sql(_TEMP_BUDGET)
 
 
 # Near-dup cluster-size distribution (dedup yield report): histogram
@@ -2837,4 +2843,77 @@ SELECT CAST(cluster AS BIGINT) AS cluster,
        n_tokens AS keeper_tokens,
        cluster_size
 FROM ranked WHERE rk = 1
+"""
+
+
+# Incremental DSIR: the bucket models are fitted on the INGESTED half
+# only; the new batch is scored against them without rescanning the
+# corpus (store-not-rescan, the dedup-store convention). `// 2` is
+# floor == Spark's truncating cast for the positive max.
+_INCR_DSIR_ORACLE = f"""
+WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+tok AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substring(md5(u.tok), 1, 15)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ), unnest(t) AS u(tok)
+),
+tcnt AS (
+    SELECT bucket, count(*) AS tc FROM tok CROSS JOIN cut
+    WHERE source = '{_DSIR_TARGET}' AND doc_id <= c GROUP BY bucket
+),
+scnt AS (
+    SELECT bucket, count(*) AS sc FROM tok CROSS JOIN cut
+    WHERE doc_id <= c GROUP BY bucket
+),
+tot AS (
+    SELECT (SELECT COALESCE(SUM(tc), 0) FROM tcnt) AS T,
+           (SELECT COALESCE(SUM(sc), 0) FROM scnt) AS S
+),
+scores AS (
+    SELECT r.range AS bucket,
+           CAST(
+               (CAST((COALESCE(tc.tc, 0) + 1) * {_DSIR_SCALE} AS HUGEINT)
+                    * (tot.S + {_DSIR_BUCKETS}))
+               // (CAST(COALESCE(sc.sc, 0) + 1 AS HUGEINT)
+                    * (tot.T + {_DSIR_BUCKETS}))
+           AS BIGINT) AS score
+    FROM range({_DSIR_BUCKETS}) r
+    LEFT JOIN tcnt tc ON tc.bucket = r.range
+    LEFT JOIN scnt sc ON sc.bucket = r.range
+    CROSS JOIN tot
+)
+SELECT t.doc_id AS doc_id, CAST(SUM(s.score) AS BIGINT) AS dsir_score
+FROM tok t JOIN scores s ON t.bucket = s.bucket CROSS JOIN cut
+WHERE t.doc_id > c
+GROUP BY t.doc_id
+ORDER BY dsir_score DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+# Executing the quotas: deterministic md5-order sample of exactly
+# `quota` docs per language (the plan made real). Budget 200 keeps
+# every quota below its group size on the driver corpus.
+_TEMP_SAMPLE_BUDGET = 200
+
+_TEMP_SAMPLE_ORACLE = f"""
+WITH plan AS ({_temp_mixture_sql(200)}),
+ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id
+           ) AS rnk
+    FROM documents
+)
+SELECT r.lang AS lang, r.doc_id AS doc_id, CAST(r.rnk AS BIGINT) AS rnk
+FROM ranked r JOIN plan p ON r.lang = p.lang
+WHERE r.rnk <= p.quota
 """

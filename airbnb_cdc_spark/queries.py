@@ -3062,6 +3062,73 @@ def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("incremental_dsir_select", _INCR_DSIR_ORACLE)
+def q_incremental_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR ingest: the bucket models are fitted on the
+    INGESTED half only (half-split convention of
+    incremental_dedup_new_docs), then the new batch is scored against
+    the fitted score table — the corpus is never rescanned per batch
+    (the store contract: write_dsir_scores persists the n_buckets-row
+    model; scoring cost is O(batch)). Every new doc is scored
+    regardless of its own source — true arrival semantics."""
+    from airbnb_cdc_spark.operators.importance import (
+        dsir_bucket_scores,
+        dsir_select,
+        token_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
+    )
+    with_cut = docs.join(F.broadcast(cut))
+    corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+        "doc_id", "source", "text"
+    )
+    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
+        "doc_id", "text"
+    )
+    tok = token_buckets(corpus, "text", _DSIR_BUCKETS)
+    scores = dsir_bucket_scores(
+        tok.filter(F.col("source") == _DSIR_TARGET),
+        tok,
+        _DSIR_BUCKETS,
+        _DSIR_SCALE,
+    )
+    return dsir_select(batch, scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS)
+
+
+@query("temperature_mixture_sample", _TEMP_SAMPLE_ORACLE)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature plan EXECUTED: exactly `quota` docs per
+    language, picked in deterministic md5-hash order (the engine-
+    reproducible uniform shuffle) via the skew-proof salted top-k —
+    the plan's 5-row quota table broadcasts into the rank filter.
+    Sample sizes are the Hamilton quotas, so they sum to the budget
+    exactly."""
+    from airbnb_cdc_spark.functions.textfns import h60
+    from airbnb_cdc_spark.operators.aggregate import topk_per_group
+    from airbnb_cdc_spark.operators.sampling import temperature_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = temperature_mixture_plan(
+        docs, "lang", _TEMP_SAMPLE_BUDGET, _TEMP_WSCALE
+    ).select("lang", "quota")
+    ranked = topk_per_group(
+        docs.select(
+            "lang", "doc_id", h60(F.col("doc_id").cast("string")).alias("__h")
+        ),
+        ["lang"],
+        [F.col("__h"), F.col("doc_id")],
+        _TEMP_SAMPLE_BUDGET,
+    )
+    return (
+        ranked.join(F.broadcast(plan), "lang")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select("lang", "doc_id", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3156,6 +3223,13 @@ _DRIVER_PRIORITY = [
     # gap sessionization led by session_window_stats).
     "dsir_select",
     "keep_best_quality",
+    "incremental_dsir_select",
+    "temperature_mixture_sample",
+    # (the last two cede top_terms_per_doc — r9-recorded, unchanged,
+    # tf-idf ranking led this round by bm25_topk — and
+    # incremental_dedup_new_docs — r9-recorded, unchanged, the
+    # incremental-store family led by incremental_minhash_neardup and
+    # incremental_dsir_select)
     "important_parts_share",
     "vocab_coverage",
     "temperature_mixture",
@@ -3176,8 +3250,6 @@ _DRIVER_PRIORITY = [
     "events_resample_ffill",
     "value_trend_by_type",
     "revenue_pareto",
-    "top_terms_per_doc",
-    "incremental_dedup_new_docs",
     "mm_resize",
     "events_windowed_agg",
     "token_count_cms",

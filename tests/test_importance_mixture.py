@@ -88,3 +88,66 @@ def test_vocab_coverage_monotone_and_clamped(spark):
     assert rows[100].coverage == 1.0  # clamp past n_distinct
     assert rows[100].n_distinct == 4
     assert rows[100].total_tokens == 11
+
+
+def test_dsir_score_store_roundtrip_scores_new_batch(spark, tmp_path):
+    # Fit on the corpus, persist the model, then score a NEW batch in
+    # a fresh lineage — the corpus is never touched again (O(batch)
+    # incremental ingest).
+    from airbnb_cdc_spark.operators.importance import (
+        read_dsir_scores,
+        write_dsir_scores,
+    )
+
+    corpus = _docs(
+        spark,
+        [(0, "tgt", "spark shuffle join"), (1, "raw", "banana apple")],
+    )
+    tok = token_buckets(corpus, "text")
+    scores = dsir_bucket_scores(tok.filter(F.col("source") == "tgt"), tok)
+    path = str(tmp_path / "dsir_model")
+    write_dsir_scores(scores, path)
+
+    stored = read_dsir_scores(spark, path)
+    assert stored.count() == 512
+    batch = _docs(
+        spark,
+        [(10, "raw", "spark shuffle join"), (11, "raw", "banana mango")],
+    )
+    top = dsir_select(batch, stored, "text", "doc_id", k=2).collect()
+    assert [r.doc_id for r in top] == [10, 11]
+    # identical to scoring against the un-persisted model
+    live = dsir_select(batch, scores, "text", "doc_id", k=2).collect()
+    assert [(r.doc_id, r.dsir_score) for r in top] == [
+        (r.doc_id, r.dsir_score) for r in live
+    ]
+
+
+def test_temperature_sample_sizes_are_the_quotas(spark):
+    from airbnb_cdc_spark.operators.sampling import temperature_mixture_plan
+    from airbnb_cdc_spark.operators.aggregate import topk_per_group
+    from airbnb_cdc_spark.functions.textfns import h60
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 40 else "fr") for i in range(50)],
+        "doc_id long, lang string",
+    )
+    plan = temperature_mixture_plan(docs, "lang", 20).select("lang", "quota")
+    ranked = topk_per_group(
+        docs.select(
+            "lang", "doc_id", h60(F.col("doc_id").cast("string")).alias("__h")
+        ),
+        ["lang"],
+        [F.col("__h"), F.col("doc_id")],
+        20,
+    )
+    sample = (
+        ranked.join(F.broadcast(plan), "lang")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    got = {r.lang: r["count"] for r in sample}
+    want = {r.lang: r.quota for r in plan.collect()}
+    assert got == want and sum(got.values()) == 20

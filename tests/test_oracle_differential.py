@@ -163,6 +163,14 @@ DIFF_QUERIES = [
     # cluster members (doc_id tie-break) and singleton keepers against
     # the window-rank oracle
     "keep_best_quality",
+    # r10: incremental DSIR — random corpora draw empty model halves
+    # (cut excludes every doc), empty batches, and batches whose
+    # source never matched the target, exercising the smoothing and
+    # arrival semantics
+    "incremental_dsir_select",
+    # r10: quota execution — random lang draws exercise quota == group
+    # size and the quota-exceeds-group clamp (every member sampled)
+    "temperature_mixture_sample",
 ]
 
 
