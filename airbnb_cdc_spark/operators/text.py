@@ -634,6 +634,7 @@ def quality_filter_chain(
     min_stopword_ratio: float = 0.03,
     min_distinct_ratio: float = 0.35,
     max_repetition: float = 0.2,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """FineWeb/CCNet-style composite quality gate with REASON CODES:
     every document gets a verdict ``(keep, reason)`` where ``reason``
@@ -653,11 +654,14 @@ def quality_filter_chain(
     signal from the same token array, zero shuffle, zero UDFs; at
     100 TB this runs at parquet-scan speed with pruning to (id, text).
     CASE short-circuits, so the n=0 document never evaluates the
-    ratio divisions (too_short catches it first).
+    ratio divisions (too_short catches it first). ``carry_cols`` pass
+    grouping keys (source, lang, shard) through the projection so
+    per-cohort rollups never need a corpus self-join to get them back.
     """
     toks_c = tokens(F.col(text_col))
+    carry = list(carry_cols or [])
     base = ensure_parallelism(df).select(
-        F.col(id_col), toks_c.alias("__toks")
+        F.col(id_col), *carry, toks_c.alias("__toks")
     )
     t = F.col("__toks")
     n = F.size(t).cast("long")
@@ -684,6 +688,7 @@ def quality_filter_chain(
     )
     return base.select(
         F.col(id_col),
+        *carry,
         n.alias("n_tokens"),
         reason.alias("reason"),
         (reason == "ok").cast("int").alias("keep"),

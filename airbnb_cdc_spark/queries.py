@@ -3129,6 +3129,51 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("source_quality_profile", _SOURCE_PROFILE_ORACLE)
+def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus forensics (the data-card rollup curation
+    reads before choosing mixture weights): doc/token volume, quality-
+    chain pass share, and the majority language per source. The chain
+    CARRIES the source key through its projection (carry_cols), so no
+    corpus self-join; both rollups are map-combined groupBys to a
+    sources-sized frame, and the majority-language argmax runs on the
+    (sources x langs) table via the salted top-1."""
+    from airbnb_cdc_spark.operators.aggregate import topk_per_group
+    from airbnb_cdc_spark.operators.text import quality_filter_chain
+
+    docs = load_table(spark, sf_dir, "documents")
+    chain = quality_filter_chain(docs, carry_cols=["source"])
+    agg = chain.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("keep").cast("long").alias("n_quality_ok"),
+    )
+    langs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = topk_per_group(
+        langs, ["source"], [(-F.col("c")), F.col("lang")], 1
+    ).select("source", F.col("lang").alias("majority_lang"), "c")
+    return agg.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("avg_tokens"),
+        "n_quality_ok",
+        (
+            F.col("n_quality_ok").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("ok_share"),
+        "majority_lang",
+        (F.col("c").cast("double") / F.col("n_docs").cast("double")).alias(
+            "majority_lang_share"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3225,6 +3270,10 @@ _DRIVER_PRIORITY = [
     "keep_best_quality",
     "incremental_dsir_select",
     "temperature_mixture_sample",
+    "source_quality_profile",
+    # (cedes local_supplier_revenue — r9-recorded, unchanged; the
+    # multi-join exact-decimal revenue family is led this round by
+    # returned_item_revenue / top_supplier / important_parts_share)
     # (the last two cede top_terms_per_doc — r9-recorded, unchanged,
     # tf-idf ranking led this round by bm25_topk — and
     # incremental_dedup_new_docs — r9-recorded, unchanged, the
@@ -3258,7 +3307,6 @@ _DRIVER_PRIORITY = [
     "interval_join_attribution",
     "rollup_country_status",
     "shipping_priority",
-    "local_supplier_revenue",
     "ann_topk_ivf",
     "ann_topk_ivf_nprobe",
     "running_customer_spend",

@@ -171,6 +171,9 @@ DIFF_QUERIES = [
     # r10: quota execution — random lang draws exercise quota == group
     # size and the quota-exceeds-group clamp (every member sampled)
     "temperature_mixture_sample",
+    # r10: source forensics — random (source, lang) draws exercise
+    # majority-lang ties (lang asc) and all-fail quality cohorts
+    "source_quality_profile",
 ]
 
 
