@@ -106,3 +106,96 @@ def _write_text_file(spark, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+def _read_text_file(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API (same
+    scheme-following contract as ``_write_text_file``)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def verify_training_shards(
+    spark,
+    out_dir: str,
+    tokens_col: str = "n_tokens",
+    seq_col: str = "seq_id",
+) -> dict:
+    """Integrity check of an exported shard layout against its own
+    ``_manifest.json`` — the receiving-side handshake a training job
+    runs BEFORE burning GPU hours on a partial or stale export (a
+    failed driver between shard write and manifest write, a manual
+    directory edit, an overwrite race).
+
+    Recomputes per-shard rows / tokens / sequences by reading the
+    parquet back (one map-combined groupBy — same cost as the export's
+    own stats pass) and diffs against the manifest. Returns
+    ``{"ok": bool, "mismatches": {shard: {field: (manifest, actual)}},
+    "missing_shards": [...], "extra_shards": [...]}``; raises
+    ``FileNotFoundError`` if the manifest itself is absent (an export
+    that never finished must not read as an empty-but-valid one)."""
+    import os as _os
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        _os.path.join(out_dir, "_manifest.json")
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(
+            f"no _manifest.json under {out_dir} — incomplete export"
+        )
+    manifest = json.loads(
+        _read_text_file(spark, _os.path.join(out_dir, "_manifest.json"))
+    )
+    shard_col = manifest["shard_col"]
+    written = spark.read.parquet(out_dir)
+    stats = (
+        written.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.sum(F.col(tokens_col)).cast("long").alias("tokens"),
+            F.count_distinct(F.col(seq_col)).cast("long").alias("sequences"),
+        )
+        .collect()
+    )
+    actual = {
+        str(r[shard_col]): {
+            "rows": r["rows"],
+            "tokens": r["tokens"],
+            "sequences": r["sequences"],
+        }
+        for r in stats
+    }
+    declared = manifest["shards"]
+    mismatches: dict = {}
+    for shard in sorted(set(declared) & set(actual)):
+        diff = {
+            f: (declared[shard][f], actual[shard][f])
+            for f in ("rows", "tokens", "sequences")
+            if declared[shard][f] != actual[shard][f]
+        }
+        if diff:
+            mismatches[shard] = diff
+    missing = sorted(set(declared) - set(actual))
+    extra = sorted(set(actual) - set(declared))
+    return {
+        "ok": not mismatches and not missing and not extra,
+        "mismatches": mismatches,
+        "missing_shards": missing,
+        "extra_shards": extra,
+    }
