@@ -196,6 +196,24 @@ SNAPS = [
         "(PushedFilters), nation BroadcastHashJoin, partial agg before "
         "the group exchange, TakeOrderedAndProject top-20",
     ),
+    (
+        "important_parts_share",
+        "global total as a 1-row broadcast into the HAVING; the share "
+        "boundary compares exact decimals; part dim broadcast into the "
+        "final enrich",
+    ),
+    (
+        "keep_best_quality",
+        "component frame broadcast into the mark-back; keeper argmax "
+        "through the salted two-phase top-1 (both stages sort-based "
+        "windows, no per-group array state)",
+    ),
+    (
+        "source_quality_profile",
+        "chain carries the source key through ONE codegen projection "
+        "(no corpus self-join); two map-combined groupBys to "
+        "sources-sized frames",
+    ),
 ]
 
 
