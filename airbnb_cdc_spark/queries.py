@@ -3174,6 +3174,32 @@ def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("forecast_revenue_change", _FORECAST_REV_ORACLE)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if discount-elimination revenue delta.
+    A pure one-scan filtered aggregate — date/discount/quantity
+    predicates all reach PushedFilters, projection prunes to three
+    columns, and the partial sum makes the exchange a single row. The
+    canonical 'is the scan layer doing its job' probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3271,6 +3297,11 @@ _DRIVER_PRIORITY = [
     "incremental_dsir_select",
     "temperature_mixture_sample",
     "source_quality_profile",
+    "forecast_revenue_change",
+    # (cedes shipping_priority — r9-recorded, unchanged; its exact-
+    # decimal lineitem x orders x customer spine with a top-k cut is
+    # led this round by returned_item_revenue, the same shape plus the
+    # nation broadcast)
     # (cedes local_supplier_revenue — r9-recorded, unchanged; the
     # multi-join exact-decimal revenue family is led this round by
     # returned_item_revenue / top_supplier / important_parts_share)
@@ -3306,7 +3337,6 @@ _DRIVER_PRIORITY = [
     "events_hopping_agg",
     "interval_join_attribution",
     "rollup_country_status",
-    "shipping_priority",
     "ann_topk_ivf",
     "ann_topk_ivf_nprobe",
     "running_customer_spend",
