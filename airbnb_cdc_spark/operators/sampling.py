@@ -503,6 +503,13 @@ def temperature_mixture_plan(
     """
     from pyspark.sql.window import Window
 
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if weight_scale <= 0 or (weight_scale & (weight_scale - 1)):
+        raise ValueError(
+            f"weight_scale must be a positive power of two (exact in "
+            f"double), got {weight_scale}"
+        )
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )

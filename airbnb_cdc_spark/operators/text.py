@@ -711,7 +711,9 @@ def vocab_coverage(
     final double division (exact-int discipline, so the DuckDB oracle
     hash-matches bitwise).
 
-    Scale: the corpus-sized work is ONE map-side-combined
+    Sizes are deduplicated and must be positive (a zero size would
+    silently emit no row — the join misses rank 0 — so it raises
+    instead). Scale: the corpus-sized work is ONE map-side-combined
     ``groupBy(token)`` — the same shuffle exact dedup pays. Everything
     after runs on the VOCAB table (distinct tokens ≪ corpus; low
     millions even at 100 TB): the global rank/cumsum window on that
@@ -719,6 +721,11 @@ def vocab_coverage(
     frame, same stance as the sketch tables. Requesting a ``v`` larger
     than the vocab clamps to full coverage (``least(v, n_distinct)``).
     """
+    sizes_list = sorted(set(int(v) for v in vocab_sizes))
+    if not sizes_list or sizes_list[0] <= 0:
+        raise ValueError(
+            f"vocab_sizes must be positive ints, got {vocab_sizes!r}"
+        )
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
@@ -742,7 +749,7 @@ def vocab_coverage(
     )
     spark = df.sparkSession
     sizes = spark.createDataFrame(
-        [(int(v),) for v in sorted(vocab_sizes)], "vocab_size bigint"
+        [(v,) for v in sizes_list], "vocab_size bigint"
     )
     return (
         sizes.join(F.broadcast(stats))

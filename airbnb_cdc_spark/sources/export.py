@@ -81,6 +81,8 @@ def export_training_shards(
     }
     manifest = {
         "shard_col": shard_col,
+        "tokens_col": tokens_col,
+        "seq_col": seq_col,
         "max_records_per_file": max_records_per_file,
         "shards": dict(sorted(shards.items())),
         "total_rows": sum(s["rows"] for s in shards.values()),
@@ -132,8 +134,8 @@ def _read_text_file(spark, path: str) -> str:
 def verify_training_shards(
     spark,
     out_dir: str,
-    tokens_col: str = "n_tokens",
-    seq_col: str = "seq_id",
+    tokens_col: str | None = None,
+    seq_col: str | None = None,
 ) -> dict:
     """Integrity check of an exported shard layout against its own
     ``_manifest.json`` — the receiving-side handshake a training job
@@ -143,7 +145,9 @@ def verify_training_shards(
 
     Recomputes per-shard rows / tokens / sequences by reading the
     parquet back (one map-combined groupBy — same cost as the export's
-    own stats pass) and diffs against the manifest. Returns
+    own stats pass) over the SAME columns the manifest declares
+    (recorded at export time; explicit args only override for older
+    manifests) and diffs against the manifest. Returns
     ``{"ok": bool, "mismatches": {shard: {field: (manifest, actual)}},
     "missing_shards": [...], "extra_shards": [...]}``; raises
     ``FileNotFoundError`` if the manifest itself is absent (an export
@@ -163,6 +167,10 @@ def verify_training_shards(
         _read_text_file(spark, _os.path.join(out_dir, "_manifest.json"))
     )
     shard_col = manifest["shard_col"]
+    # the manifest records which columns its stats were computed over;
+    # explicit args override only for pre-r10 manifests that lack them
+    tokens_col = tokens_col or manifest.get("tokens_col", "n_tokens")
+    seq_col = seq_col or manifest.get("seq_col", "seq_id")
     written = spark.read.parquet(out_dir)
     stats = (
         written.groupBy(shard_col)

@@ -151,3 +151,18 @@ def test_temperature_sample_sizes_are_the_quotas(spark):
     got = {r.lang: r["count"] for r in sample}
     want = {r.lang: r.quota for r in plan.collect()}
     assert got == want and sum(got.values()) == 20
+
+
+def test_guards_reject_bad_inputs(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "en", "a b")], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mixture_plan(df, "lang", -1)
+    with pytest.raises(ValueError, match="power of two"):
+        temperature_mixture_plan(df, "lang", 10, weight_scale=1000)
+    with pytest.raises(ValueError, match="positive"):
+        vocab_coverage(df, [0, 4])
+    # duplicate sizes collapse to one row each
+    rows = vocab_coverage(df, [4, 4, 2]).collect()
+    assert sorted(r.vocab_size for r in rows) == [2, 4]
