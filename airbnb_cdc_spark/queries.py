@@ -3200,6 +3200,41 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("windowed_kmv_distinct", _KMV_WINDOWED_ORACLE)
+def q_windowed_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV composed with event-time windows: per-day distinct users,
+    exact + k=64 estimate side by side — the streaming-dashboard
+    uniques-per-window shape at sketch cost. Same WindowGroupLimit
+    prune as distinct_users_kmv (each window's candidate set cuts to
+    k rows BEFORE the shuffle), windows as first-class group keys; at
+    100 TB the per-window state is k hashes, never the user set."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    uh = events.select(
+        F.to_date(F.col("ts")).alias("day"), h.alias("h")
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    kth = (
+        uh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 64)
+        .select("day", F.col("h").alias("hk"))
+    )
+    ns = uh.groupBy("day").agg(F.count(F.lit(1)).alias("n_exact"))
+    return ns.join(kth, "day", "left").select(
+        "day",
+        "n_exact",
+        F.when(F.col("hk").isNull(), F.col("n_exact").cast("double"))
+        .otherwise(
+            F.lit(63.0) * F.lit(1152921504606846976.0) / F.col("hk").cast("double")
+        )
+        .alias("kmv_estimate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3298,6 +3333,10 @@ _DRIVER_PRIORITY = [
     "temperature_mixture_sample",
     "source_quality_profile",
     "forecast_revenue_change",
+    "windowed_kmv_distinct",
+    # (cedes token_count_cms — r9-recorded, unchanged; the sketch
+    # family is led this round by kmv_range_rollup and the windowed
+    # KMV composition)
     # (cedes shipping_priority — r9-recorded, unchanged; its exact-
     # decimal lineitem x orders x customer spine with a top-k cut is
     # led this round by returned_item_revenue, the same shape plus the
@@ -3332,7 +3371,6 @@ _DRIVER_PRIORITY = [
     "revenue_pareto",
     "mm_resize",
     "events_windowed_agg",
-    "token_count_cms",
     "trailing_7d_users",
     "events_hopping_agg",
     "interval_join_attribution",
