@@ -520,17 +520,22 @@ def temperature_mixture_plan(
         .alias("weight_scaled"),
     )
     tot = w.agg(F.sum("weight_scaled").alias("W"))
+    # budget * weight_scaled widened to DECIMAL(38,0) (DuckDB mirror:
+    # HUGEINT): at web scale sqrt(n)*scale*budget can pass 2^63 and a
+    # BIGINT product would wrap silently in non-ANSI mode. `div` on the
+    # positive decimals equals floor; base/rem re-land in BIGINT.
+    prod = (
+        f"CAST({budget} AS DECIMAL(19,0))"
+        " * CAST(weight_scaled AS DECIMAL(19,0))"
+    )
     base = w.join(F.broadcast(tot)).select(
         "grp",
         "n_docs",
         "weight_scaled",
-        F.expr(f"CAST(({budget} * weight_scaled) div W AS BIGINT)").alias(
-            "base"
-        ),
+        F.expr(f"CAST(({prod}) div W AS BIGINT)").alias("base"),
         # remainder numerator over the common denominator W — exact.
         F.expr(
-            f"{budget} * weight_scaled - "
-            f"(({budget} * weight_scaled) div W) * W"
+            f"CAST(({prod}) - (({prod}) div W) * W AS BIGINT)"
         ).alias("rem"),
     )
     leftover = base.agg(

@@ -2703,9 +2703,11 @@ w AS (
 tot AS (SELECT SUM(weight_scaled) AS W FROM w),
 base AS (
     SELECT grp, n_docs, weight_scaled,
-           CAST(({budget} * weight_scaled) // W AS BIGINT) AS base,
-           {budget} * weight_scaled
-               - (({budget} * weight_scaled) // W) * W AS rem
+           CAST((CAST({budget} AS HUGEINT) * weight_scaled) // W AS BIGINT)
+               AS base,
+           CAST(CAST({budget} AS HUGEINT) * weight_scaled
+               - ((CAST({budget} AS HUGEINT) * weight_scaled) // W) * W
+               AS BIGINT) AS rem
     FROM w CROSS JOIN tot
 ),
 lv AS (SELECT {budget} - SUM(base) AS leftover FROM base),

@@ -171,7 +171,18 @@ def verify_training_shards(
     # explicit args override only for pre-r10 manifests that lack them
     tokens_col = tokens_col or manifest.get("tokens_col", "n_tokens")
     seq_col = seq_col or manifest.get("seq_col", "seq_id")
-    written = spark.read.parquet(out_dir)
+    try:
+        written = spark.read.parquet(out_dir)
+    except Exception:
+        # every data file gone (only the manifest survives): schema
+        # inference fails — that is "all declared shards missing", a
+        # report, not a crash.
+        return {
+            "ok": not manifest["shards"],
+            "mismatches": {},
+            "missing_shards": sorted(manifest["shards"]),
+            "extra_shards": [],
+        }
     stats = (
         written.groupBy(shard_col)
         .agg(

@@ -115,3 +115,20 @@ def test_verify_training_shards_clean_and_tampered(spark, tmp_path):
     assert "rows" in report["mismatches"]["a"]
     assert report["mismatches"]["a"]["rows"][0] == 120  # manifest value
     assert report["missing_shards"] == [] and report["extra_shards"] == []
+
+
+def test_verify_training_shards_all_data_gone(spark, tmp_path):
+    import shutil
+
+    from airbnb_cdc_spark.sources.export import verify_training_shards
+
+    df = spark.createDataFrame(
+        [(1, "s", 2, 0)],
+        "doc_id long, source string, n_tokens long, seq_id long",
+    )
+    out = str(tmp_path / "shards")
+    export_training_shards(df, out, shard_col="source")
+    shutil.rmtree(Path(out) / "source=s")
+    report = verify_training_shards(spark, out)
+    assert not report["ok"]
+    assert report["missing_shards"] == ["s"]
