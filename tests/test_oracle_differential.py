@@ -253,6 +253,10 @@ EVENT_DIFF_QUERIES = [
     "cohort_retention",
     "trailing_7d_users",
     "distinct_users_kmv",
+    # r10: the same sketch composed with event-time windows — random
+    # day spreads draw sub-k windows (exact branch) and the k-th-min
+    # estimator branch side by side
+    "windowed_kmv_distinct",
     "user_overlap_kmv",
     # r6 time-series additions: forward as-of (equal-ts ties hit the
     # direction="forward" tie-break), grid resample (random gap shapes),
