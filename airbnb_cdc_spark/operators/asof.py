@@ -40,6 +40,7 @@ def asof_join(
     right_prefix: str = "r_",
     tie_breaks: Sequence[str] = (),
     direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with the payload of
     the latest ``right`` row (same ``on`` key, ``right_ts <= left_ts``),
@@ -53,9 +54,21 @@ def asof_join(
     right rows the SMALLEST tie_breaks tuple wins — the first row
     at-or-after. Same plan shape (one Exchange, one ordered window);
     only the traversal order flips.
+
+    ``tolerance_sec`` (pandas ``merge_asof(tolerance=...)`` semantics):
+    a match farther than this many seconds from the left timestamp is
+    DROPPED — the enrich columns come back NULL, exactly like no-match.
+    A pure post-projection on the filled struct (the matched right
+    timestamp rides inside the payload), so the plan shape is
+    unchanged: one Exchange, one window, zero extra joins. The bound
+    compares the native timestamp difference (a day-time interval) at
+    exact microsecond precision — no epoch cast, no truncation, NTZ
+    and LTZ alike.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_sec is not None and tolerance_sec < 0:
+        raise ValueError(f"tolerance_sec must be >= 0, got {tolerance_sec}")
     on = list(on)
     payload = [c for c in right.columns if c not in on]
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
@@ -114,6 +127,22 @@ def asof_join(
     filled = combined.withColumn(
         "__filled", F.last(F.col("__payload"), ignorenulls=True).over(w)
     )
+    if tolerance_sec is not None:
+        matched_ts = F.col(f"__filled.{right_ts}")
+        if direction == "backward":
+            delta = F.col("__ts") - matched_ts
+        else:
+            delta = matched_ts - F.col("__ts")
+        # timestamp difference is a DayTimeInterval — exact microsecond
+        # comparison, works for NTZ and LTZ alike (no epoch cast).
+        # NULL match -> NULL condition -> otherwise(NULL): stays no-match
+        filled = filled.withColumn(
+            "__filled",
+            F.when(
+                delta <= F.expr(f"INTERVAL {int(tolerance_sec)} SECOND"),
+                F.col("__filled"),
+            ),
+        )
     return filled.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),

@@ -3235,6 +3235,44 @@ def q_windowed_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("asof_view_within_tolerance", _ASOF_TOL_ORACLE)
+def q_asof_view_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a staleness bound (pandas merge_asof tolerance):
+    each purchase enriched with the last view IF it happened within 6
+    hours — an attribution window, not just "ever before". The bound
+    is a pure post-projection on the filled struct (the matched right
+    ts rides inside the payload), so the plan keeps the as-of shape:
+    one Exchange, one ordered window, zero extra joins. Matches
+    outside the bound read as no-match (NULL enrich), exactly like
+    pandas. See operators/asof.py."""
+    from airbnb_cdc_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_sec=_ASOF_TOLERANCE_SEC,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_event_id").alias("view_event_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3334,6 +3372,12 @@ _DRIVER_PRIORITY = [
     "source_quality_profile",
     "forecast_revenue_change",
     "windowed_kmv_distinct",
+    "asof_view_within_tolerance",
+    # (cedes ann_topk_ivf_nprobe — r9-recorded, unchanged; the IVF
+    # family keeps ann_topk_ivf in the cut, same inverted-file core.
+    # asof_next_purchase_after_view stays: asof.py gained the
+    # tolerance post-step this round, so the forward leg re-records
+    # under the new code.)
     # (cedes token_count_cms — r9-recorded, unchanged; the sketch
     # family is led this round by kmv_range_rollup and the windowed
     # KMV composition)
@@ -3376,7 +3420,6 @@ _DRIVER_PRIORITY = [
     "interval_join_attribution",
     "rollup_country_status",
     "ann_topk_ivf",
-    "ann_topk_ivf_nprobe",
     "running_customer_spend",
     "status_percentiles",
     # r9 late addition: engine session windows (cedes

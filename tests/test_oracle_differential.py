@@ -262,6 +262,9 @@ EVENT_DIFF_QUERIES = [
     # direction="forward" tie-break), grid resample (random gap shapes),
     # OLS trend (NULL values + single-point zero-variance keys).
     "asof_next_purchase_after_view",
+    # r10: the tolerance bound — random tight timestamps draw matches
+    # exactly AT the bound (inclusive <=) and far outside it
+    "asof_view_within_tolerance",
     "events_resample_ffill",
     "value_trend_by_type",
     "value_outliers_by_type",
