@@ -159,3 +159,69 @@ def write_dsir_scores(scores: DataFrame, path: str) -> None:
 
 def read_dsir_scores(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _dsir_select_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    scores_path: str,
+    out_dir: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int,
+) -> None:
+    """One ``streaming_dsir_select`` micro-batch (module-level so
+    replay idempotence is directly testable). The fitted model is
+    READ-ONLY — nothing accumulates — so a crash-replay of an epoch
+    simply overwrites ``out_dir/batch_id=N`` with the identical
+    deterministic selection: no run-id protocol needed (contrast the
+    mutating chunk/MinHash stores)."""
+    import posixpath
+
+    spark = batch_df.sparkSession
+    scores = read_dsir_scores(spark, scores_path)
+    top = dsir_select(batch_df, scores, text_col, id_col, k, n_buckets)
+    top.write.mode("overwrite").parquet(
+        posixpath.join(out_dir, f"batch_id={epoch}")
+    )
+
+
+def streaming_dsir_select(
+    stream_docs: DataFrame,
+    scores_path: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming DSIR ingest: score each arriving micro-batch against
+    the PERSISTED score model (``write_dsir_scores`` output — fitted
+    once, n_buckets rows, never refit in-stream) and land the batch's
+    top-k selection idempotently under ``out_dir/batch_id=N``. The
+    streaming sibling of ``incremental_dsir_select``: per-batch cost
+    is O(batch), the corpus that fitted the model is never rescanned,
+    and the selection is per-batch (a global top-k across batches is a
+    batch job over the landed selections — metadata-sized at k rows
+    per batch).
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _dsir_select_batch(
+            batch_df,
+            epoch,
+            scores_path,
+            out_dir,
+            text_col,
+            id_col,
+            k,
+            n_buckets,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -166,3 +166,55 @@ def test_guards_reject_bad_inputs(spark):
     # duplicate sizes collapse to one row each
     rows = vocab_coverage(df, [4, 4, 2]).collect()
     assert sorted(r.vocab_size for r in rows) == [2, 4]
+
+
+def test_streaming_dsir_batches_match_batch_scoring(spark, tmp_path):
+    """The foreachBatch leg: per-batch selections against the stored
+    model equal batch dsir_select on the same rows, and a crash-replay
+    of an epoch overwrites its partition with identical content."""
+    from airbnb_cdc_spark.operators.importance import (
+        _dsir_select_batch,
+        read_dsir_scores,
+        write_dsir_scores,
+    )
+
+    corpus = _docs(
+        spark,
+        [(0, "tgt", "spark shuffle join plan"), (1, "raw", "banana apple")],
+    )
+    tok = token_buckets(corpus, "text")
+    model_path = str(tmp_path / "model")
+    write_dsir_scores(
+        dsir_bucket_scores(tok.filter(F.col("source") == "tgt"), tok),
+        model_path,
+    )
+    out = str(tmp_path / "sel")
+
+    b0 = spark.createDataFrame(
+        [(10, "spark shuffle join"), (11, "banana mango")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(20, "join plan shuffle spark")], "doc_id long, text string"
+    )
+    _dsir_select_batch(b0, 0, model_path, out, "text", "doc_id", 1, 512)
+    _dsir_select_batch(b1, 1, model_path, out, "text", "doc_id", 1, 512)
+
+    landed = {
+        (r.doc_id, r.dsir_score, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    stored = read_dsir_scores(spark, model_path)
+    want = set()
+    for df, ep in ((b0, 0), (b1, 1)):
+        row = dsir_select(df, stored, "text", "doc_id", 1).collect()[0]
+        want.add((row.doc_id, row.dsir_score, ep))
+    assert landed == want
+    assert {r[0] for r in landed} == {10, 20}  # target-like docs win
+
+    # crash-replay of epoch 0: identical partition content
+    _dsir_select_batch(b0, 0, model_path, out, "text", "doc_id", 1, 512)
+    assert {
+        (r.doc_id, r.dsir_score, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    } == want
