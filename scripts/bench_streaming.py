@@ -20,7 +20,13 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   suppressed by the STORE (earlier files' signatures), so the number
   reflects the real band-join + verify + merge cost per batch.
 
-Usage: python scripts/bench_streaming.py [merge|session|minhash] [n_rows] [n_files]
+- ``dsir`` (r10): streaming DSIR selection docs/sec — each
+  micro-batch scored against the persisted read-only score model
+  (broadcast n_buckets-row join + doc-key groupBy per batch), top-k
+  landed idempotently per batch_id; the number is the per-batch
+  scoring cost, model fit excluded (it is a one-time batch job).
+
+Usage: python scripts/bench_streaming.py [merge|session|minhash|dsir] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -243,10 +249,82 @@ def bench_minhash(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_dsir(n_docs: int, n_files: int) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.importance import (
+        dsir_bucket_scores,
+        streaming_dsir_select,
+        token_buckets,
+        write_dsir_scores,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-dsir")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_dsir_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        # one-time model fit on a small planted target/source corpus
+        # (fit cost is a batch job; the stream pays only scoring)
+        fit = spark.read.schema(
+            "doc_id long, text string"
+        ).json(str(feed)).withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 == 0, "tgt").otherwise("raw"),
+        )
+        tok = token_buckets(fit, "text")
+        model_path = str(work / "model")
+        write_dsir_scores(
+            dsir_bucket_scores(tok.filter(F.col("source") == "tgt"), tok),
+            model_path,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        out = str(work / "sel")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_dsir_select(
+            stream, model_path, out, k=100,
+            checkpoint_dir=str(work / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        n_selected = spark.read.parquet(out).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "dsir_select_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "selected": n_selected,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -255,6 +333,9 @@ def main() -> None:
         return
     if leg == "minhash":
         bench_minhash(n_rows, n_files)
+        return
+    if leg == "dsir":
+        bench_dsir(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
