@@ -3273,6 +3273,76 @@ def q_asof_view_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("soft_dedup_weights", _SOFT_DEDUP_ORACLE)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document KEPT, carrying a sampling weight
+    1/cluster_size over its near-dup cluster — duplicated content
+    contributes ~once in expectation without destroying any text (the
+    downweight alternative to keep_canonical; feeds weighted sampling
+    / loss weighting downstream). Same broadcast mark-back as
+    neardup_cluster_sizes; the weight is a projection after one
+    metadata-sized size join."""
+    from airbnb_cdc_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs)
+    comp, converged = connected_components(pairs, max_iters=16)
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within max_iters=16"
+        )
+    cl = (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+    sizes = cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cl.join(F.broadcast(sizes), "cluster").select(
+        "doc_id",
+        "cluster",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias(
+            "sample_weight"
+        ),
+    )
+
+
+@query("priority_returns_exists", _PRIORITY_RETURNS_ORACLE)
+def q_priority_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of quarter orders with at
+    least one returned line. The EXISTS decorrelates to a LEFT SEMI
+    join (each order counted once however many lines matched); the
+    returnflag filter pushes into the lineitem scan and the date range
+    into the orders scan; the final groupBy is priorities-sized."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3373,6 +3443,14 @@ _DRIVER_PRIORITY = [
     "forecast_revenue_change",
     "windowed_kmv_distinct",
     "asof_view_within_tolerance",
+    "soft_dedup_weights",
+    "priority_returns_exists",
+    # (cedes dedup_keep_canonical — r9-recorded, unchanged; the
+    # closure+apply family is led this round by keep_best_quality,
+    # neardup_cluster_sizes, and soft_dedup_weights over the same
+    # pair core — and running_customer_spend — r9-recorded, unchanged;
+    # the running-total shape stays covered by revenue_pareto's
+    # distributed prefix scan, which is in the cut)
     # (cedes ann_topk_ivf_nprobe — r9-recorded, unchanged; the IVF
     # family keeps ann_topk_ivf in the cut, same inverted-file core.
     # asof_next_purchase_after_view stays: asof.py gained the
@@ -3408,7 +3486,6 @@ _DRIVER_PRIORITY = [
     "conditional_split_accepted",
     "alter_row_flags",
     "winnow_keep_canonical",
-    "dedup_keep_canonical",
     "asof_next_purchase_after_view",
     "events_resample_ffill",
     "value_trend_by_type",
@@ -3420,7 +3497,6 @@ _DRIVER_PRIORITY = [
     "interval_join_attribution",
     "rollup_country_status",
     "ann_topk_ivf",
-    "running_customer_spend",
     "status_percentiles",
     # r9 late addition: engine session windows (cedes
     # trailing_hour_activity — r7-recorded, unchanged since)

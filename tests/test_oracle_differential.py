@@ -174,6 +174,9 @@ DIFF_QUERIES = [
     # r10: source forensics — random (source, lang) draws exercise
     # majority-lang ties (lang asc) and all-fail quality cohorts
     "source_quality_profile",
+    # r10: soft dedup — random corpora draw singleton weights (1.0)
+    # and multi-member clusters against the recursive-closure oracle
+    "soft_dedup_weights",
 ]
 
 
