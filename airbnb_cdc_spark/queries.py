@@ -3280,8 +3280,11 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes ~once in expectation without destroying any text (the
     downweight alternative to keep_canonical; feeds weighted sampling
     / loss weighting downstream). Same broadcast mark-back as
-    neardup_cluster_sizes; the weight is a projection after one
-    metadata-sized size join."""
+    neardup_cluster_sizes for the COMPONENT frame (thresholded pairs,
+    metadata-sized) — but the per-cluster sizes table is
+    cluster-cardinality ≈ corpus-sized (most docs are singletons), so
+    the size join is a plain shuffle join on the cluster key, NOT a
+    broadcast; one exchange the output needs anyway."""
     from airbnb_cdc_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3308,7 +3311,7 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = cl.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return cl.join(F.broadcast(sizes), "cluster").select(
+    return cl.join(sizes, "cluster").select(
         "doc_id",
         "cluster",
         "cluster_size",
