@@ -3346,6 +3346,71 @@ def q_priority_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semdedup_keep_canonical", _SEMDEDUP_KEEPER_ORACLE)
+def q_semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup APPLY: one representative (min vec_id) per SEMANTIC
+    near-dup cluster — the embedding-space sibling of
+    dedup_keep_canonical, completing the detect→apply story for the
+    paraphrase-level duplicates n-grams can't see. Pairs come
+    cluster-blocked from semdedup_pairs (never all-pairs); the apply
+    is the same broadcast anti-join — the embedding corpus is never
+    shuffled."""
+    from airbnb_cdc_spark.operators.graph import keep_canonical
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _sim.semdedup_pairs(emb, threshold=0.4)
+    return keep_canonical(
+        emb, pairs, id_col="vec_id", max_iters=16
+    ).select("vec_id", "label", "in_cluster")
+
+
+@query("bilateral_trade_volume", _TRADE_VOLUME_ORACLE)
+def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations (both
+    directions) by year. The ship-date range pushes into the lineitem
+    scan; the SAME nation dim broadcasts twice under different aliases
+    (supplier side / customer side), and the nation-pair predicate
+    applies right after those broadcasts so only cross-pair rows reach
+    the group exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-cap registration rotation.
 #
@@ -3369,6 +3434,11 @@ def q_priority_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # r11 LEADS (registered late-r10, NOT in this round's 50 — the
+    # r10 cut already carries 30 first-records; these two get their
+    # first driver record next round): semdedup_keep_canonical,
+    # bilateral_trade_volume. Both verify_local-green at sf0.001 and
+    # sf0.01 at registration.
     # r10 rotation: (a) contrastive_negatives LEADS — the one registry
     # query with no driver record in any round (VERDICT r9 ask #1);
     # (b) the two r10-new web-corpus queries (url_canonical_dedup,
