@@ -214,6 +214,18 @@ SNAPS = [
         "(no corpus self-join); two map-combined groupBys to "
         "sources-sized frames",
     ),
+    (
+        "bilateral_trade_volume",
+        "nation dim broadcast TWICE under supplier/customer aliases; "
+        "ship-date range in the lineitem PushedFilters; nation-pair "
+        "predicate applied before the group exchange",
+    ),
+    (
+        "semdedup_keep_canonical",
+        "cluster-blocked pair generation (never all-pairs) feeding a "
+        "broadcast anti-join apply — the embedding corpus is never "
+        "shuffled",
+    ),
 ]
 
 
