@@ -806,6 +806,7 @@ def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semi_join_buyers",
     """
     SELECT c_custkey, c_name FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -822,6 +823,7 @@ def q_semi_join_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anti_join_never_bought",
     """
     SELECT c_custkey, c_name FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
@@ -910,6 +912,7 @@ def q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_by_month",
     """
     SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
            CAST(date_part('month', o_orderdate) AS INTEGER) AS mon,
@@ -934,6 +937,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_name_clean",
     """
     SELECT c_custkey AS customer_id,
            upper(trim(c_name)) AS name_upper,
@@ -1221,6 +1225,7 @@ def q_asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "cube_status_priority",
     """
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
@@ -3583,6 +3588,16 @@ def _rotated(d: dict) -> dict:
     prio = {n: d[n] for n in _DRIVER_PRIORITY if n in d}
     return prio | {n: v for n, v in d.items() if n not in prio}
 
+
+# Registration sanity: a mangled multi-line @query( decorator (name
+# line lost in an edit) registers a query under its ORACLE SQL text —
+# silently unnamed and oracle-less. Fail the import instead.
+import re as _re  # noqa: E402
+
+_bad_names = [n for n in QUERIES if not _re.fullmatch(r"[a-z0-9_]+", n)]
+assert not _bad_names, f"malformed query names: {_bad_names[:2]}"
+_no_oracle = sorted(set(QUERIES) - set(ORACLE_SQL))
+assert not _no_oracle, f"queries missing oracles: {_no_oracle}"
 
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
 QUERIES = _rotated(QUERIES)
