@@ -3439,11 +3439,17 @@ def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # r11 LEADS (registered late-r10, NOT in this round's 50 — the
-    # r10 cut already carries 30 first-records; these two get their
-    # first driver record next round): semdedup_keep_canonical,
-    # bilateral_trade_volume. Both verify_local-green at sf0.001 and
-    # sf0.01 at registration.
+    # r11 LEADS: semdedup_keep_canonical and bilateral_trade_volume —
+    # the only registry queries with no driver record in any round
+    # (registered late-r10, outside that round's 50; VERDICT r10 ask
+    # #1). Ceded for them: events_windowed_agg (r10-recorded green,
+    # unchanged; the event-time window family stays led by
+    # events_hopping_agg and trailing_7d_users, both in the cut) and
+    # bloom_prune_effect (r10-recorded green under the auto-sizing
+    # code, unchanged since; the Bloom runtime-filter family stays led
+    # by bloom_semi_join_orders — same bitset core).
+    "semdedup_keep_canonical",
+    "bilateral_trade_volume",
     # r10 rotation: (a) contrastive_negatives LEADS — the one registry
     # query with no driver record in any round (VERDICT r9 ask #1);
     # (b) the two r10-new web-corpus queries (url_canonical_dedup,
@@ -3555,7 +3561,6 @@ _DRIVER_PRIORITY = [
     "neardup_cluster_sizes",
     "returned_item_revenue",
     "top_supplier",
-    "bloom_prune_effect",
     "bloom_semi_join_orders",
     "zorder_events_layout",
     "fuzzy_link_part_names",
@@ -3569,7 +3574,6 @@ _DRIVER_PRIORITY = [
     "value_trend_by_type",
     "revenue_pareto",
     "mm_resize",
-    "events_windowed_agg",
     "trailing_7d_users",
     "events_hopping_agg",
     "interval_join_attribution",
