@@ -145,6 +145,18 @@ def keep_canonical(
         raise RuntimeError(
             f"connected_components did not converge within max_iters={max_iters}"
         )
+    return keep_canonical_from_components(df, comp, id_col=id_col)
+
+
+def keep_canonical_from_components(
+    df: DataFrame, comp: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The apply half of ``keep_canonical``, taking an already-derived
+    (node, component) assignment — e.g. one read back from
+    ``read_components``. At 100 TB components are derived ONCE per
+    corpus snapshot and every keeper/weighting/split policy applies
+    from the store; re-deriving the pair closure per policy would
+    rescan the corpus for what is a metadata-sized input."""
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -156,6 +168,22 @@ def keep_canonical(
         .join(F.broadcast(reps), on=id_col, how="left")
         .withColumn("in_cluster", F.coalesce("in_cluster", F.lit(0)).cast("int"))
     )
+
+
+def write_components(comp: DataFrame, path: str) -> None:
+    """Persist a (node, component) assignment as a single tiny parquet
+    — the near-dup closure covers only CLUSTERED docs (thresholded
+    pair output), so the store is metadata-sized at any corpus scale.
+    The same store-not-rescan contract as the fingerprint / MinHash /
+    DSIR stores (operators/dedup.py, operators/importance.py): derive
+    the transitive closure once, then every downstream dedup POLICY
+    (keep-canonical, quality keeper, soft weights, leakage-safe split,
+    yield report) is a broadcast-sized read + apply."""
+    comp.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_components(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:

@@ -1,0 +1,83 @@
+"""Persisted (node, component) store: write_components →
+read_components must round-trip the closure exactly, and every apply
+policy driven from the store must equal the recompute path — the
+derive-once/apply-many contract the 100 TB shape depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.graph import (
+    connected_components,
+    keep_canonical,
+    keep_canonical_from_components,
+    read_components,
+    write_components,
+)
+
+
+def _pairs(spark):
+    # two clusters {1,2,3} (chained, not cliqued) and {7,9}; 5 isolated
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7)], "id_a long, id_b long"
+    )
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in (1, 2, 3, 5, 7, 9)],
+        "doc_id long, source string",
+    )
+
+
+def test_store_roundtrip_exact(spark, tmp_path):
+    comp, converged = connected_components(_pairs(spark))
+    assert converged
+    path = str(tmp_path / "components")
+    write_components(comp, path)
+    back = read_components(spark, path)
+    assert set(back.columns) == {"node", "component"}
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, comp.collect())
+    )
+    # transitive closure: chained 1-2-3 all label to min id 1
+    got = {r.node: r.component for r in back.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_store_backed_apply_equals_recompute(spark, tmp_path):
+    docs, pairs = _docs(spark), _pairs(spark)
+    direct = keep_canonical(docs, pairs)
+    comp, _ = connected_components(pairs)
+    path = str(tmp_path / "components")
+    write_components(comp, path)
+    from_store = keep_canonical_from_components(
+        docs, read_components(spark, path)
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, from_store.collect())
+    )
+    # survivors: cluster reps 1 and 7 (flagged), singletons 5 unflagged
+    got = {r.doc_id: r.in_cluster for r in from_store.collect()}
+    assert got == {1: 1, 5: 0, 7: 1}
+
+
+def test_shared_components_helper_memoizes(spark, tmp_path, monkeypatch):
+    """queries.neardup_components derives+writes once per sf_dir, then
+    serves reads from the stored path."""
+    import airbnb_cdc_spark.queries as q
+
+    calls = {"n": 0}
+    real = q._dedup.ngram_jaccard_pairs
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(q._dedup, "ngram_jaccard_pairs", counting)
+    monkeypatch.setattr(q, "_COMPONENTS_PATHS", {})
+    sf_dir = "/root/testdata/sf0.001"
+    first = q.neardup_components(spark, sf_dir).collect()
+    second = q.neardup_components(spark, sf_dir).collect()
+    assert calls["n"] == 1  # second call read the store, no re-derive
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))

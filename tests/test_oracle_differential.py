@@ -177,6 +177,12 @@ DIFF_QUERIES = [
     # r10: soft dedup — random corpora draw singleton weights (1.0)
     # and multi-member clusters against the recursive-closure oracle
     "soft_dedup_weights",
+    # r11: store-backed apply — each example derives, writes, and
+    # reads back the component store on a fresh corpus (fresh tmp dir
+    # per example, so the per-sf_dir memo never aliases), checking the
+    # round-trip against the same recursive-closure oracle as
+    # dedup_keep_canonical
+    "components_store_apply",
 ]
 
 
