@@ -1,0 +1,179 @@
+"""KenLM-style n-gram LM fluency scoring — the second axis of the
+CCNet quality-filter pair (Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", 2020). DSIR
+(operators/importance.py) ranks documents by TARGET-LIKENESS of their
+unigram mix; this module ranks them by FLUENCY — how plausible each
+adjacent-token transition is under a bigram model fitted on a
+high-quality target corpus. Real pretraining pipelines run both: a
+doc can look topically target-like while being word salad, and vice
+versa.
+
+Spark-first shape (mirrors importance.py's store contract):
+
+- The fitted "model" is ONE dense integer score table over hashed
+  bucket pairs — exactly ``n_buckets**2`` rows at ANY corpus size
+  (65,536 at the default 256). Persist with ``write_lm_model``; new
+  batches score against the store without rescanning the corpus that
+  fitted it.
+- Scoring is scan → transition explode → broadcast join with the
+  dense model → one ``groupBy(doc)`` partial-agg shuffle on the doc
+  key. No Python anywhere — tokenization, hashing, and the transition
+  zip are Catalyst expressions inside whole-stage codegen.
+- Transitions are built with ``zip_with(slice, slice)`` — the token
+  array is referenced only as a whole-row argument, never inside a
+  per-element lambda, so Catalyst cannot inline the tokenizer
+  per-element (the O(n_tokens^2) trap operators/text.py's winnowing
+  rewrite documented).
+
+Determinism (the DuckDB oracle replays this bit-for-bit): true
+perplexity needs log/exp, which are not IEEE-exact across engines.
+Instead each transition gets an exact-integer Laplace-smoothed
+likelihood proxy
+
+    s(p, c) = floor( (bi(p, c) + 1) * SCALE / (uni(p) + n_buckets) )
+
+— ``bi`` the target's (prev, cur) bucket-pair count, ``uni(p)`` the
+target's prev-bucket transition-source count (so probabilities
+condition correctly: SUM_c bi(p, c) = uni(p)) — and a document's
+fluency is the MEAN transition likelihood: an exact BIGINT sum over
+an exact BIGINT count with one final double division, reproduced
+bit-for-bit by DuckDB. A fixed monotone transform of each smoothed
+conditional probability, averaged — the log-free fluency ranking,
+same discipline as the DSIR score proxy. Integer bounds: the
+numerator is (count + 1) * 2**16 with count < 2**40 even at web
+scale, far inside BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.functions.textfns import h60, tokens
+
+DEFAULT_N_BUCKETS = 256
+DEFAULT_SCALE = 1 << 16
+
+
+def transition_buckets(
+    df: DataFrame, text_col: str, n_buckets: int = DEFAULT_N_BUCKETS
+) -> DataFrame:
+    """One row per adjacent-token transition with hashed feature
+    buckets ``pb`` (prev) and ``cb`` (cur). Docs with fewer than two
+    tokens yield no rows (no transitions exist — their fluency is
+    undefined, and they drop out of scoring)."""
+    arr = tokens(F.col(text_col))
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("pa"), b.alias("pc")),
+    )
+    return (
+        df.select(*df.columns, F.explode(pairs).alias("__tr"))
+        .select(
+            *df.columns,
+            (h60(F.col("__tr.pa")) % F.lit(n_buckets)).alias("pb"),
+            (h60(F.col("__tr.pc")) % F.lit(n_buckets)).alias("cb"),
+        )
+    )
+
+
+def fit_bigram_lm(
+    target_tr: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Dense per-transition integer score table (exactly
+    ``n_buckets**2`` rows: pb, cb, score) from a ``transition_buckets``
+    frame over the TARGET corpus. Two map-side-combined groupBys fit
+    the counts; the densify is a ``spark.range`` join so every
+    candidate transition — including pairs the target never produced —
+    joins a score row, which pins the broadcast size to a constant."""
+    spark = target_tr.sparkSession
+    bi = target_tr.groupBy("pb", "cb").agg(F.count(F.lit(1)).alias("bc"))
+    # uni(p) = SUM_c bi(p, c) — derived from the pair counts, so the
+    # target corpus is scanned and transition-exploded exactly ONCE;
+    # the rollup runs over the <= n_buckets^2-row count table.
+    uni = bi.groupBy("pb").agg(F.sum("bc").alias("uc"))
+    dense = (
+        spark.range(n_buckets * n_buckets)
+        .select(
+            F.expr(f"id div {n_buckets}").alias("pb"),
+            (F.col("id") % n_buckets).alias("cb"),
+        )
+        .join(bi, ["pb", "cb"], "left")
+        .join(uni, "pb", "left")
+    )
+    # BIGINT throughout: numerator is (count + 1) * 2**16 — exact far
+    # past web-scale counts; `div` truncates, equal to floor for these
+    # positive operands, and DuckDB `//` mirrors it.
+    num = ((F.coalesce(F.col("bc"), F.lit(0)) + 1) * F.lit(scale)).cast("long")
+    den = (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(n_buckets)).cast("long")
+    return dense.select(
+        "pb", "cb", num.alias("__num"), den.alias("__den")
+    ).select(
+        "pb",
+        "cb",
+        F.expr("CAST(__num div __den AS BIGINT)").alias("score"),
+    )
+
+
+def lm_score(
+    candidates: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Per-doc fluency: exact BIGINT sum of transition scores and
+    transition count, plus their double ratio. Plan: transition
+    explode → broadcast model join → one doc-key groupBy."""
+    tr = transition_buckets(candidates, text_col, n_buckets)
+    return (
+        tr.join(F.broadcast(model), ["pb", "cb"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("score").alias("fluency_sum"),
+            F.count(F.lit(1)).alias("n_transitions"),
+        )
+        .select(
+            id_col,
+            "fluency_sum",
+            "n_transitions",
+            (
+                F.col("fluency_sum").cast("double")
+                / F.col("n_transitions").cast("double")
+            ).alias("fluency"),
+        )
+    )
+
+
+def lm_select(
+    candidates: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` candidates by mean transition likelihood (ties broken
+    by ``id_col`` ascending — a total order, deterministic cut). The
+    final top-k is a TakeOrdered, no single-partition global sort."""
+    scored = lm_score(candidates, model, text_col, id_col, n_buckets)
+    return scored.orderBy(
+        F.col("fluency").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def write_lm_model(model: DataFrame, path: str) -> None:
+    """Persist the dense (pb, cb, score) table — ``n_buckets**2`` rows
+    regardless of the corpus that fitted it (~0.5 MB at the default
+    256). The store-not-rescan contract of write_dsir_scores /
+    write_components: fit once per target snapshot, score any number
+    of arriving batches from the store."""
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_lm_model(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

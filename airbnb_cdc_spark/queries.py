@@ -3153,6 +3153,86 @@ def q_incremental_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(batch, scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS)
 
 
+# KenLM-style bigram fluency — the second CCNet filter axis: DSIR asks
+# "does this doc LOOK LIKE the target topically", the LM score asks
+# "does it READ LIKE fluent target text". See operators/lm.py for the
+# log-free exact-integer transition proxy the oracle replays.
+
+
+@query("lm_quality_score", _LM_ORACLE)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency filter (CCNet's perplexity axis, Wenzek et
+    al. 2020): fit hashed bigram transition counts on the TARGET
+    source, score every non-target doc by its mean exact-integer
+    Laplace transition likelihood, keep the top slice. The fitted
+    model is a dense n_buckets^2-row table (constant size at any
+    corpus), broadcast into one scoring pass: transition explode →
+    broadcast join → doc-key groupBy — the DSIR plan shape with a
+    pair-bucket key."""
+    from airbnb_cdc_spark.operators.lm import (
+        fit_bigram_lm,
+        lm_select,
+        transition_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tr = transition_buckets(
+        docs.select("doc_id", "source", "text"), "text", _LM_BUCKETS
+    )
+    model = fit_bigram_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    cand = docs.filter(F.col("source") != _LM_TARGET).select(
+        "doc_id", "text"
+    )
+    return lm_select(cand, model, "text", "doc_id", _LM_K, _LM_BUCKETS)
+
+
+@query("incremental_lm_quality", _INCR_LM_ORACLE)
+def q_incremental_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LM-fluency ingest THROUGH THE PERSISTED MODEL
+    STORE: fit the bigram model on the ingested half's target docs,
+    write_lm_model → read_lm_model (the n_buckets^2-row store —
+    constant-size, like write_dsir_scores), then score the arriving
+    half against the store. The corpus that fitted the model is never
+    rescanned; per-batch cost is O(batch). Every new doc is scored
+    regardless of its own source — true arrival semantics."""
+    import hashlib
+    import posixpath
+    import tempfile
+
+    from airbnb_cdc_spark.operators.lm import (
+        fit_bigram_lm,
+        lm_select,
+        read_lm_model,
+        transition_buckets,
+        write_lm_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
+    )
+    with_cut = docs.join(F.broadcast(cut))
+    corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+        "doc_id", "source", "text"
+    )
+    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
+        "doc_id", "text"
+    )
+    tr = transition_buckets(corpus, "text", _LM_BUCKETS)
+    model = fit_bigram_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    path = posixpath.join(
+        tempfile.mkdtemp(prefix="airbnb_cdc_lm_"),
+        hashlib.md5(str(sf_dir).encode()).hexdigest()[:12],
+    )
+    write_lm_model(model, path)
+    stored = read_lm_model(spark, path)
+    return lm_select(batch, stored, "text", "doc_id", _LM_K, _LM_BUCKETS)
+
+
 @query("temperature_mixture_sample", _TEMP_SAMPLE_ORACLE)
 def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temperature plan EXECUTED: exactly `quota` docs per
@@ -3563,12 +3643,20 @@ _DRIVER_PRIORITY = [
     # dedup_keep_canonical, keep_best_quality, and
     # neardup_cluster_sizes) and user_sessions (r9-recorded, unchanged;
     # gap sessionization led by session_window_stats).
+    # r11: the bigram-LM fluency pair (new; CCNet's second filter
+    # axis) cedes forecast_revenue_change — r10-recorded green,
+    # unchanged since; the exact-decimal conditional-agg shape stays
+    # led by returned_item_revenue and important_parts_share — and
+    # vocab_coverage — r10-recorded green, unchanged since; the
+    # token-count family keeps differential coverage via text_stats
+    # and the packing/mixture oracles.
+    "lm_quality_score",
+    "incremental_lm_quality",
     "dsir_select",
     "keep_best_quality",
     "incremental_dsir_select",
     "temperature_mixture_sample",
     "source_quality_profile",
-    "forecast_revenue_change",
     "windowed_kmv_distinct",
     "asof_view_within_tolerance",
     "soft_dedup_weights",
@@ -3605,7 +3693,6 @@ _DRIVER_PRIORITY = [
     # temperature_mixture_sample, which is in the cut.
     "components_store_apply",
     "important_parts_share",
-    "vocab_coverage",
     "neardup_cluster_sizes",
     "returned_item_revenue",
     "top_supplier",

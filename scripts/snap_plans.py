@@ -226,6 +226,21 @@ SNAPS = [
         "broadcast anti-join apply — the embedding corpus is never "
         "shuffled",
     ),
+    (
+        "lm_quality_score",
+        "candidate scan with the source filter PUSHED; the dense "
+        "n_buckets^2 model (Range join over two map-combined "
+        "aggregates, target scanned once) broadcast into the "
+        "transition-exploded candidates; one doc-key Exchange; "
+        "TakeOrderedAndProject cut",
+    ),
+    (
+        "components_store_apply",
+        "store-backed apply: the component store read is a "
+        "metadata-sized parquet scan broadcast into one anti-join + "
+        "one flag join against a single corpus scan — no pair "
+        "re-derivation anywhere in the plan",
+    ),
 ]
 
 

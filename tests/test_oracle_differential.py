@@ -183,6 +183,14 @@ DIFF_QUERIES = [
     # round-trip against the same recursive-closure oracle as
     # dedup_keep_canonical
     "components_store_apply",
+    # r11: bigram-LM fluency — random corpora draw empty targets
+    # (all-smoothed scores), 0/1-token docs (no transitions, absent
+    # from scoring on both engines), and mean-fluency ties broken by
+    # doc_id, against the exact integer transition-score replay
+    "lm_quality_score",
+    # r11: ...and the store round-trip variant under the half-split
+    # arrival convention (empty model halves, empty batches)
+    "incremental_lm_quality",
 ]
 
 
