@@ -695,6 +695,74 @@ def quality_filter_chain(
     )
 
 
+def _quality_chain_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    window: int,
+    min_df: int,
+) -> None:
+    """One ``streaming_quality_chain`` micro-batch (module-level so
+    replay idempotence is directly testable, the _dsir_select_batch
+    pattern): within-batch boilerplate stats + the per-row quality
+    verdict, landed idempotently under ``out_dir/batch_id=N``. The
+    stage is stateless across batches — nothing accumulates — so a
+    crash-replay simply overwrites the epoch's partition with the
+    identical deterministic result; no run-id protocol needed.
+    ``cache_scope`` releases boilerplate_strip's internal segment
+    persist at batch end, so a long-running stream never accumulates
+    cached partitions."""
+    import posixpath
+
+    from airbnb_cdc_spark.session import cache_scope
+
+    with cache_scope():
+        strip = boilerplate_strip(
+            batch_df, id_col, text_col, window=window, min_df=min_df
+        )
+        chain = quality_filter_chain(batch_df, id_col, text_col)
+        result = chain.join(
+            strip.select(id_col, "n_segments", "n_dropped"), id_col
+        )
+        result.write.mode("overwrite").parquet(
+            posixpath.join(out_dir, f"batch_id={epoch}")
+        )
+
+
+def streaming_quality_chain(
+    stream_docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    min_df: int = 2,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming quality gate: per arriving micro-batch, run the
+    CCNet-style pair — boilerplate segment stats (WITHIN-batch
+    frequency: crawl feeds arrive as per-site/per-snapshot batches
+    where template segments repeat inside the batch; cross-batch
+    boilerplate detection is the batch job over the landed corpus)
+    plus the composite quality chain with reason codes — and land one
+    verdict row per doc idempotently under ``out_dir/batch_id=N``.
+    Per-batch cost is O(batch): two batch-local shuffles (segment-hash
+    groupBy, doc re-assembly) and the chain's zero-shuffle projection.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _quality_chain_batch(
+            batch_df, epoch, out_dir, id_col, text_col, window, min_df
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def vocab_coverage(
     df: DataFrame,
     vocab_sizes: list[int],

@@ -26,7 +26,16 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   landed idempotently per batch_id; the number is the per-batch
   scoring cost, model fit excluded (it is a one-time batch job).
 
-Usage: python scripts/bench_streaming.py [merge|session|minhash|dsir] [n_rows] [n_files]
+- ``quality`` (r11): streaming quality gate docs/sec — per
+  micro-batch within-batch boilerplate stats + the reason-coded
+  quality chain, one verdict row per doc landed idempotently per
+  batch_id (stateless across batches, crash-replay overwrites). The
+  synthetic feed's docs are stopword-free token soup, so the gate
+  rejects all of them (kept=0 is expected); the throughput number is
+  the per-batch segment-groupBy + projection cost.
+
+Usage: python scripts/bench_streaming.py
+           [merge|session|minhash|dsir|quality] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -321,10 +330,63 @@ def bench_dsir(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_quality(n_docs: int, n_files: int) -> None:
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.text import streaming_quality_chain
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-quality")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_q_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        out = str(work / "verdicts")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_quality_chain(
+            stream, out, checkpoint_dir=str(work / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        verdicts = spark.read.parquet(out)
+        n_rows = verdicts.count()
+        n_kept = verdicts.filter("keep = 1").count()
+        print(
+            json.dumps(
+                {
+                    "metric": "quality_chain_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "verdicts": n_rows,
+                    "kept": n_kept,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -336,6 +398,9 @@ def main() -> None:
         return
     if leg == "dsir":
         bench_dsir(n_rows, n_files)
+        return
+    if leg == "quality":
+        bench_quality(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable

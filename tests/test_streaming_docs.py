@@ -110,3 +110,105 @@ def test_quality_predicate_matches_quality_filter(spark):
     via_pred = {r.doc_id for r in df.filter(quality_predicate()).collect()}
     via_filter = {r.doc_id for r in quality_filter(df).collect()}
     assert via_pred == via_filter
+
+
+def test_streaming_quality_chain_batches_match_batch_run(spark, tmp_path):
+    """The quality-chain foreachBatch leg: per-batch landed verdicts
+    equal the batch composition (boilerplate_strip + chain) on the
+    same rows, and a crash-replay of an epoch overwrites its partition
+    with identical content (the _dsir_select_batch pattern)."""
+    from airbnb_cdc_spark.operators.text import (
+        _quality_chain_batch,
+        boilerplate_strip,
+        quality_filter_chain,
+    )
+
+    boiler = "nav home about contact login search " * 3  # 18-token bar
+    b0 = spark.createDataFrame(
+        [
+            (10, boiler + GOOD),
+            (11, boiler + GOOD2),
+            (12, BAD_SHORT),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(20, GOOD), (21, BAD_REPEAT)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "verdicts")
+    _quality_chain_batch(b0, 0, out, "doc_id", "text", 16, 2)
+    _quality_chain_batch(b1, 1, out, "doc_id", "text", 16, 2)
+
+    landed = {
+        (r.doc_id, r.n_tokens, r.reason, r.keep, r.n_segments, r.n_dropped, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = set()
+    for df, ep in ((b0, 0), (b1, 1)):
+        strip = boilerplate_strip(df, "doc_id", "text", window=16, min_df=2)
+        chain = quality_filter_chain(df, "doc_id", "text")
+        joined = chain.join(
+            strip.select("doc_id", "n_segments", "n_dropped"), "doc_id"
+        )
+        for r in joined.collect():
+            want.add(
+                (r.doc_id, r.n_tokens, r.reason, r.keep, r.n_segments, r.n_dropped, ep)
+            )
+    assert landed == want
+    got = {r[0]: (r[2], r[5]) for r in landed}
+    # the shared nav bar is within-batch boilerplate for docs 10/11
+    assert got[10][1] >= 1 and got[11][1] >= 1
+    # batch 1 has no repeated segment: nothing stripped
+    assert got[20] == ("ok", 0)
+    # audit order: the all-"spam" doc has zero stopwords, so
+    # low_stopword fires before low_distinct ever evaluates
+    assert got[12][0] == "too_short" and got[21][0] == "low_stopword"
+
+    # crash-replay of epoch 0: identical partition content
+    _quality_chain_batch(b0, 0, out, "doc_id", "text", 16, 2)
+    assert {
+        (r.doc_id, r.n_tokens, r.reason, r.keep, r.n_segments, r.n_dropped, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    } == want
+
+
+def test_streaming_quality_chain_end_to_end(spark, tmp_path):
+    """Drive streaming_quality_chain through a real readStream with
+    maxFilesPerTrigger=1: every fed doc gets exactly one verdict row,
+    batch partitions land per input file."""
+    from airbnb_cdc_spark.operators.text import streaming_quality_chain
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_feed(
+        feed / "f0.json",
+        [{"doc_id": 1, "text": GOOD}, {"doc_id": 2, "text": BAD_SHORT}],
+    )
+    _write_feed(
+        feed / "f1.json",
+        [{"doc_id": 3, "text": GOOD2}],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    out = str(tmp_path / "out")
+    q = streaming_quality_chain(
+        stream, out, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    assert len(rows) == 3
+    verdicts = {r.doc_id: r.reason for r in rows}
+    assert verdicts[1] == "ok" and verdicts[2] == "too_short"
