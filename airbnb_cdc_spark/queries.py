@@ -3563,161 +3563,78 @@ def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # r11 LEADS: semdedup_keep_canonical and bilateral_trade_volume —
-    # the only registry queries with no driver record in any round
-    # (registered late-r10, outside that round's 50; VERDICT r10 ask
-    # #1). Ceded for them: events_windowed_agg (r10-recorded green,
-    # unchanged; the event-time window family stays led by
-    # events_hopping_agg and trailing_7d_users, both in the cut) and
-    # bloom_prune_effect (r10-recorded green under the auto-sizing
-    # code, unchanged since; the Bloom runtime-filter family stays led
-    # by bloom_semi_join_orders — same bitset core).
+    # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
+    # (the r10 verdict's registry-hygiene ask). The registry is 152
+    # queries against a 50-slot driver cap, so the sustainable cycle
+    # is: record (a) everything new/changed this round, (b) everything
+    # whose record would otherwise age past 3 rounds, (c) backfill
+    # with the oldest remaining tier. The audit FAILS the pytest suite
+    # if a registered query would exceed age 3 under this list.
+    #
+    # (a) never-recorded leads + r11-new + r11-changed code (the four
+    # apply-family queries now read the shared component store):
     "semdedup_keep_canonical",
     "bilateral_trade_volume",
-    # r10 rotation: (a) contrastive_negatives LEADS — the one registry
-    # query with no driver record in any round (VERDICT r9 ask #1);
-    # (b) the two r10-new web-corpus queries (url_canonical_dedup,
-    # domain_capped_sample) so their first record is this round;
-    # (c) queries whose operator code changed in r10 re-record under
-    # the new code: the bloom pair (auto-sizing default added; the
-    # queries pass explicit num_bits, re-led as proof) and
-    # diversity_sample_by_cluster (topk salt now mixes partition id —
-    # result salt-invariant); (d) the rest of the r9 cut carries over.
-    # Ceded vs r9: conditional_split_bad, filter_by_status,
-    # project_cast — r9-recorded green, code unchanged since, each
-    # shadowed by a structurally identical sibling still in the cut
-    # (conditional_split_accepted; shipping_priority's filter;
-    # alter_row_flags' contract casts).
-    "contrastive_negatives",
-    "url_canonical_dedup",
-    "domain_capped_sample",
-    # r10 late additions: KMV range rollup and incremental MinHash
-    # near-dup (cede text_stats and language_id — both r9-recorded,
-    # unchanged since, still covered by the differential suite)
-    "kmv_range_rollup",
-    "incremental_minhash_neardup",
-    # r10 late addition: concatenation packing (cedes winnow_components
-    # — r9-recorded, unchanged since; its family stays led by
-    # winnow_keep_canonical which SUBSUMES the components loop)
-    "pack_concat_split",
-    # r10 late addition: CCNet-style boilerplate strip (cedes
-    # pii_report — re-recorded green in r9 under the cascaded-count
-    # semantics, unchanged since; pii_scrub keeps the family led)
-    "boilerplate_strip",
-    # r10 late addition: BM25 retrieval (cedes distinct_users_kmv —
-    # r9-recorded, unchanged since; the KMV family is led this round
-    # by kmv_range_rollup, which exercises the same sketch core)
-    "bm25_topk",
-    # r10 late addition: quality chain with reason codes (cedes
-    # mm_frame_sample — r9-recorded, unchanged since; mm_resize keeps
-    # the multimodal Arrow-leg family led)
-    "quality_filter_chain",
-    # r10 late addition: semantic decontamination (cedes knn_label_vote
-    # — r9-recorded, unchanged since; the broadcast-eval-block scoring
-    # core is the same shape, and the ANN family stays led by
-    # ann_topk_ivf / ann_topk_ivf_nprobe)
-    "semantic_decontam",
-    # r10 late addition: length-bucket padding report (cedes
-    # token_counts — r9-recorded, unchanged since; the token-count
-    # family keeps differential coverage via text_stats and the
-    # packing/mixture oracles)
-    "length_bucket_stats",
-    # r10 late addition: leakage-safe cluster split (cedes
-    # cohort_retention — r7-recorded and re-recorded r9, unchanged
-    # since; the events family stays led by trailing_7d_users and
-    # events_hopping_agg)
-    "leakage_safe_split",
-    # r10 late additions, second batch. Ceded (each r9-recorded green,
-    # code unchanged since, family representative stays in the cut):
-    # semi_join_buyers / anti_join_never_bought (the semi/anti join
-    # shapes are led this round by bloom_semi_join_orders and by
-    # incremental_dedup_new_docs' anti-join core), cube_status_priority
-    # (grouping-sets family led by rollup_country_status),
-    # orders_by_month (date-bucket groupBy led by events_hopping_agg /
-    # trailing_7d_users), customer_name_clean (string-normalize
-    # projection led by part_name_canonical's r8 record and unchanged
-    # textfns), json_extract_agg (scalar-function family led by
-    # alter_row_flags' contract casts).
-    # Third batch cedes: dedup_containment (r9-recorded, unchanged; its
-    # capped inverted-index core is led this round by
-    # dedup_keep_canonical, keep_best_quality, and
-    # neardup_cluster_sizes) and user_sessions (r9-recorded, unchanged;
-    # gap sessionization led by session_window_stats).
-    # r11: the bigram-LM fluency pair (new; CCNet's second filter
-    # axis) cedes forecast_revenue_change — r10-recorded green,
-    # unchanged since; the exact-decimal conditional-agg shape stays
-    # led by returned_item_revenue and important_parts_share — and
-    # vocab_coverage — r10-recorded green, unchanged since; the
-    # token-count family keeps differential coverage via text_stats
-    # and the packing/mixture oracles.
     "lm_quality_score",
     "incremental_lm_quality",
-    "dsir_select",
-    "keep_best_quality",
-    "incremental_dsir_select",
-    "temperature_mixture_sample",
-    "source_quality_profile",
-    "windowed_kmv_distinct",
-    "asof_view_within_tolerance",
-    "soft_dedup_weights",
-    "priority_returns_exists",
-    # (cedes dedup_keep_canonical — r9-recorded, unchanged; the
-    # closure+apply family is led this round by keep_best_quality,
-    # neardup_cluster_sizes, and soft_dedup_weights over the same
-    # pair core — and running_customer_spend — r9-recorded, unchanged;
-    # the running-total shape stays covered by revenue_pareto's
-    # distributed prefix scan, which is in the cut)
-    # (cedes ann_topk_ivf_nprobe — r9-recorded, unchanged; the IVF
-    # family keeps ann_topk_ivf in the cut, same inverted-file core.
-    # asof_next_purchase_after_view stays: asof.py gained the
-    # tolerance post-step this round, so the forward leg re-records
-    # under the new code.)
-    # (cedes token_count_cms — r9-recorded, unchanged; the sketch
-    # family is led this round by kmv_range_rollup and the windowed
-    # KMV composition)
-    # (cedes shipping_priority — r9-recorded, unchanged; its exact-
-    # decimal lineitem x orders x customer spine with a top-k cut is
-    # led this round by returned_item_revenue, the same shape plus the
-    # nation broadcast)
-    # (cedes local_supplier_revenue — r9-recorded, unchanged; the
-    # multi-join exact-decimal revenue family is led this round by
-    # returned_item_revenue / top_supplier / important_parts_share)
-    # (the last two cede top_terms_per_doc — r9-recorded, unchanged,
-    # tf-idf ranking led this round by bm25_topk — and
-    # incremental_dedup_new_docs — r9-recorded, unchanged, the
-    # incremental-store family led by incremental_minhash_neardup and
-    # incremental_dsir_select)
-    # r11: components_store_apply (new; the store-backed dedup apply)
-    # cedes temperature_mixture — r10-recorded green, unchanged since;
-    # the integer-apportionment quota core stays led by
-    # temperature_mixture_sample, which is in the cut.
     "components_store_apply",
-    "important_parts_share",
+    "keep_best_quality",
+    "soft_dedup_weights",
     "neardup_cluster_sizes",
-    "returned_item_revenue",
-    "top_supplier",
-    "bloom_semi_join_orders",
-    "zorder_events_layout",
-    "fuzzy_link_part_names",
-    "diversity_sample_by_cluster",
-    "pii_scrub",
-    "conditional_split_accepted",
-    "alter_row_flags",
-    "winnow_keep_canonical",
-    "asof_next_purchase_after_view",
-    "events_resample_ffill",
-    "value_trend_by_type",
-    "revenue_pareto",
-    "mm_resize",
-    "trailing_7d_users",
-    "events_hopping_agg",
-    "interval_join_attribution",
-    "rollup_country_status",
-    "ann_topk_ivf",
-    "status_percentiles",
-    # r9 late addition: engine session windows (cedes
-    # trailing_hour_activity — r7-recorded, unchanged since)
-    "session_window_stats",
+    "leakage_safe_split",
+    # (b) the 21 queries last recorded r7 — age 4 after r11 without a
+    # slot (this is exactly the contrastive_negatives failure mode the
+    # audit exists to prevent; includes repetition_filter, giving the
+    # r10 drift suspect a fresh driver record on top of its A/B
+    # acquittal):
+    "trailing_hour_activity",
+    "event_gaps_leadlag",
+    "length_quartiles_by_lang",
+    "oov_rate",
+    "corpus_prep_summary",
+    "repetition_filter",
+    "pack_sequences",
+    "dedup_pair_sources",
+    "user_funnel",
+    "linestatus_priority_class",
+    "events_ohlc",
+    "value_histogram",
+    "scd2_user_state_history",
+    "weighted_sample_by_length",
+    "orders_expectations",
+    "event_transitions",
+    "ts_profile_similarity",
+    "doc_sentiment",
+    "price_deciles_distributed",
+    "supplier_customer_pagerank",
+    "value_outliers_by_type",
+    # (c) 20 of the 48-query r8 tier (age 3 after r11 — legal but due
+    # next): the reference-surface spine re-proves first
+    # (booking_customer_aggregation, lookup_latest_event,
+    # cdc_merge_upsert), then the dedup/ANN cores, plus
+    # ann_topk_ivf_recall so the driver-flagged drifter gets a fresh
+    # record beyond the A/B acquittal. The remaining 28 r8-tier
+    # queries are the r12 must-record set (28 < 50 — feasible).
+    "booking_customer_aggregation",
+    "lookup_latest_event",
+    "cdc_merge_upsert",
+    "quality_filter",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf_recall",
+    "dedup_embedding_cosine",
+    "semdedup_pairs",
+    "multimodal_features",
+    "user_overlap_kmv",
+    "top_spenders",
+    "pricing_summary",
 ]
 
 
