@@ -3562,6 +3562,207 @@ def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # be green under scripts/verify_local.py before registration.
 # --------------------------------------------------------------------------
 
+
+@query("customer_order_distribution", _ORDER_DIST_ORACLE)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram over ALL customers —
+    the left outer join is the point (customers with zero qualifying
+    orders land in the c_count=0 bucket, which an inner join would
+    silently drop). The class exclusion (urgent priority, standing in
+    for Q13's comment pattern — the driver schema has no o_comment)
+    sits in the JOIN CONDITION, not a WHERE, so excluded-only
+    customers also count as zero. Plan: one shuffle on the customer
+    key for the per-customer count, then a histogram-sized groupBy.
+    At scale orders≫customers; the join shuffles both sides on
+    custkey — no broadcast assumption on either."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    co = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query("idle_customers_balance", _IDLE_CUSTOMERS_ORACLE)
+def q_idle_customers_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT order
+    (no order since _IDLE_CUTOFF — the lapsed-customer report;
+    "never ordered" is degenerate on this data), totaled by nation.
+    The balance threshold (mean positive balance) is an exact DECIMAL
+    sum over a BIGINT count with ONE double division, broadcast as a
+    single row into the filter — so the ``>`` cut is bit-identical
+    across engines and partitionings. The lapse predicate is a LEFT
+    ANTI join on the customer key with the date filter pushed into
+    the orders scan (at 100 TB the anti-join shuffles the recent
+    custkeys, not order rows); per-nation totals are exact decimals
+    until the final cast, and the nation dim broadcasts."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit(_IDLE_CUTOFF).cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    thresh = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    idle = (
+        customer.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+    )
+    return (
+        idle.join(
+            F.broadcast(nation),
+            idle.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query("supplier_wait_chain", _WAIT_CHAIN_ORACLE)
+def q_supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted to the driver schema (no
+    receipt/commit dates): per supplier, the number of finished
+    multi-supplier orders where that supplier's latest ship date is
+    the order's STRICT maximum — the "who held the order up" report.
+    Decorrelated from Q21's EXISTS/NOT-EXISTS pair into two
+    aggregations: per-(order, supplier) max ship date (one shuffle on
+    the order key — the lineitem fan-in), then per-order stats
+    (supplier count, max, count-at-max) via a groupBy REUSING the same
+    orderkey partitioning (AQE plans no second exchange), and a
+    same-key join back. The strict-max test is n_at_max = 1 — no
+    self-join of lineitem against lineitem anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    so = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    os_ = so.groupBy("l_orderkey").agg(
+        F.max("s_max").alias("o_max"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    # count-at-max needs o_max first; the second pass joins on the
+    # same orderkey partitioning and counts ties exactly
+    at_max = (
+        so.join(os_, "l_orderkey")
+        .filter(F.col("s_max") == F.col("o_max"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_at_max"))
+    )
+    winners = (
+        so.join(os_, "l_orderkey")
+        .join(at_max, "l_orderkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_at_max") == 1)
+            & (F.col("s_max") == F.col("o_max"))
+        )
+    )
+    return (
+        winners.join(
+            F.broadcast(supplier),
+            winners.l_suppkey == supplier.s_suppkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query("target_fluency_gate", _JOINT_GATE_ORACLE)
+def q_target_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-axis corpus gate real pipelines run: DSIR target-
+    likeness (does the doc LOOK like the target?) x bigram-LM fluency
+    (does it READ like fluent target text?) — a doc survives only if
+    it makes BOTH top-K selections; word salad with target vocabulary
+    fails the LM axis, fluent off-topic text fails the DSIR axis.
+    Composition of the two verified selectors (importance.py, lm.py);
+    both model tables are constant-size broadcasts, the join of two
+    K-row selections is metadata-sized."""
+    from airbnb_cdc_spark.operators.importance import (
+        dsir_bucket_scores,
+        dsir_select,
+        token_buckets,
+    )
+    from airbnb_cdc_spark.operators.lm import (
+        fit_bigram_lm,
+        lm_select,
+        transition_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("source") != _DSIR_TARGET).select(
+        "doc_id", "text"
+    )
+    tok = token_buckets(
+        docs.select("doc_id", "source", "text"), "text", _DSIR_BUCKETS
+    )
+    dsir_scores = dsir_bucket_scores(
+        tok.filter(F.col("source") == _DSIR_TARGET),
+        tok,
+        _DSIR_BUCKETS,
+        _DSIR_SCALE,
+    )
+    dsir_top = dsir_select(
+        cand, dsir_scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS
+    )
+    tr = transition_buckets(
+        docs.select("doc_id", "source", "text"), "text", _LM_BUCKETS
+    )
+    model = fit_bigram_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    lm_top = lm_select(cand, model, "text", "doc_id", _LM_K, _LM_BUCKETS)
+    return (
+        dsir_top.join(
+            lm_top.select("doc_id", "fluency"), "doc_id"
+        )
+        .select("doc_id", "dsir_score", "fluency")
+        .orderBy("doc_id")
+    )
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -3582,6 +3783,13 @@ _DRIVER_PRIORITY = [
     "soft_dedup_weights",
     "neardup_cluster_sizes",
     "leakage_safe_split",
+    # r11 second batch (new — each cedes one slot from the (c)
+    # backfill tier below; the ceded four are r8-recorded age-3 after
+    # r11, legal, and join the r12 must-record set):
+    "customer_order_distribution",
+    "idle_customers_balance",
+    "supplier_wait_chain",
+    "target_fluency_gate",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
     # audit exists to prevent; includes repetition_filter, giving the
@@ -3631,10 +3839,6 @@ _DRIVER_PRIORITY = [
     "ann_topk_ivf_recall",
     "dedup_embedding_cosine",
     "semdedup_pairs",
-    "multimodal_features",
-    "user_overlap_kmv",
-    "top_spenders",
-    "pricing_summary",
 ]
 
 

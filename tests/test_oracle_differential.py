@@ -559,6 +559,19 @@ LI_DIFF_QUERIES = [
     # all-match draws.
     "bloom_prune_effect",
     "bloom_semi_join_orders",
+    # r11: Q13-shape — random draws produce customers whose orders are
+    # ALL excluded by the priority condition (they must land in the
+    # zero bucket, the left-join-vs-where trap) and empty-order draws
+    "customer_order_distribution",
+    # r11: Q22-shape — the fixed balances pin the positive-mean
+    # threshold while random order draws decide who counts as lapsed
+    # (generator dates predate the cutoff, so the anti-join keeps all;
+    # the exact-decimal threshold and per-nation rollup still replay)
+    "idle_customers_balance",
+    # r11: Q21-shape — suppkey draws collide within orders, and equal
+    # ship-date draws exercise the strict-max (n_at_max = 1) tie
+    # suppression on nearly every example
+    "supplier_wait_chain",
     # r9: delete-1 fuzzy linkage — the fixture's "part N" names are all
     # pairwise distance 1, so probes match MULTIPLE masters and the
     # block's completeness is exercised beyond 1:1 self-matches.
@@ -678,13 +691,25 @@ def _write_tpch(spark, pdir, orders, lineitems):
     # bloom hits and misses (and custkey draws of 0..3 guarantee the
     # false-positive arithmetic sees real traffic).
     custs = [
-        (i, f"Customer#{i}", 0, [0.0, 9000.0, 8500.0, -100.0][i % 4], "SEG")
+        (i, f"Customer#{i}", i % 2, [0.0, 9000.0, 8500.0, -100.0][i % 4], "SEG")
         for i in range(4)
     ]
     spark.createDataFrame(
         custs,
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
     ).coalesce(1).write.parquet(str(pdir / "customer.parquet"))
+    # r11: supplier + nation dims for the Q21/Q22-shape queries
+    # (suppkeys 0-3 match the lineitem draws; two nations split the
+    # customers so idle_customers_balance groups non-trivially)
+    supps = [(i, f"Supplier#{i}", i % 2, 100.0) for i in range(4)]
+    spark.createDataFrame(
+        supps,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.parquet(str(pdir / "supplier.parquet"))
+    nations = [(0, "NATION_0", 0), (1, "NATION_1", 0)]
+    spark.createDataFrame(
+        nations, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.parquet(str(pdir / "nation.parquet"))
 
 
 @pytest.mark.parametrize("qname", LI_DIFF_QUERIES)
@@ -702,7 +727,7 @@ def test_tpch_oracle_differential(spark, tmp_path_factory, qname, tables):
         sdf = Q.QUERIES[qname](spark, str(pdir))
         s_cols = sorted(sdf.columns)
         con = duckdb.connect()
-        for t in ("orders", "lineitem", "part", "customer"):
+        for t in ("orders", "lineitem", "part", "customer", "supplier", "nation"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
             )
@@ -752,7 +777,7 @@ def test_tpch_duplicate_price_boundaries(spark, tmp_path_factory, qname):
         sdf = Q.QUERIES[qname](spark, str(pdir))
         s_cols = sorted(sdf.columns)
         con = duckdb.connect()
-        for t in ("orders", "lineitem", "part", "customer"):
+        for t in ("orders", "lineitem", "part", "customer", "supplier", "nation"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
             )
