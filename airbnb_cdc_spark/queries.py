@@ -3673,31 +3673,40 @@ def q_supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
+    from pyspark.sql import Window
+
     so = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("s_max"))
     )
-    os_ = so.groupBy("l_orderkey").agg(
-        F.max("s_max").alias("o_max"),
-        F.count(F.lit(1)).alias("n_supp"),
+    # per-order stats as WINDOWS over the groupBy's own orderkey
+    # partitioning — one Exchange total, and `so` is consumed once
+    # (three separate aggregate-and-join-back consumers would
+    # recompute the lineitem scan per branch — the self-join trap)
+    w = Window.partitionBy("l_orderkey")
+    stats = so.select(
+        "l_orderkey",
+        "l_suppkey",
+        "s_max",
+        F.max("s_max").over(w).alias("o_max"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
     )
-    # count-at-max needs o_max first; the second pass joins on the
-    # same orderkey partitioning and counts ties exactly
-    at_max = (
-        so.join(os_, "l_orderkey")
-        .filter(F.col("s_max") == F.col("o_max"))
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_at_max"))
-    )
-    winners = (
-        so.join(os_, "l_orderkey")
-        .join(at_max, "l_orderkey")
-        .filter(
-            (F.col("n_supp") >= 2)
-            & (F.col("n_at_max") == 1)
-            & (F.col("s_max") == F.col("o_max"))
+    winners = stats.select(
+        "l_orderkey",
+        "l_suppkey",
+        "s_max",
+        "o_max",
+        "n_supp",
+        F.sum(
+            F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)
         )
+        .over(w)
+        .alias("n_at_max"),
+    ).filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_at_max") == 1)
+        & (F.col("s_max") == F.col("o_max"))
     )
     return (
         winners.join(

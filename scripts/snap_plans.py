@@ -241,6 +241,13 @@ SNAPS = [
         "one flag join against a single corpus scan — no pair "
         "re-derivation anywhere in the plan",
     ),
+    (
+        "supplier_wait_chain",
+        "Q21 decorrelated: ONE lineitem scan, per-(order,supplier) "
+        "groupBy, per-order stats as stacked windows sharing the "
+        "orderkey sort, supplier dim broadcast, TakeOrdered cut — "
+        "three exchanges total, no self-join",
+    ),
 ]
 
 
