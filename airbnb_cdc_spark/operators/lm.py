@@ -128,7 +128,12 @@ def lm_score(
 ) -> DataFrame:
     """Per-doc fluency: exact BIGINT sum of transition scores and
     transition count, plus their double ratio. Plan: transition
-    explode → broadcast model join → one doc-key groupBy."""
+    explode → broadcast model join → one doc-key groupBy.
+
+    ``n_buckets`` MUST match the value the model was fitted with —
+    a mismatch makes the inner join silently drop transitions whose
+    rehashed bucket falls outside the model grid (no error, wrong
+    scores). Pass it explicitly alongside any non-default model."""
     tr = transition_buckets(candidates, text_col, n_buckets)
     return (
         tr.join(F.broadcast(model), ["pb", "cb"])
@@ -177,3 +182,66 @@ def write_lm_model(model: DataFrame, path: str) -> None:
 
 def read_lm_model(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _lm_select_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    model_path: str,
+    out_dir: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int,
+) -> None:
+    """One ``streaming_lm_select`` micro-batch (module-level so replay
+    idempotence is directly testable — the _dsir_select_batch
+    pattern). The fitted model is READ-ONLY, so a crash-replay of an
+    epoch overwrites ``out_dir/batch_id=N`` with the identical
+    deterministic selection."""
+    import posixpath
+
+    spark = batch_df.sparkSession
+    model = read_lm_model(spark, model_path)
+    top = lm_select(batch_df, model, text_col, id_col, k, n_buckets)
+    top.write.mode("overwrite").parquet(
+        posixpath.join(out_dir, f"batch_id={epoch}")
+    )
+
+
+def streaming_lm_select(
+    stream_docs: DataFrame,
+    model_path: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming LM-fluency ingest: score each arriving micro-batch
+    against the PERSISTED dense transition model (``write_lm_model``
+    output — fitted once, n_buckets**2 rows, never refit in-stream)
+    and land the batch's top-k fluent docs idempotently under
+    ``out_dir/batch_id=N``. Completes the batch / incremental /
+    streaming triple exactly as the DSIR family does: per-batch cost
+    is O(batch), the corpus that fitted the model is never rescanned.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _lm_select_batch(
+            batch_df,
+            epoch,
+            model_path,
+            out_dir,
+            text_col,
+            id_col,
+            k,
+            n_buckets,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

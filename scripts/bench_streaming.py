@@ -34,8 +34,14 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   rejects all of them (kept=0 is expected); the throughput number is
   the per-batch segment-groupBy + projection cost.
 
+- ``lm`` (r11): streaming bigram-LM fluency selection docs/sec —
+  each micro-batch scored against the persisted dense transition
+  model (broadcast n_buckets^2-row join + doc-key groupBy per
+  batch), top-k landed idempotently per batch_id; model fit excluded
+  (one-time batch job), the DSIR leg's second-order sibling.
+
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -330,6 +336,73 @@ def bench_dsir(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_lm(n_docs: int, n_files: int) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.lm import (
+        fit_bigram_lm,
+        streaming_lm_select,
+        transition_buckets,
+        write_lm_model,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-lm")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_lm_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        # one-time model fit on the planted target cohort (fit cost is
+        # a batch job; the stream pays only scoring)
+        fit = spark.read.schema("doc_id long, text string").json(
+            str(feed)
+        ).filter(F.col("doc_id") % 10 == 0)
+        model_path = str(work / "model")
+        write_lm_model(
+            fit_bigram_lm(transition_buckets(fit, "text")), model_path
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        out = str(work / "sel")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_lm_select(
+            stream, model_path, out, k=100,
+            checkpoint_dir=str(work / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        n_selected = spark.read.parquet(out).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "lm_select_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "selected": n_selected,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_quality(n_docs: int, n_files: int) -> None:
     from pyspark.sql import types as T
 
@@ -386,7 +459,7 @@ def bench_quality(n_docs: int, n_files: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -401,6 +474,9 @@ def main() -> None:
         return
     if leg == "quality":
         bench_quality(n_rows, n_files)
+        return
+    if leg == "lm":
+        bench_lm(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable

@@ -1,0 +1,147 @@
+"""Bigram-LM fluency operator: transition edge cases, store
+round-trip, and the streaming leg's replay idempotence + stream≡batch
+equivalence (the DSIR-family test shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbnb_cdc_spark.operators.lm import (
+    _lm_select_batch,
+    fit_bigram_lm,
+    lm_score,
+    lm_select,
+    read_lm_model,
+    streaming_lm_select,
+    transition_buckets,
+    write_lm_model,
+)
+
+N_BUCKETS = 16
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _model(spark, target_rows):
+    tr = transition_buckets(_docs(spark, target_rows), "text", N_BUCKETS)
+    return fit_bigram_lm(tr, N_BUCKETS)
+
+
+def test_transitions_edge_cases(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c"),  # 2 transitions
+            (2, "solo"),  # 1 token -> no transitions
+            (3, ""),  # empty -> none
+            (4, None),  # NULL -> none
+            (5, "  x   y  "),  # whitespace runs collapse -> 1
+        ],
+    )
+    tr = transition_buckets(docs, "text", N_BUCKETS)
+    got = {r.doc_id: 0 for r in tr.collect()}
+    counts = tr.groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in counts} == {1: 2, 5: 1}
+    model = _model(spark, [(0, "a b c a b")])
+    scored = {
+        r.doc_id
+        for r in lm_score(docs, model, "text", "doc_id", N_BUCKETS).collect()
+    }
+    assert scored == {1, 5}  # transition-less docs drop out
+
+
+def test_model_dense_and_store_roundtrip(spark, tmp_path):
+    model = _model(spark, [(0, "a b a b c")])
+    assert model.count() == N_BUCKETS * N_BUCKETS
+    path = str(tmp_path / "model")
+    write_lm_model(model, path)
+    back = read_lm_model(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, model.collect())
+    )
+    # seen transitions outscore unseen ones
+    seen = lm_score(
+        _docs(spark, [(1, "a b"), (2, "q r")]), back, "text", "doc_id", N_BUCKETS
+    ).collect()
+    by_id = {r.doc_id: r.fluency for r in seen}
+    assert by_id[1] > by_id[2]
+
+
+def test_streaming_lm_batches_match_batch_scoring(spark, tmp_path):
+    model = _model(spark, [(0, "spark shuffle join plan spark shuffle")])
+    model_path = str(tmp_path / "model")
+    write_lm_model(model, model_path)
+    out = str(tmp_path / "sel")
+
+    b0 = _docs(spark, [(10, "spark shuffle join"), (11, "banana mango kiwi")])
+    b1 = _docs(spark, [(20, "join plan spark shuffle")])
+    _lm_select_batch(b0, 0, model_path, out, "text", "doc_id", 1, N_BUCKETS)
+    _lm_select_batch(b1, 1, model_path, out, "text", "doc_id", 1, N_BUCKETS)
+
+    landed = {
+        (r.doc_id, r.fluency_sum, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    stored = read_lm_model(spark, model_path)
+    want = set()
+    for df, ep in ((b0, 0), (b1, 1)):
+        row = lm_select(df, stored, "text", "doc_id", 1, N_BUCKETS).collect()[0]
+        want.add((row.doc_id, row.fluency_sum, ep))
+    assert landed == want
+    assert {r[0] for r in landed} == {10, 20}  # fluent docs win
+
+    # crash-replay of epoch 0: identical partition content
+    _lm_select_batch(b0, 0, model_path, out, "text", "doc_id", 1, N_BUCKETS)
+    assert {
+        (r.doc_id, r.fluency_sum, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    } == want
+
+
+def test_streaming_lm_end_to_end(spark, tmp_path):
+    import json
+
+    model = _model(spark, [(0, "spark shuffle join plan")])
+    model_path = str(tmp_path / "model")
+    write_lm_model(model, model_path)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for fi, rows in enumerate(
+        [
+            [{"doc_id": 1, "text": "spark shuffle join"}],
+            [{"doc_id": 2, "text": "unrelated words here"}],
+        ]
+    ):
+        with open(feed / f"f{fi}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    out = str(tmp_path / "sel")
+    q = streaming_lm_select(
+        stream,
+        model_path,
+        out,
+        k=5,
+        n_buckets=N_BUCKETS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
