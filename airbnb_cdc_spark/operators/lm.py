@@ -119,6 +119,74 @@ def fit_bigram_lm(
     )
 
 
+def fit_interpolated_lm(
+    target_tr: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated model (λ = 3/4 bigram, 1/4 unigram
+    backoff): unseen transitions no longer collapse to the flat
+    Laplace floor — they back off to the target's unigram frequency of
+    the CURRENT token, the standard n-gram smoothing step beyond pure
+    Laplace. Same dense ``n_buckets**2``-row contract as
+    ``fit_bigram_lm`` (drop-in for lm_score/lm_select/the store).
+
+    Exactness: the score is the SUM OF TWO FLOORED integer terms
+
+        s(p,c) = floor( 3·SCALE·(bi(p,c)+1) / (4·(uni(p)+V)) )
+               + floor(   SCALE·(tgt(c)+1)  / (4·(T+V)) )
+
+    with uni(p) = Σ_c bi(p,c), tgt(c) = Σ_p bi(p,c), T = Σ bi, V =
+    n_buckets — every operand BIGINT (≤ counts·2¹⁸, far inside
+    int64), both divisions truncating, so DuckDB replays it with
+    ``//`` bit-for-bit. Splitting the interpolation into two floors
+    (instead of one floor over a common denominator) keeps every
+    intermediate in int64; the ≤2/SCALE quantization difference is
+    far below any ranking decision. All three count tables roll up
+    from ONE pair-count aggregation — the target corpus is scanned
+    and transition-exploded exactly once, as in ``fit_bigram_lm``."""
+    spark = target_tr.sparkSession
+    bi = target_tr.groupBy("pb", "cb").agg(F.count(F.lit(1)).alias("bc"))
+    uni = bi.groupBy("pb").agg(F.sum("bc").alias("uc"))
+    tgt = bi.groupBy("cb").agg(F.sum("bc").alias("tc"))
+    tot = bi.agg(F.coalesce(F.sum("bc"), F.lit(0)).alias("T"))
+    dense = (
+        spark.range(n_buckets * n_buckets)
+        .select(
+            F.expr(f"id div {n_buckets}").alias("pb"),
+            (F.col("id") % n_buckets).alias("cb"),
+        )
+        .join(bi, ["pb", "cb"], "left")
+        .join(uni, "pb", "left")
+        .join(tgt, "cb", "left")
+        .join(F.broadcast(tot))
+    )
+    bi_num = (
+        (F.coalesce(F.col("bc"), F.lit(0)) + 1) * F.lit(3 * scale)
+    ).cast("long")
+    bi_den = (
+        (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(n_buckets)) * 4
+    ).cast("long")
+    un_num = (
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1) * F.lit(scale)
+    ).cast("long")
+    un_den = ((F.col("T") + F.lit(n_buckets)) * 4).cast("long")
+    return dense.select(
+        "pb",
+        "cb",
+        bi_num.alias("__bn"),
+        bi_den.alias("__bd"),
+        un_num.alias("__un"),
+        un_den.alias("__ud"),
+    ).select(
+        "pb",
+        "cb",
+        F.expr(
+            "CAST((__bn div __bd) + (__un div __ud) AS BIGINT)"
+        ).alias("score"),
+    )
+
+
 def lm_score(
     candidates: DataFrame,
     model: DataFrame,

@@ -3188,6 +3188,35 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_select(cand, model, "text", "doc_id", _LM_K, _LM_BUCKETS)
 
 
+@query("interpolated_lm_score", _INTERP_LM_ORACLE)
+def q_interpolated_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated fluency (λ = 3/4 bigram + 1/4
+    target-unigram backoff — the standard smoothing step beyond pure
+    Laplace): unseen transitions back off to how often the target
+    uses the CURRENT token instead of collapsing to a flat floor, so
+    docs built from target vocabulary in novel orders rank above
+    out-of-vocabulary text. Same dense-model/broadcast/one-groupBy
+    plan as lm_quality_score; the score is a sum of two truncating
+    integer divisions the oracle replays exactly."""
+    from airbnb_cdc_spark.operators.lm import (
+        fit_interpolated_lm,
+        lm_select,
+        transition_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tr = transition_buckets(
+        docs.select("doc_id", "source", "text"), "text", _LM_BUCKETS
+    )
+    model = fit_interpolated_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    cand = docs.filter(F.col("source") != _LM_TARGET).select(
+        "doc_id", "text"
+    )
+    return lm_select(cand, model, "text", "doc_id", _LM_K, _LM_BUCKETS)
+
+
 @query("incremental_lm_quality", _INCR_LM_ORACLE)
 def q_incremental_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LM-fluency ingest THROUGH THE PERSISTED MODEL
@@ -3799,6 +3828,10 @@ _DRIVER_PRIORITY = [
     "idle_customers_balance",
     "supplier_wait_chain",
     "target_fluency_gate",
+    # (interpolated_lm_score cedes ann_topk_lsh_multiprobe from the
+    # (c) tier — the LSH family stays led by ann_topk_lsh and
+    # ann_topk_ivf_recall, both in the cut)
+    "interpolated_lm_score",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
     # audit exists to prevent; includes repetition_filter, giving the
@@ -3844,7 +3877,6 @@ _DRIVER_PRIORITY = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
     "ann_topk_ivf_recall",
     "dedup_embedding_cosine",
     "semdedup_pairs",

@@ -145,3 +145,33 @@ def test_streaming_lm_end_to_end(spark, tmp_path):
         q.stop()
     rows = spark.read.parquet(out).collect()
     assert {r.doc_id for r in rows} == {1, 2}
+
+
+def test_interpolated_backoff_orders_vocab_over_oov(spark):
+    """Unseen transitions between TARGET-vocabulary tokens must
+    outscore unseen transitions over out-of-vocabulary tokens — the
+    backoff term pure Laplace cannot express (both docs would tie at
+    the flat floor under fit_bigram_lm)."""
+    from airbnb_cdc_spark.operators.lm import fit_interpolated_lm
+
+    target = _docs(spark, [(0, "a b c d a b c d")])
+    tr = transition_buckets(target, "text", N_BUCKETS)
+    interp = fit_interpolated_lm(tr, N_BUCKETS)
+    assert interp.count() == N_BUCKETS * N_BUCKETS
+    docs = _docs(
+        spark,
+        [
+            (1, "d c b a"),  # target vocab, novel transitions
+            (2, "q r s t"),  # out-of-vocabulary
+        ],
+    )
+    fi = {
+        r.doc_id: r.fluency
+        for r in lm_score(docs, interp, "text", "doc_id", N_BUCKETS).collect()
+    }
+    assert fi[1] > fi[2]  # backoff separates them
+    # sanity: seen transitions still dominate under interpolation
+    seen = lm_score(
+        _docs(spark, [(3, "a b c d")]), interp, "text", "doc_id", N_BUCKETS
+    ).collect()[0].fluency
+    assert seen > fi[1]

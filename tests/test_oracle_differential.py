@@ -191,6 +191,10 @@ DIFF_QUERIES = [
     # r11: ...and the store round-trip variant under the half-split
     # arrival convention (empty model halves, empty batches)
     "incremental_lm_quality",
+    # r11: Jelinek-Mercer interpolation — random corpora draw unseen
+    # transitions between seen tokens, exercising the unigram-backoff
+    # term against the two-floored-divisions replay
+    "interpolated_lm_score",
 ]
 
 
