@@ -3749,6 +3749,37 @@ def q_supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("small_quantity_revenue", _SMALL_QTY_ORACLE)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in lines whose quantity is
+    below HALF the part's average — the classic correlated scalar
+    aggregate, decorrelated into a per-part aggregate + same-key join
+    (one partkey shuffle each side, AQE reuses the partitioning; no
+    per-row subquery execution anywhere). The threshold is
+    DIVISION-FREE: quantities are exact quarter-units on this data,
+    so ``qty < avg/2`` becomes ``2*qq*cnt < sum_qq`` in pure BIGINT —
+    the cut cannot drift with float summation order on any engine or
+    partitioning. Revenue is an exact decimal sum cast once."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        (F.col("l_quantity") * 4).cast("long").alias("qq"),
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("qq").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(pa, "l_partkey").filter(
+        F.lit(2) * F.col("qq") * F.col("cnt") < F.col("sq")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("locked_revenue"),
+    )
+
+
 @query("target_fluency_gate", _JOINT_GATE_ORACLE)
 def q_target_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-axis corpus gate real pipelines run: DSIR target-
@@ -3828,6 +3859,7 @@ _DRIVER_PRIORITY = [
     "idle_customers_balance",
     "supplier_wait_chain",
     "target_fluency_gate",
+    "small_quantity_revenue",
     # (interpolated_lm_score cedes ann_topk_lsh_multiprobe from the
     # (c) tier — the LSH family stays led by ann_topk_lsh and
     # ann_topk_ivf_recall, both in the cut)
@@ -3878,7 +3910,6 @@ _DRIVER_PRIORITY = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf_recall",
-    "dedup_embedding_cosine",
     "semdedup_pairs",
 ]
 

@@ -576,6 +576,11 @@ LI_DIFF_QUERIES = [
     # ship-date draws exercise the strict-max (n_at_max = 1) tie
     # suppression on nearly every example
     "supplier_wait_chain",
+    # r11: Q17-shape — the generator's /4 quantities keep the
+    # quarter-unit exactness contract; single-line parts (qty never
+    # below its own average) and duplicate-quantity draws exercise the
+    # strict < boundary
+    "small_quantity_revenue",
     # r9: delete-1 fuzzy linkage — the fixture's "part N" names are all
     # pairwise distance 1, so probes match MULTIPLE masters and the
     # block's completeness is exercised beyond 1:1 self-matches.
