@@ -3832,6 +3832,117 @@ def q_target_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+@query("bracket_revenue", _BRACKET_REV_ORACLE)
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from OR'd (brand, size-range,
+    quantity-range) brackets. The disjunction implies derivable
+    single-side predicates — the brand IN-list and size hull for the
+    part scan, the quantity hull for the lineitem scan — which are
+    stated explicitly so BOTH scans prune before the join regardless
+    of how far the optimizer's CNF conversion reaches; the exact OR
+    predicate then runs after the broadcast join. Per-bracket revenue
+    is an exact decimal sum cast once."""
+    brackets = [
+        ("Brand#1", 1, 15, 1, 11),
+        ("Brand#12", 1, 30, 10, 20),
+        ("Brand#23", 1, 50, 20, 30),
+    ]
+    qty_lo = min(b[3] for b in brackets)
+    qty_hi = max(b[4] for b in brackets)
+    size_lo = min(b[1] for b in brackets)
+    size_hi = max(b[2] for b in brackets)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([b[0] for b in brackets])
+        & F.col("p_size").between(size_lo, size_hi)
+    )
+    disj = None
+    for brand, slo, shi, qlo, qhi in brackets:
+        leg = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        disj = leg if disj is None else (disj | leg)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(disj)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query("market_share_by_year", _MKT_SHARE_ORACLE)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of the AFRICA-region
+    PROMO-part market by order year. The part filter broadcasts FIRST
+    (cuts lineitem ~6x before the orderkey exchange), the order-date
+    range pushes into the orders scan, and numerator + denominator
+    accumulate in ONE conditional-aggregation pass — the classic Q8
+    CASE-sum, never a second scan or a self-join. The share is the
+    single final division of two exact decimal sums."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AFRICA"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(zero)
+    )
+    total_rev = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_rev.cast("double").alias("nation_rev"),
+            total_rev.cast("double").alias("total_rev"),
+            (nation_rev.cast("double") / total_rev.cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152

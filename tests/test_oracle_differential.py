@@ -585,6 +585,17 @@ LI_DIFF_QUERIES = [
     # pairwise distance 1, so probes match MULTIPLE masters and the
     # block's completeness is exercised beyond 1:1 self-matches.
     "fuzzy_link_part_names",
+    # r11 batch 3: Q19-shape — the fixture's Brand#1/size-1 parts make
+    # bracket 1 live while brackets 2-3 never match (the disjunction's
+    # dead legs must contribute nothing), and fractional quantities
+    # (x.25/x.5/x.75 from the /4 draws) exercise the BETWEEN bounds as
+    # real-valued comparisons, not integer ones
+    "bracket_revenue",
+    # r11 batch 3: Q8-shape — supplier draws split lines between
+    # NATION_0/NATION_1, exercising the conditional numerator against
+    # the unconditional denominator (all-NATION_0 draws must yield
+    # share 0.0, not a missing group)
+    "market_share_by_year",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -719,6 +730,13 @@ def _write_tpch(spark, pdir, orders, lineitems):
     spark.createDataFrame(
         nations, "n_nationkey int, n_name string, n_regionkey int"
     ).coalesce(1).write.parquet(str(pdir / "nation.parquet"))
+    # r11 batch 3: region dim for the Q8-shape market share (both
+    # nations sit in AFRICA so every draw lands in the market; the
+    # conditional num/den split is decided by the supplier draws)
+    regions = [(0, "AFRICA"), (1, "AMERICA")]
+    spark.createDataFrame(
+        regions, "r_regionkey int, r_name string"
+    ).coalesce(1).write.parquet(str(pdir / "region.parquet"))
 
 
 @pytest.mark.parametrize("qname", LI_DIFF_QUERIES)
@@ -736,7 +754,7 @@ def test_tpch_oracle_differential(spark, tmp_path_factory, qname, tables):
         sdf = Q.QUERIES[qname](spark, str(pdir))
         s_cols = sorted(sdf.columns)
         con = duckdb.connect()
-        for t in ("orders", "lineitem", "part", "customer", "supplier", "nation"):
+        for t in ("orders", "lineitem", "part", "customer", "supplier", "nation", "region"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
             )
@@ -786,7 +804,7 @@ def test_tpch_duplicate_price_boundaries(spark, tmp_path_factory, qname):
         sdf = Q.QUERIES[qname](spark, str(pdir))
         s_cols = sorted(sdf.columns)
         con = duckdb.connect()
-        for t in ("orders", "lineitem", "part", "customer", "supplier", "nation"):
+        for t in ("orders", "lineitem", "part", "customer", "supplier", "nation", "region"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{pdir}/{t}.parquet/*.parquet'"
             )
