@@ -3943,6 +3943,77 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cheapest_supplier_per_part", _CHEAPEST_SUPP_ORACLE)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: which supplier offers each part cheapest. The
+    correlated MIN subquery decorrelates into a (part, supplier) offer
+    aggregate + a window MIN, so lineitem is scanned once and nothing
+    joins back (the Q21 stacked-window lesson applied to argmin): one
+    pair-key exchange builds the offers, then ONE partkey exchange
+    serves both the window minimum and the winner groupBy (plan-
+    verified — no third exchange, no self-join). Ties break to the
+    smallest suppkey. Offers are exact DECIMAL(18,2) minima, so the
+    equality against the window minimum is exact on both engines; the
+    part join is left to AQE (part is corpus-proportional at scale),
+    supplier broadcasts."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("offer")
+    )
+    w = Window.partitionBy("l_partkey")
+    win = (
+        offers.withColumn("b", F.min("offer").over(w))
+        .filter(F.col("offer") == F.col("b"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("win_suppkey"),
+            F.min("offer").alias("best_offer"),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        win.join(part, win.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("win_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("best_offer").cast("double").alias("best_price"),
+        )
+    )
+
+
+@query("supplier_variety_by_part", _SUPP_VARIETY_ORACLE)
+def q_supplier_variety_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to furnish each
+    surviving (brand, type, size) part class. The (part, supplier)
+    pair set dedups FIRST — one row per pair crosses the dim join
+    instead of one per lineitem (at 100 TB that is the difference
+    between joining the fact table and joining its key set); the
+    exclusion predicates push into the part scan, and the two distinct
+    aggregates share one class-key exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(list(_SUPP_VARIETY_SIZES))
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152

@@ -596,6 +596,14 @@ LI_DIFF_QUERIES = [
     # the unconditional denominator (all-NATION_0 draws must yield
     # share 0.0, not a missing group)
     "market_share_by_year",
+    # r11 batch 3: Q2-shape — repeated (part, supplier) draws collapse
+    # into offers, and equal-price draws across suppliers exercise the
+    # min-suppkey tie-break of the argmin
+    "cheapest_supplier_per_part",
+    # r11 batch 3: Q16-shape — the fixture's PROMO parts must drop at
+    # the exclusion filter while STANDARD/ECONOMY survive, and repeated
+    # pair draws must not inflate the distinct counts
+    "supplier_variety_by_part",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
