@@ -127,6 +127,98 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+# 8-bit scalar quantization (SQ8): symmetric, one global scale. 127
+# levels per side; codes live in a TINYINT array — 4x smaller than the
+# raw float32 embedding and 8x smaller than the 1e6-quantized BIGINT
+# form, which is the knob that matters at 100 TB: the candidate scan is
+# memory-bandwidth-bound, so shrinking bytes/vector is a direct
+# throughput multiplier, and a billion-vector code table broadcasts or
+# pins in cache where floats cannot.
+SQ8_LEVELS = 127.0
+
+
+def _sq8_max_abs(corpus: DataFrame, vec_col: str) -> DataFrame:
+    """1-row frame holding the corpus-wide max |component| (the
+    symmetric quantizer's scale). Float abs/max are exact, the final
+    cast to double is exact — every engine computes the same scale."""
+    return corpus.agg(
+        F.max(F.array_max(F.transform(F.col(vec_col), F.abs)))
+        .cast("double")
+        .alias("__mx")
+    )
+
+
+def sq8_codes(
+    df: DataFrame,
+    scale: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    widen: bool = True,
+) -> DataFrame:
+    """(id, c8: array<tinyint>) — c8[i] = floor(x_i * 127 / max_abs).
+    The expression is a fixed left-to-right double chain over exactly-
+    converted floats, so the codes are bit-identical on any engine and
+    any partitioning; floor lands in [-128, 127], inside TINYINT."""
+    base = ensure_parallelism(df) if widen else df
+    return base.crossJoin(F.broadcast(scale)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(SQ8_LEVELS) / F.col("__mx")
+            ).cast("byte"),
+        ).alias("c8"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k over SQ8 codes: (query_id, neighbor_id, score8, rank).
+    score8 is the EXACT integer dot product of the two int8 code
+    vectors (<= dim * 127^2 — nowhere near int64), so the entire
+    result is integer-valued: ranking, tie-break (neighbor id), and
+    output hash cannot drift. Queries quantize with the same corpus
+    scale and broadcast; the corpus is scanned once, codes-only."""
+    scale = _sq8_max_abs(corpus, vec_col)
+    c = sq8_codes(corpus, scale, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("c8").alias("__cc")
+    )
+    q = F.broadcast(
+        sq8_codes(queries, scale, id_col, vec_col, widen=False).select(
+            F.col(id_col).alias("query_id"), F.col("c8").alias("__cq")
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("__cq"),
+            F.col("__cc"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score8", score)
+        .select("query_id", "neighbor_id", "score8")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score8", "rank")
+    )
+
+
 def auto_bits(n_rows: int, target_bucket: int = 256, lo: int = 2, hi: int = 16) -> int:
     """Scale-proportional LSH width: enough sign bits that the expected
     bucket holds ~``target_bucket`` vectors (2^bits buckets). Keeps the

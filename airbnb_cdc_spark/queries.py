@@ -4014,6 +4014,19 @@ def q_supplier_variety_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_topk_sq8", _SQ8_ORACLE)
+def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over 8-bit scalar-quantized codes (SQ8): the
+    compressed-candidate-scan leg of the ANN family. Codes are 4x
+    smaller than the float32 embeddings — at scale the brute/IVF scan
+    is memory-bandwidth-bound, so bytes-per-vector is the throughput
+    knob, and the integer dot-product score makes the entire result
+    (values, ranking, ties) exactly replayable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.sq8_topk(emb, queries_df, k=5)
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152

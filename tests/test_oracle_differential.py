@@ -462,6 +462,11 @@ EMB_DIFF_QUERIES = [
     "knn_label_vote",
     "embedding_outliers",
     "dedup_embedding_cosine",
+    # r11 batch 3: SQ8 codes — the fixture's dyadic i/8 components make
+    # the quantizer scale exact, every vector is a query (ids are all
+    # multiples of 50), and the coarse integer scores collide
+    # constantly, hammering the (score desc, neighbor id) tie-break
+    "ann_topk_sq8",
 ]
 
 
