@@ -4027,6 +4027,65 @@ def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.sq8_topk(emb, queries_df, k=5)
 
 
+@query("lm_perplexity_buckets", _PPL_BUCKETS_ORACLE)
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: rank every candidate doc
+    per LANGUAGE by bigram-LM fluency and cut into terciles — the
+    bucket downstream mixtures sample from (head = most target-like
+    fluency). The tercile index is pure integer arithmetic over
+    (rank, language count), so the split replays exactly; the per-
+    (lang, bucket) report carries exact BIGINT sums with one final
+    division. The per-language window parallelizes by language — at
+    corpus scale the same split runs as a two-pass threshold cut
+    (per-lang tercile scores from the ranked frame, then a broadcast
+    threshold mark-back), which this rank form is the oracle for."""
+    from airbnb_cdc_spark.operators.lm import fit_bigram_lm, lm_score, transition_buckets
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tr = transition_buckets(
+        docs.select("doc_id", "source", "text"), "text", _LM_BUCKETS
+    )
+    model = fit_bigram_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    cand = docs.filter(F.col("source") != _LM_TARGET).select(
+        "doc_id", "text"
+    )
+    scored = lm_score(cand, model, "text", "doc_id", _LM_BUCKETS)
+    langs = docs.select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("fluency").desc(), F.col("doc_id")
+    )
+    ranked = (
+        scored.join(langs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE CAST(((rn - 1) * 3) div cnt AS BIGINT)"
+                " WHEN 0 THEN 'head' WHEN 1 THEN 'middle'"
+                " ELSE 'tail' END"
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fluency_sum").alias("fluency_sum_total"),
+            F.sum("n_transitions").alias("n_transitions_total"),
+            (
+                F.sum("fluency_sum").cast("double")
+                / F.sum("n_transitions").cast("double")
+            ).alias("mean_fluency"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
