@@ -4118,6 +4118,17 @@ _DRIVER_PRIORITY = [
     # (c) tier — the LSH family stays led by ann_topk_lsh and
     # ann_topk_ivf_recall, both in the cut)
     "interpolated_lm_score",
+    # r11 third batch (new): Q19/Q8/Q2/Q16 shapes, SQ8 ANN, and the
+    # CCNet perplexity terciles — each cedes one slot from the (c)
+    # backfill tier (quality_filter, doc_fingerprint, dedup_exact,
+    # dedup_ngram_jaccard, dedup_simhash, semdedup_pairs — all
+    # r8-recorded, age 3 after r11, joining the r12 must-record set):
+    "bracket_revenue",
+    "market_share_by_year",
+    "cheapest_supplier_per_part",
+    "supplier_variety_by_part",
+    "ann_topk_sq8",
+    "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
     # audit exists to prevent; includes repetition_filter, giving the
@@ -4154,17 +4165,11 @@ _DRIVER_PRIORITY = [
     "booking_customer_aggregation",
     "lookup_latest_event",
     "cdc_merge_upsert",
-    "quality_filter",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf_recall",
-    "semdedup_pairs",
 ]
 
 
