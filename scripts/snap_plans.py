@@ -248,6 +248,29 @@ SNAPS = [
         "orderkey sort, supplier dim broadcast, TakeOrdered cut — "
         "three exchanges total, no self-join",
     ),
+    (
+        "bracket_revenue",
+        "Q19 disjunction: PushedFilters on BOTH scans carry the "
+        "derived hulls AND the per-side OR legs; broadcast part join, "
+        "one brand-key exchange",
+    ),
+    (
+        "market_share_by_year",
+        "Q8 one-pass conditional share: filtered part broadcast first, "
+        "date range pushed into the orders scan, every dim broadcast, "
+        "single year-key exchange carrying both CASE-sums",
+    ),
+    (
+        "cheapest_supplier_per_part",
+        "Q2 argmin decorrelated: pair-key exchange for offers, then ONE "
+        "partkey exchange serving both the window MIN and the winner "
+        "groupBy — no join-back, no third exchange",
+    ),
+    (
+        "ann_topk_sq8",
+        "SQ8 codes: 1-row scale broadcast, tinyint code arrays, "
+        "broadcast query side against a single codes-only corpus scan",
+    ),
 ]
 
 
