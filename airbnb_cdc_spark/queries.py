@@ -4086,6 +4086,35 @@ def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_topk_sq8_recall", _SQ8_RECALL_ORACLE)
+def q_ann_topk_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest quality point for the SQ8 leg: overlap of the SQ8 top-5
+    with the exact-cosine top-5, rolled up to (n_exact, overlap_total,
+    recall). SQ8 trades recall for scan bandwidth — this query pins
+    the measured trade next to the knob (the ivf_recall precedent).
+    Both member rankings are exactly replayable, so the recall itself
+    is exact-integer overlap over exact-integer pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    ex = _sim.brute_force_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    s8 = _sim.sq8_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    overlap = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        ex.join(s8, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            overlap.cast("long").alias("overlap_total"),
+            (overlap.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -4128,6 +4157,9 @@ _DRIVER_PRIORITY = [
     "cheapest_supplier_per_part",
     "supplier_variety_by_part",
     "ann_topk_sq8",
+    # (ann_topk_sq8_recall cedes dedup_minhash_lsh from the (c) tier —
+    # r8-recorded, age 3 after r11, joins the r12 must-record set)
+    "ann_topk_sq8_recall",
     "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
@@ -4166,7 +4198,6 @@ _DRIVER_PRIORITY = [
     "lookup_latest_event",
     "cdc_merge_upsert",
     "dedup_ngram_jaccard_prefix",
-    "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf_recall",
