@@ -4115,6 +4115,18 @@ def q_ann_topk_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_topk_ivf_sq8", _IVF_SQ8_ORACLE)
+def q_ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale path: IVF pruning (probe 2 lists per query)
+    x SQ8 candidate scanning (4x fewer bytes through the bandwidth-
+    bound leg). Assignment/probing use the exact quantized cosine,
+    candidate scores are exact integer SQ8 dot products — the whole
+    result is integer-ranked and bit-replayable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.ivf_sq8_topk(emb, queries_df, k=5, nprobe=2)
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -4160,6 +4172,8 @@ _DRIVER_PRIORITY = [
     # (ann_topk_sq8_recall cedes dedup_minhash_lsh from the (c) tier —
     # r8-recorded, age 3 after r11, joins the r12 must-record set)
     "ann_topk_sq8_recall",
+    # (ann_topk_ivf_sq8 likewise cedes dedup_ngram_jaccard_prefix)
+    "ann_topk_ivf_sq8",
     "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
@@ -4197,7 +4211,6 @@ _DRIVER_PRIORITY = [
     "booking_customer_aggregation",
     "lookup_latest_event",
     "cdc_merge_upsert",
-    "dedup_ngram_jaccard_prefix",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf_recall",
