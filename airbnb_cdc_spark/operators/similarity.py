@@ -155,17 +155,27 @@ def sq8_codes(
     vec_col: str = "embedding",
     widen: bool = True,
 ) -> DataFrame:
-    """(id, c8: array<tinyint>) — c8[i] = floor(x_i * 127 / max_abs).
-    The expression is a fixed left-to-right double chain over exactly-
-    converted floats, so the codes are bit-identical on any engine and
-    any partitioning; floor lands in [-128, 127], inside TINYINT."""
+    """(id, c8: array<tinyint>) — c8[i] = floor(x_i * 127 / max_abs),
+    SATURATED to [-127, 127] (standard symmetric int8). The clamp is
+    what makes a FROZEN scale safe: vectors appended later may exceed
+    the build-time max_abs, and double rounding can nudge the exact
+    boundary to -128 even same-corpus — either way the code rail-stops
+    instead of overflowing. The expression is a fixed left-to-right
+    double chain over exactly-converted floats, so the codes are
+    bit-identical on any engine and any partitioning."""
     base = ensure_parallelism(df) if widen else df
     return base.crossJoin(F.broadcast(scale)).select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(SQ8_LEVELS) / F.col("__mx")
+            lambda x: F.greatest(
+                F.least(
+                    F.floor(
+                        x.cast("double") * F.lit(SQ8_LEVELS) / F.col("__mx")
+                    ),
+                    F.lit(127).cast("long"),
+                ),
+                F.lit(-127).cast("long"),
             ).cast("byte"),
         ).alias("c8"),
     )
@@ -444,6 +454,110 @@ def ivf_sq8_topk(
     scored = (
         qcodes.join(cand, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score8", score)
+        .select("query_id", "neighbor_id", "score8")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score8", "rank")
+    )
+
+
+def write_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SQ8 code table as a DISK LAYOUT: ``codes/``
+    (id, c8 tinyint array) plus the 1-row quantizer ``scale/``. The
+    persisted form is what makes SQ8 pay at scale — the 4x-smaller
+    code table is built once per corpus version and every later scan
+    reads codes, never floats. The scale is FROZEN at build time:
+    later appends quantize against it (the IVF frozen-centroid
+    contract), so codes stay mutually comparable; a corpus whose
+    value range drifts needs a rebuild, exactly like centroid drift."""
+    import os
+
+    scale = _sq8_max_abs(corpus, vec_col)
+    sq8_codes(corpus, scale, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    scale.write.mode("overwrite").parquet(os.path.join(path, "scale"))
+
+
+def append_sq8_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a ``write_sq8_index`` layout: quantize the
+    batch against the FROZEN stored scale and append. The existing
+    code table is never rewritten — ingest cost is one batch-sized
+    quantization pass plus an id anti-join against the (id-column-only,
+    column-pruned) existing codes scan. Returns rows appended;
+    ``skip_existing`` makes replays idempotent (the store-not-rescan
+    contract every incremental store in this repo follows)."""
+    import os
+
+    scale = spark.read.parquet(os.path.join(path, "scale"))
+    batch = sq8_codes(new_vectors, scale, id_col, vec_col)
+    if skip_existing:
+        existing = spark.read.parquet(os.path.join(path, "codes")).select(
+            id_col
+        )
+        batch = batch.join(existing, id_col, "left_anti")
+    batch = persist_tracked(batch)
+    n = batch.count()
+    if n:
+        batch.write.mode("append").parquet(os.path.join(path, "codes"))
+    return n
+
+
+def query_sq8_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k against a persisted SQ8 layout: queries quantize with the
+    stored scale and broadcast; the corpus side reads ONLY the code
+    table — at no point is a float embedding materialized. Identical
+    semantics to ``sq8_topk`` over the same logical corpus (pytest-
+    asserted), so in-session results carry over to the stored form."""
+    import os
+
+    from pyspark.sql import Window
+
+    scale = spark.read.parquet(os.path.join(path, "scale"))
+    c = spark.read.parquet(os.path.join(path, "codes")).select(
+        F.col(id_col).alias("neighbor_id"), F.col("c8").alias("__cc")
+    )
+    q = F.broadcast(
+        sq8_codes(queries, scale, id_col, vec_col, widen=False).select(
+            F.col(id_col).alias("query_id"), F.col("c8").alias("__cq")
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("__cq"),
+            F.col("__cc"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score8", score)
         .select("query_id", "neighbor_id", "score8")
     )

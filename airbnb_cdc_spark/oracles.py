@@ -3517,7 +3517,7 @@ WITH m AS (
 c AS (
     SELECT vec_id,
            list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+               x -> GREATEST(LEAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT), 127), -127))
                AS c8
     FROM embeddings, m
 ),
@@ -3601,7 +3601,7 @@ WITH m AS (
 c AS (
     SELECT vec_id,
            list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+               x -> GREATEST(LEAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT), 127), -127))
                AS c8
     FROM embeddings, m
 ),
@@ -3661,7 +3661,7 @@ m AS (
 c8 AS (
     SELECT vec_id,
            list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+               x -> GREATEST(LEAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT), 127), -127))
                AS c8
     FROM embeddings, m
 ),
