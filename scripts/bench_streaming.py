@@ -34,6 +34,13 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   rejects all of them (kept=0 is expected); the throughput number is
   the per-batch segment-groupBy + projection cost.
 
+- ``sq8`` (r11): streaming SQ8 index ingest vectors/sec — the code
+  table is built from the first file (scale frozen), then each
+  micro-batch quantizes against the frozen scale and appends via the
+  idempotent id anti-join; the first file re-arriving in batch 0 must
+  append 0 rows (replay safety measured on real traffic, not a unit
+  fixture).
+
 - ``lm`` (r11): streaming bigram-LM fluency selection docs/sec —
   each micro-batch scored against the persisted dense transition
   model (broadcast n_buckets^2-row join + doc-key groupBy per
@@ -456,10 +463,102 @@ def bench_quality(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def write_vectors_feed(feed: Path, n_vecs: int, n_files: int) -> int:
+    """JSON files of (vec_id, 64-dim float list) — deterministic
+    values spanning [-1, 1] so the SQ8 scale is stable across runs."""
+    per = n_vecs // n_files
+    total = 0
+    for f in range(n_files):
+        lines = []
+        for i in range(per):
+            vid = f * per + i
+            vec = [(((vid * 31 + d * 7) % 257) - 128) / 128.0 for d in range(64)]
+            lines.append(json.dumps({"vec_id": vid, "embedding": vec}))
+        (feed / f"part-{f:04d}.json").write_text("\n".join(lines) + "\n")
+        total += per
+    return total
+
+
+def bench_sq8(n_vecs: int, n_files: int) -> None:
+    """Streaming SQ8 ingest vectors/sec: the index is built from the
+    first file (freezing the quantizer scale), then every micro-batch
+    quantizes against the frozen scale and appends via the idempotent
+    id anti-join — the per-batch cost is one batch-sized quantization
+    pass + the column-pruned existing-id probe, independent of index
+    size. The final code count must equal the distinct feed ids (the
+    first file's vectors arrive again in batch 0 and must be skipped
+    by the anti-join, proving replay safety on real traffic)."""
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_sq8_index,
+        write_sq8_index,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-sq8")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_sq8_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_vectors_feed(feed, n_vecs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        index = str(work / "sq8")
+        # build from the first file — scale frozen here
+        first = spark.read.schema(schema).json(
+            str(sorted(feed.iterdir())[0])
+        )
+        write_sq8_index(first, index)
+
+        appended = []
+
+        def _ingest(batch_df, batch_id):
+            appended.append(append_sq8_index(spark, index, batch_df))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        n_codes = spark.read.parquet(index + "/codes").count()
+        assert n_codes == total, (n_codes, total)
+        print(
+            json.dumps(
+                {
+                    "metric": "sq8_ingest_stream_vecs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "vecs/sec",
+                    "feed_vecs": total,
+                    "micro_batches": n_files,
+                    "code_rows": n_codes,
+                    "appended_per_batch": appended,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -477,6 +576,9 @@ def main() -> None:
         return
     if leg == "lm":
         bench_lm(n_rows, n_files)
+        return
+    if leg == "sq8":
+        bench_sq8(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
