@@ -271,6 +271,12 @@ SNAPS = [
         "SQ8 codes: 1-row scale broadcast, tinyint code arrays, "
         "broadcast query side against a single codes-only corpus scan",
     ),
+    (
+        "ann_topk_ivf_sq8",
+        "IVF x SQ8 composition: broadcast centroid assignment/probing "
+        "on the persisted quant frame, probed lists joined to SQ8 "
+        "codes, integer-dot scoring, windowed top-k",
+    ),
 ]
 
 
