@@ -1,0 +1,86 @@
+"""Persisted SQ8 code store: full-build store queries must equal the
+in-session sq8_topk, appends must quantize against the FROZEN scale
+(saturating instead of overflowing TINYINT), and replays must append
+nothing — the store-not-rescan contract every incremental store in
+this repo follows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbnb_cdc_spark.operators.similarity import (
+    append_sq8_index,
+    query_sq8_index,
+    sq8_codes,
+    sq8_topk,
+    write_sq8_index,
+)
+
+
+def _vecs(spark, ids, scale=1.0):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (
+            i,
+            [
+                scale * ((((i * 31 + d * 7) % 257) - 128) / 128.0)
+                for d in range(64)
+            ],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_store_query_equals_in_session(spark, tmp_path):
+    corpus = _vecs(spark, range(60))
+    queries = _vecs(spark, range(0, 60, 10))
+    path = str(tmp_path / "sq8")
+    write_sq8_index(corpus, path)
+    stored = sorted(
+        map(tuple, query_sq8_index(spark, path, queries, k=3).collect())
+    )
+    insess = sorted(map(tuple, sq8_topk(corpus, queries, k=3).collect()))
+    assert stored == insess
+
+
+def test_append_idempotent_and_frozen_scale(spark, tmp_path):
+    old = _vecs(spark, range(40))
+    path = str(tmp_path / "sq8")
+    write_sq8_index(old, path)
+    # components 3x the build-time max_abs: codes MUST saturate at
+    # +/-127 under the frozen scale, not overflow the TINYINT cast
+    hot = _vecs(spark, range(100, 110), scale=3.0)
+    assert append_sq8_index(spark, path, hot) == 10
+    assert append_sq8_index(spark, path, hot) == 0  # replay
+    codes = spark.read.parquet(path + "/codes")
+    assert codes.count() == 50
+    mx = codes.filter(F.col("vec_id") >= 100).agg(
+        F.max(F.array_max("c8")).alias("hi"),
+        F.min(F.array_min("c8")).alias("lo"),
+    ).collect()[0]
+    assert mx.hi == 127 and mx.lo == -127
+
+
+def test_codes_saturate_symmetrically(spark):
+    # same-corpus codes stay within [-127, 127] even at the exact
+    # boundary components (x == +/-max_abs), where double rounding
+    # could otherwise floor to -128
+    corpus = _vecs(spark, range(20))
+    scale = corpus.agg(
+        F.max(F.array_max(F.transform(F.col("embedding"), F.abs)))
+        .cast("double")
+        .alias("__mx")
+    )
+    c = sq8_codes(corpus, scale, "vec_id", "embedding")
+    row = c.agg(
+        F.max(F.array_max("c8")).alias("hi"),
+        F.min(F.array_min("c8")).alias("lo"),
+    ).collect()[0]
+    assert -127 <= row.lo <= row.hi <= 127
