@@ -84,3 +84,34 @@ def test_codes_saturate_symmetrically(spark):
         F.min(F.array_min("c8")).alias("lo"),
     ).collect()[0]
     assert -127 <= row.lo <= row.hi <= 127
+
+
+def test_sq8_codes_scale_smoke(spark):
+    # 200k synthetic 64-dim vectors: quantization is a pure per-row
+    # projection after the 1-row scale broadcast — the un-widened plan
+    # must contain NO shuffle Exchange (BroadcastNestedLoopJoin over
+    # the 1-row scale only), which is what makes the codes leg fuse
+    # into any scan at corpus scale.
+    n = 200_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                (((F.col("id") * 31 + d * 7) % 257) - 128) / F.lit(128.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    scale = corpus.agg(
+        F.max(F.array_max(F.transform(F.col("embedding"), F.abs)))
+        .cast("double")
+        .alias("__mx")
+    )
+    codes = sq8_codes(corpus, scale, "vec_id", "embedding", widen=False)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    # the 1-row scale BroadcastExchange is expected; a SHUFFLE is not
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert codes.count() == n
+    hi = codes.agg(F.max(F.array_max("c8")).alias("m")).collect()[0].m
+    assert hi <= 127
