@@ -4155,6 +4155,49 @@ def q_ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_sq8_topk(emb, queries_df, k=5, nprobe=2)
 
 
+@query("outsized_supplier_share", _DOMINANT_SUPP_ORACLE)
+def q_outsized_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping an OUTSIZED share of a
+    part — more than twice the part's per-supplier average — counted
+    per supplier (a strict-majority cut was probed first and is
+    degenerate on this near-uniform data: 0 rows at every SF). The
+    nested aggregate-threshold subquery decorrelates into windows
+    over the pair aggregate's own partkey (the Q2 no-join-back shape:
+    one pair-key exchange, one partkey exchange, lineitem scanned
+    once), and the test is DIVISION-FREE — quarter-unit quantities
+    make ``pair_q > 2*total_q/nsupp`` exactly
+    ``pair_q*nsupp > 2*total_q`` in BIGINT on any engine."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_quantity") * 4).cast("long").alias("qq"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qq").alias("pair_q")
+    )
+    w = Window.partitionBy("l_partkey")
+    out = (
+        ps.withColumn("total_q", F.sum("pair_q").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("pair_q") * F.col("nsupp") > F.lit(2) * F.col("total_q")
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        out.join(F.broadcast(supplier), out.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_outsized_parts"),
+            F.sum("pair_q").alias("outsized_qq"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -4200,8 +4243,10 @@ _DRIVER_PRIORITY = [
     # (ann_topk_sq8_recall cedes dedup_minhash_lsh from the (c) tier —
     # r8-recorded, age 3 after r11, joins the r12 must-record set)
     "ann_topk_sq8_recall",
-    # (ann_topk_ivf_sq8 likewise cedes dedup_ngram_jaccard_prefix)
+    # (ann_topk_ivf_sq8 likewise cedes dedup_ngram_jaccard_prefix,
+    # and outsized_supplier_share cedes ann_topk_lsh)
     "ann_topk_ivf_sq8",
+    "outsized_supplier_share",
     "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
@@ -4240,7 +4285,6 @@ _DRIVER_PRIORITY = [
     "lookup_latest_event",
     "cdc_merge_upsert",
     "ann_topk_bruteforce",
-    "ann_topk_lsh",
     "ann_topk_ivf_recall",
 ]
 

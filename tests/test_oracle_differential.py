@@ -613,6 +613,11 @@ LI_DIFF_QUERIES = [
     # the exclusion filter while STANDARD/ECONOMY survive, and repeated
     # pair draws must not inflate the distinct counts
     "supplier_variety_by_part",
+    # r11 batch 3: Q20-shape — few-supplier parts make the
+    # above-2x-average cut live on small draws (a single-supplier part
+    # has share exactly 1x the average and must NOT pass the strict
+    # inequality), and repeated (part, supplier) draws roll up first
+    "outsized_supplier_share",
 ]
 
 _PRIORITIES_TPCH = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
