@@ -187,6 +187,85 @@ def fit_interpolated_lm(
     )
 
 
+def fit_kneser_ney_lm(
+    target_tr: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Kneser-Ney model (absolute discount d = 3/4): the third rung of
+    the smoothing ladder — Laplace backs off to a flat floor, JM to
+    the target's unigram FREQUENCY, KN to continuation DIVERSITY
+    (in how many distinct contexts does this token appear?), which is
+    what separates genuinely-versatile tokens from frequent-but-bound
+    ones ("Francisco" is frequent yet follows only "San"). Same dense
+    ``n_buckets**2``-row score contract, drop-in for
+    lm_score/lm_select/the store.
+
+    Exactness: with d = 3/4 and the continuation distribution
+    pcont(c) = cc(c)/NP,
+
+        s(p,c) = floor( SCALE·max(4·bi(p,c) - 3, 0) / (4·uni(p)) )
+               + floor( SCALE·3·n1p(p)·cc(c) / (4·uni(p)·NP) )
+
+    for seen contexts, and floor(SCALE·cc(c)/NP) when uni(p) = 0
+    (pure continuation backoff). cc(c) = #distinct predecessors of c,
+    n1p(p) = #distinct successors of p, NP = #distinct pairs — every
+    count rolls up from ONE pair aggregation, every operand stays in
+    int64 (SCALE·3·n1p·cc <= 2^16·3·256·256 ~ 1.3e10; denominators
+    4·uni·NP <= ~2.6e11 at web-scale counts), both divisions truncate,
+    so DuckDB replays the model with ``//`` bit-for-bit."""
+    spark = target_tr.sparkSession
+    bi = target_tr.groupBy("pb", "cb").agg(F.count(F.lit(1)).alias("bc"))
+    uni = bi.groupBy("pb").agg(
+        F.sum("bc").alias("uc"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = bi.groupBy("cb").agg(F.count(F.lit(1)).alias("cc"))
+    tot = bi.agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("NP"))
+    dense = (
+        spark.range(n_buckets * n_buckets)
+        .select(
+            F.expr(f"id div {n_buckets}").alias("pb"),
+            (F.col("id") % n_buckets).alias("cb"),
+        )
+        .join(bi, ["pb", "cb"], "left")
+        .join(uni, "pb", "left")
+        .join(cont, "cb", "left")
+        .join(F.broadcast(tot))
+    )
+    return dense.select(
+        "pb",
+        "cb",
+        (
+            F.greatest(
+                F.coalesce(F.col("bc"), F.lit(0)) * 4 - 3, F.lit(0)
+            )
+            * F.lit(scale)
+        ).cast("long").alias("__dn"),
+        (F.coalesce(F.col("uc"), F.lit(0)) * 4).cast("long").alias("__dd"),
+        (
+            F.lit(3 * scale)
+            * F.coalesce(F.col("n1p"), F.lit(0))
+            * F.coalesce(F.col("cc"), F.lit(0))
+        ).cast("long").alias("__cn"),
+        (
+            F.coalesce(F.col("uc"), F.lit(0))
+            * 4
+            * F.greatest(F.col("NP"), F.lit(1))
+        ).cast("long").alias("__cd"),
+        (
+            F.lit(scale) * F.coalesce(F.col("cc"), F.lit(0))
+        ).cast("long").alias("__bn"),
+        F.greatest(F.col("NP"), F.lit(1)).cast("long").alias("__bd"),
+    ).select(
+        "pb",
+        "cb",
+        F.expr(
+            "CAST(CASE WHEN __dd = 0 THEN __bn div __bd"
+            " ELSE (__dn div __dd) + (__cn div __cd) END AS BIGINT)"
+        ).alias("score"),
+    )
+
+
 def lm_score(
     candidates: DataFrame,
     model: DataFrame,

@@ -4231,6 +4231,35 @@ def q_outsized_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kneser_ney_lm_score", _KN_LM_ORACLE)
+def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney fluency (absolute discount d = 3/4, continuation
+    backoff) — the third rung of the smoothing ladder: Laplace backs
+    off to a flat floor, JM to unigram FREQUENCY, KN to continuation
+    DIVERSITY, separating versatile tokens from frequent-but-bound
+    ones (the "Francisco follows only San" case). Same dense-model/
+    broadcast/one-groupBy plan as the other two; all three count
+    tables roll up from one pair aggregation, and the score is
+    floored integer divisions end to end."""
+    from airbnb_cdc_spark.operators.lm import (
+        fit_kneser_ney_lm,
+        lm_select,
+        transition_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tr = transition_buckets(
+        docs.select("doc_id", "source", "text"), "text", _LM_BUCKETS
+    )
+    model = fit_kneser_ney_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    cand = docs.filter(F.col("source") != _LM_TARGET).select(
+        "doc_id", "text"
+    )
+    return lm_select(cand, model, "text", "doc_id", _LM_K, _LM_BUCKETS)
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -4280,6 +4309,9 @@ _DRIVER_PRIORITY = [
     # and outsized_supplier_share cedes ann_topk_lsh)
     "ann_topk_ivf_sq8",
     "outsized_supplier_share",
+    # (kneser_ney_lm_score cedes ann_topk_bruteforce — r8-recorded,
+    # age 3 after r11, r12 must-record)
+    "kneser_ney_lm_score",
     "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
@@ -4317,7 +4349,6 @@ _DRIVER_PRIORITY = [
     "booking_customer_aggregation",
     "lookup_latest_event",
     "cdc_merge_upsert",
-    "ann_topk_bruteforce",
     "ann_topk_ivf_recall",
 ]
 

@@ -175,3 +175,48 @@ def test_interpolated_backoff_orders_vocab_over_oov(spark):
         _docs(spark, [(3, "a b c d")]), interp, "text", "doc_id", N_BUCKETS
     ).collect()[0].fluency
     assert seen > fi[1]
+
+
+def test_kneser_ney_prefers_continuation_diversity(spark):
+    """The KN signature Laplace/JM cannot express: for unseen
+    contexts, a token that follows MANY distinct contexts ("y") must
+    outrank one that is MORE FREQUENT but context-bound ("x" always
+    follows "a" — the "Francisco follows only San" case). JM backs
+    off to raw frequency and prefers x; KN backs off to continuation
+    diversity and must prefer y."""
+    from airbnb_cdc_spark.operators.lm import (
+        fit_interpolated_lm,
+        fit_kneser_ney_lm,
+    )
+
+    # 64 buckets, not the file-default 16: at 16 a context token
+    # collides into x's bucket and muddies both backoff terms
+    nb = 64
+    target = _docs(
+        spark,
+        [
+            (0, "a x a x a x a x a x a x"),  # x: freq 6, one context
+            (1, "p y q y r y s y t y"),  # y: freq 5, five contexts
+        ],
+    )
+    tr = transition_buckets(target, "text", nb)
+    kn = fit_kneser_ney_lm(tr, nb)
+    assert kn.count() == nb * nb
+    docs = _docs(
+        spark,
+        [
+            (10, "w x u x"),  # unseen contexts -> backoff decides
+            (11, "w y u y"),
+        ],
+    )
+    fkn = {
+        r.doc_id: r.fluency
+        for r in lm_score(docs, kn, "text", "doc_id", nb).collect()
+    }
+    assert fkn[11] > fkn[10]  # KN: diversity wins
+    jm = fit_interpolated_lm(tr, nb)
+    fjm = {
+        r.doc_id: r.fluency
+        for r in lm_score(docs, jm, "text", "doc_id", nb).collect()
+    }
+    assert fjm[10] > fjm[11]  # JM: raw frequency wins — the contrast
