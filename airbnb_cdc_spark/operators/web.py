@@ -139,3 +139,47 @@ def url_dedup(
         F.count(F.lit(1)).alias("n_variants"),
         F.countDistinct(url_col).alias("n_distinct_raw"),
     )
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """All dot-suffix levels of a host: ``a.b.example.com`` →
+    ``[a.b.example.com, b.example.com, example.com, com]``. Bounded by
+    label depth (~5 for real hosts), so the explode it feeds is a
+    constant fan-out, not a corpus blow-up."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def blocklist_filter(
+    df,
+    url_col: str,
+    rules,
+    id_col: str = "doc_id",
+):
+    """Drop rows whose URL's host matches a blocklist entry exactly OR
+    as a dot-suffix (the UT1/registry convention: a rule
+    ``example.com`` blocks every subdomain). Built for million-rule
+    lists: the host explodes into its ≤depth suffix levels (constant
+    fan-out) and equality-joins the BROADCAST rule table — never a
+    per-row scan of the rules, never a theta join; blocked ids then
+    anti-join the corpus. Returns the surviving rows with the
+    canonical domain attached."""
+    canon = df.withColumn("__canon", canonicalize_url(F.col(url_col)))
+    domained = canon.withColumn("domain", url_domain(F.col("__canon")))
+    blocked = (
+        domained.select(
+            id_col,
+            F.explode(domain_suffixes(F.col("domain"))).alias("__sfx"),
+        )
+        .join(
+            F.broadcast(rules.select(F.col(rules.columns[0]).alias("__sfx"))),
+            "__sfx",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return domained.join(blocked, id_col, "left_anti").drop("__canon")

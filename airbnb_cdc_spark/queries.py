@@ -4260,6 +4260,26 @@ def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_select(cand, model, "text", "doc_id", _LM_K, _LM_BUCKETS)
 
 
+@query("url_blocklist_filter", _BLOCKLIST_ORACLE)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist — the web corpus's first gate (UT1-style
+    lists): a host is dropped when ANY of its dot-suffix levels
+    matches a rule, so ``example.com`` blocks every subdomain. Built
+    for million-rule lists: the host explodes into its ≤depth suffix
+    levels (constant fan-out) and equality-joins the BROADCAST rule
+    table — never a per-row rules scan, never a theta join. The
+    planted rules block two of the twenty sources exactly; the dead
+    broader rule must block nothing (operators/web.py)."""
+    from airbnb_cdc_spark.operators.web import blocklist_filter
+
+    rules = spark.createDataFrame(
+        [(r,) for r in _BLOCKLIST_RULES], "rule string"
+    )
+    return blocklist_filter(
+        _raw_doc_urls(spark, sf_dir), "url", rules
+    ).select("doc_id", "source", "url", "domain")
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -4312,6 +4332,10 @@ _DRIVER_PRIORITY = [
     # (kneser_ney_lm_score cedes ann_topk_bruteforce — r8-recorded,
     # age 3 after r11, r12 must-record)
     "kneser_ney_lm_score",
+    # (url_blocklist_filter cedes lookup_latest_event — the reference
+    # spine stays represented by booking_customer_aggregation and
+    # cdc_merge_upsert in this cut; lookup re-proves in r12)
+    "url_blocklist_filter",
     "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
@@ -4347,7 +4371,6 @@ _DRIVER_PRIORITY = [
     # record beyond the A/B acquittal. The remaining 28 r8-tier
     # queries are the r12 must-record set (28 < 50 — feasible).
     "booking_customer_aggregation",
-    "lookup_latest_event",
     "cdc_merge_upsert",
     "ann_topk_ivf_recall",
 ]
