@@ -318,6 +318,73 @@ def lm_select(
     ).limit(k)
 
 
+def ppl_tercile_thresholds(
+    scored: DataFrame, lang_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language tercile BOUNDARIES of the fluency ranking — the
+    CCNet production shape: cutoffs are computed once (here exactly;
+    CCNet itself samples) and FROZEN, then any number of docs — today's
+    corpus, tomorrow's batch, a stream — are bucketed by comparison,
+    never by re-ranking. The boundary is the full (fluency, id) SORT
+    KEY of the first row of buckets 1 and 2, so threshold assignment
+    reproduces the rank assignment EXACTLY, ties included (a bare
+    fluency cutoff could not split boundary ties). Output is one row
+    per language: (lang, b1_f, b1_id, b2_f, b2_id), NULL-padded for
+    languages with fewer than 3 docs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("fluency").desc(), F.col(id_col)
+    )
+    ranked = scored.select(
+        lang_col, id_col, "fluency",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(lang_col)).alias("__cnt"),
+    )
+    # first row of bucket k sits at rn = ceil(k*cnt/3) + 1
+    b1 = F.expr("CAST((__cnt + 2) div 3 AS BIGINT) + 1")
+    b2 = F.expr("CAST((2 * __cnt + 2) div 3 AS BIGINT) + 1")
+    return (
+        ranked.groupBy(lang_col)
+        .agg(
+            F.max(F.when(F.col("__rn") == b1, F.col("fluency"))).alias("b1_f"),
+            F.max(F.when(F.col("__rn") == b1, F.col(id_col))).alias("b1_id"),
+            F.max(F.when(F.col("__rn") == b2, F.col("fluency"))).alias("b2_f"),
+            F.max(F.when(F.col("__rn") == b2, F.col(id_col))).alias("b2_id"),
+        )
+    )
+
+
+def assign_ppl_buckets(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bucket docs against FROZEN tercile boundaries: one broadcast
+    join on language + a pure projection — no window, no shuffle of
+    the scored corpus beyond what its own derivation needed. A doc is
+    head if its (fluency desc, id asc) sort key precedes the bucket-1
+    boundary row, middle if it precedes the bucket-2 boundary, else
+    tail; a NULL boundary (language smaller than the bucket) keeps
+    everything above it."""
+    before = lambda bf, bid: (  # noqa: E731 — local sort-key comparator
+        F.col(bf).isNull()
+        | (F.col("fluency") > F.col(bf))
+        | ((F.col("fluency") == F.col(bf)) & (F.col(id_col) < F.col(bid)))
+    )
+    return (
+        scored.join(F.broadcast(thresholds), lang_col)
+        .withColumn(
+            "bucket",
+            F.when(before("b1_f", "b1_id"), F.lit("head"))
+            .when(before("b2_f", "b2_id"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("b1_f", "b1_id", "b2_f", "b2_id")
+    )
+
+
 def write_lm_model(model: DataFrame, path: str) -> None:
     """Persist the dense (pb, cb, score) table — ``n_buckets**2`` rows
     regardless of the corpus that fitted it (~0.5 MB at the default

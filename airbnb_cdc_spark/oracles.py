@@ -28,7 +28,7 @@ _ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
 # shared by the chunk-dedup oracles AND their Spark query bodies
 _CHUNK_W, _CHUNK_S = 64, 48
 
-__all__ = ['_TRADE_VOLUME_ORACLE', '_SEMDEDUP_KEEPER_ORACLE', '_SOFT_DEDUP_ORACLE', '_PRIORITY_RETURNS_ORACLE', '_ASOF_TOLERANCE_SEC', '_ASOF_TOL_ORACLE', '_KMV_WINDOWED_ORACLE', '_FORECAST_REV_ORACLE', '_SOURCE_PROFILE_ORACLE', '_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE', '_LM_BUCKETS', '_LM_SCALE', '_LM_K', '_LM_TARGET', '_LM_ORACLE', '_INCR_LM_ORACLE', '_ORDER_DIST_ORACLE', '_IDLE_CUSTOMERS_ORACLE', '_WAIT_CHAIN_ORACLE', '_JOINT_GATE_ORACLE', '_IDLE_CUTOFF', '_INTERP_LM_ORACLE', '_SMALL_QTY_ORACLE', '_BRACKET_REV_ORACLE', '_MKT_SHARE_ORACLE', '_CHEAPEST_SUPP_ORACLE', '_SUPP_VARIETY_SIZES', '_SUPP_VARIETY_ORACLE', '_SQ8_ORACLE', '_PPL_BUCKETS_ORACLE', '_SQ8_RECALL_ORACLE', '_IVF_SQ8_ORACLE', '_DOMINANT_SUPP_ORACLE', '_KN_LM_ORACLE', '_BLOCKLIST_RULES', '_BLOCKLIST_ORACLE']
+__all__ = ['_TRADE_VOLUME_ORACLE', '_SEMDEDUP_KEEPER_ORACLE', '_SOFT_DEDUP_ORACLE', '_PRIORITY_RETURNS_ORACLE', '_ASOF_TOLERANCE_SEC', '_ASOF_TOL_ORACLE', '_KMV_WINDOWED_ORACLE', '_FORECAST_REV_ORACLE', '_SOURCE_PROFILE_ORACLE', '_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE', '_LM_BUCKETS', '_LM_SCALE', '_LM_K', '_LM_TARGET', '_LM_ORACLE', '_INCR_LM_ORACLE', '_ORDER_DIST_ORACLE', '_IDLE_CUSTOMERS_ORACLE', '_WAIT_CHAIN_ORACLE', '_JOINT_GATE_ORACLE', '_IDLE_CUTOFF', '_INTERP_LM_ORACLE', '_SMALL_QTY_ORACLE', '_BRACKET_REV_ORACLE', '_MKT_SHARE_ORACLE', '_CHEAPEST_SUPP_ORACLE', '_SUPP_VARIETY_SIZES', '_SUPP_VARIETY_ORACLE', '_SQ8_ORACLE', '_PPL_BUCKETS_ORACLE', '_SQ8_RECALL_ORACLE', '_IVF_SQ8_ORACLE', '_DOMINANT_SUPP_ORACLE', '_KN_LM_ORACLE', '_BLOCKLIST_RULES', '_BLOCKLIST_ORACLE', '_PPL_ASSIGN_ORACLE']
 
 _AGG_ORACLE = """
 WITH fact AS (
@@ -3808,4 +3808,48 @@ blocked AS (
 SELECT u.doc_id, u.source, u.url, u.domain
 FROM urls u LEFT JOIN blocked b ON u.doc_id = b.doc_id
 WHERE b.doc_id IS NULL
+"""
+
+
+# Per-doc perplexity-bucket assignment. Spark runs the FROZEN-
+# THRESHOLD path (CCNet production shape: per-language boundary sort
+# keys + a broadcast mark-back); the oracle computes the same buckets
+# the RANK way — the driver's hash compare is therefore a standing
+# equivalence proof between the two forms, re-run every round.
+_PPL_ASSIGN_ORACLE = f"""
+WITH {_LM_TR_CTE},
+bi AS (
+    SELECT pb, cb, CAST(count(*) AS BIGINT) AS bc FROM tr
+    WHERE source = '{_LM_TARGET}' GROUP BY pb, cb
+),
+uni AS (
+    SELECT pb, CAST(count(*) AS BIGINT) AS uc FROM tr
+    WHERE source = '{_LM_TARGET}' GROUP BY pb
+),
+scored AS (
+    SELECT t.doc_id,
+           CAST(SUM(((COALESCE(bi.bc, 0) + 1) * {_LM_SCALE})
+                    // (COALESCE(uni.uc, 0) + {_LM_BUCKETS})) AS BIGINT)
+               AS fluency_sum,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM tr t
+    LEFT JOIN bi ON bi.pb = t.pb AND bi.cb = t.cb
+    LEFT JOIN uni ON uni.pb = t.pb
+    WHERE t.source <> '{_LM_TARGET}'
+    GROUP BY t.doc_id
+),
+ranked AS (
+    SELECT s.doc_id, d.lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(s.fluency_sum AS DOUBLE)
+                        / CAST(s.n_transitions AS DOUBLE) DESC,
+                        s.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY d.lang) AS cnt
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang,
+       CASE ((rn - 1) * 3) // cnt WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
 """

@@ -4280,6 +4280,49 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "url", "domain")
 
 
+@query("ppl_bucket_assign", _PPL_ASSIGN_ORACLE)
+def q_ppl_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity-bucket assignment via FROZEN tercile
+    boundaries — the CCNet production shape `lm_perplexity_buckets`'s
+    docstring promises: per-language boundary SORT KEYS (fluency, id)
+    are extracted once, then docs are bucketed by one broadcast join +
+    comparison, never by carrying a rank over the corpus; new batches
+    and streams bucket against the same frozen table. The oracle
+    computes the buckets the RANK way, so the driver's hash compare
+    is a standing proof the two forms agree exactly, ties included."""
+    from airbnb_cdc_spark.operators.lm import (
+        assign_ppl_buckets,
+        fit_bigram_lm,
+        lm_score,
+        ppl_tercile_thresholds,
+        transition_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tr = transition_buckets(
+        docs.select("doc_id", "source", "text"), "text", _LM_BUCKETS
+    )
+    model = fit_bigram_lm(
+        tr.filter(F.col("source") == _LM_TARGET), _LM_BUCKETS, _LM_SCALE
+    )
+    cand = docs.filter(F.col("source") != _LM_TARGET).select(
+        "doc_id", "text"
+    )
+    from airbnb_cdc_spark.session import persist_tracked
+
+    # both the threshold extraction and the mark-back consume the
+    # scored frame — persist so scoring runs once (the self-join trap)
+    scored = persist_tracked(
+        lm_score(cand, model, "text", "doc_id", _LM_BUCKETS).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+    )
+    thresholds = ppl_tercile_thresholds(scored)
+    return assign_ppl_buckets(scored, thresholds).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
 _DRIVER_PRIORITY = [
     # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
     # (the r10 verdict's registry-hygiene ask). The registry is 152
@@ -4336,6 +4379,10 @@ _DRIVER_PRIORITY = [
     # spine stays represented by booking_customer_aggregation and
     # cdc_merge_upsert in this cut; lookup re-proves in r12)
     "url_blocklist_filter",
+    # (ppl_bucket_assign cedes booking_customer_aggregation —
+    # r8-recorded, age 3 after r11, r12 must-record; the audit refuses
+    # never-recorded queries outside the upcoming cut, by design)
+    "ppl_bucket_assign",
     "lm_perplexity_buckets",
     # (b) the 21 queries last recorded r7 — age 4 after r11 without a
     # slot (this is exactly the contrastive_negatives failure mode the
@@ -4370,7 +4417,6 @@ _DRIVER_PRIORITY = [
     # ann_topk_ivf_recall so the driver-flagged drifter gets a fresh
     # record beyond the A/B acquittal. The remaining 28 r8-tier
     # queries are the r12 must-record set (28 < 50 — feasible).
-    "booking_customer_aggregation",
     "cdc_merge_upsert",
     "ann_topk_ivf_recall",
 ]

@@ -220,3 +220,57 @@ def test_kneser_ney_prefers_continuation_diversity(spark):
         for r in lm_score(docs, jm, "text", "doc_id", nb).collect()
     }
     assert fjm[10] > fjm[11]  # JM: raw frequency wins — the contrast
+
+
+def test_ppl_thresholds_freeze_and_assign(spark):
+    """Threshold assignment must equal rank assignment on the fitting
+    corpus (ties included), and FROZEN thresholds must bucket unseen
+    docs without any re-ranking — the CCNet production contract."""
+    from pyspark.sql import Window
+
+    from airbnb_cdc_spark.operators.lm import (
+        assign_ppl_buckets,
+        ppl_tercile_thresholds,
+    )
+
+    rows = []
+    # two languages; lang "a" has deliberate fluency TIES so the
+    # boundary can land inside a tie run (the bare-cutoff failure)
+    for i in range(9):
+        rows.append((i, "a", [3.0, 2.0, 2.0, 2.0, 1.0, 1.0, 0.5, 0.2, 0.1][i]))
+    for i in range(4):
+        rows.append((100 + i, "b", float(4 - i)))
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, fluency double"
+    )
+    th = ppl_tercile_thresholds(scored)
+    got = {
+        r.doc_id: r.bucket
+        for r in assign_ppl_buckets(scored, th).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.col("fluency").desc(), F.col("doc_id")
+    )
+    want = {
+        r.doc_id: ["head", "middle", "tail"][r.b]
+        for r in scored.select(
+            "doc_id",
+            F.expr(
+                "CAST(((row_number() OVER (PARTITION BY lang ORDER BY"
+                " fluency DESC, doc_id)) - 1) * 3 AS BIGINT)"
+            ).alias("__x"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("__c"),
+        )
+        .select("doc_id", F.expr("CAST(__x div __c AS INT)").alias("b"))
+        .collect()
+    }
+    assert got == want
+    # frozen thresholds bucket NEW docs with no re-rank: a doc more
+    # fluent than lang-a's head boundary is head; one below the tail
+    # boundary is tail
+    new = spark.createDataFrame(
+        [(200, "a", 10.0), (201, "a", 0.01)],
+        "doc_id long, lang string, fluency double",
+    )
+    nb = {r.doc_id: r.bucket for r in assign_ppl_buckets(new, th).collect()}
+    assert nb == {200: "head", 201: "tail"}
