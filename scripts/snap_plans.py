@@ -277,6 +277,12 @@ SNAPS = [
         "on the persisted quant frame, probed lists joined to SQ8 "
         "codes, integer-dot scoring, windowed top-k",
     ),
+    (
+        "ppl_bucket_assign",
+        "frozen-threshold bucket assignment: language-count-sized "
+        "threshold table broadcast into one mark-back projection over "
+        "the persisted scored frame — no rank carried over the corpus",
+    ),
 ]
 
 
