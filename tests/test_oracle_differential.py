@@ -195,6 +195,15 @@ DIFF_QUERIES = [
     # transitions between seen tokens, exercising the unigram-backoff
     # term against the two-floored-divisions replay
     "interpolated_lm_score",
+    # r11: Kneser-Ney — random corpora draw unseen CONTEXTS (the
+    # uc = 0 pure-continuation branch) and empty targets (NP floor)
+    # against the floored-division replay
+    "kneser_ney_lm_score",
+    # r11: frozen-threshold bucket assignment — random corpora draw
+    # sub-3-doc languages (NULL boundaries), score ties at tercile
+    # edges, and empty candidate sets; the oracle computes buckets the
+    # RANK way, so every passing example re-proves the equivalence
+    "ppl_bucket_assign",
 ]
 
 
