@@ -4324,101 +4324,131 @@ def q_ppl_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY = [
-    # r11 rotation — REBUILT from the scripts/rotation_audit.py ledger
-    # (the r10 verdict's registry-hygiene ask). The registry is 152
-    # queries against a 50-slot driver cap, so the sustainable cycle
-    # is: record (a) everything new/changed this round, (b) everything
-    # whose record would otherwise age past 3 rounds, (c) backfill
-    # with the oldest remaining tier. The audit FAILS the pytest suite
-    # if a registered query would exceed age 3 under this list.
+    # r12 rotation — a RECORD-THE-BACKLOG round, rebuilt verbatim from
+    # scripts/rotation_audit.py's must-list (the r11 verdict's #1 and
+    # the reason tests/test_rotation_audit.py was red at r11 HEAD).
+    # The audit names 46 r8-recorded queries that would age past 3
+    # rounds after r12; all 46 take slots, and the 4 remaining slots
+    # go to r9-tier names (chosen cheap — they re-prove the
+    # reference-surface split/projection/filter spine) so the r13
+    # squeeze shrinks from 28 to 24 must-records. NO new queries are
+    # registered in r12, by design.
     #
-    # (a) never-recorded leads + r11-new + r11-changed code (the four
-    # apply-family queries now read the shared component store):
-    "semdedup_keep_canonical",
-    "bilateral_trade_volume",
-    "lm_quality_score",
-    "incremental_lm_quality",
-    "components_store_apply",
-    "keep_best_quality",
-    "soft_dedup_weights",
-    "neardup_cluster_sizes",
-    "leakage_safe_split",
-    # r11 second batch (new — each cedes one slot from the (c)
-    # backfill tier below; the ceded four are r8-recorded age-3 after
-    # r11, legal, and join the r12 must-record set):
-    "customer_order_distribution",
-    "idle_customers_balance",
-    "supplier_wait_chain",
-    "target_fluency_gate",
-    "small_quantity_revenue",
-    # (interpolated_lm_score cedes ann_topk_lsh_multiprobe from the
-    # (c) tier — the LSH family stays led by ann_topk_lsh and
-    # ann_topk_ivf_recall, both in the cut)
-    "interpolated_lm_score",
-    # r11 third batch (new): Q19/Q8/Q2/Q16 shapes, SQ8 ANN, and the
-    # CCNet perplexity terciles — each cedes one slot from the (c)
-    # backfill tier (quality_filter, doc_fingerprint, dedup_exact,
-    # dedup_ngram_jaccard, dedup_simhash, semdedup_pairs — all
-    # r8-recorded, age 3 after r11, joining the r12 must-record set):
-    "bracket_revenue",
-    "market_share_by_year",
-    "cheapest_supplier_per_part",
-    "supplier_variety_by_part",
-    "ann_topk_sq8",
-    # (ann_topk_sq8_recall cedes dedup_minhash_lsh from the (c) tier —
-    # r8-recorded, age 3 after r11, joins the r12 must-record set)
-    "ann_topk_sq8_recall",
-    # (ann_topk_ivf_sq8 likewise cedes dedup_ngram_jaccard_prefix,
-    # and outsized_supplier_share cedes ann_topk_lsh)
-    "ann_topk_ivf_sq8",
-    "outsized_supplier_share",
-    # (kneser_ney_lm_score cedes ann_topk_bruteforce — r8-recorded,
-    # age 3 after r11, r12 must-record)
-    "kneser_ney_lm_score",
-    # (url_blocklist_filter cedes lookup_latest_event — the reference
-    # spine stays represented by booking_customer_aggregation and
-    # cdc_merge_upsert in this cut; lookup re-proves in r12)
-    "url_blocklist_filter",
-    # (ppl_bucket_assign cedes booking_customer_aggregation —
-    # r8-recorded, age 3 after r11, r12 must-record; the audit refuses
-    # never-recorded queries outside the upcoming cut, by design)
-    "ppl_bucket_assign",
-    "lm_perplexity_buckets",
-    # (b) the 21 queries last recorded r7 — age 4 after r11 without a
-    # slot (this is exactly the contrastive_negatives failure mode the
-    # audit exists to prevent; includes repetition_filter, giving the
-    # r10 drift suspect a fresh driver record on top of its A/B
-    # acquittal):
-    "trailing_hour_activity",
-    "event_gaps_leadlag",
-    "length_quartiles_by_lang",
-    "oov_rate",
-    "corpus_prep_summary",
-    "repetition_filter",
-    "pack_sequences",
-    "dedup_pair_sources",
-    "user_funnel",
-    "linestatus_priority_class",
-    "events_ohlc",
-    "value_histogram",
-    "scd2_user_state_history",
-    "weighted_sample_by_length",
-    "orders_expectations",
-    "event_transitions",
-    "ts_profile_similarity",
-    "doc_sentiment",
-    "price_deciles_distributed",
-    "supplier_customer_pagerank",
-    "value_outliers_by_type",
-    # (c) 20 of the 48-query r8 tier (age 3 after r11 — legal but due
-    # next): the reference-surface spine re-proves first
-    # (booking_customer_aggregation, lookup_latest_event,
-    # cdc_merge_upsert), then the dedup/ANN cores, plus
-    # ann_topk_ivf_recall so the driver-flagged drifter gets a fresh
-    # record beyond the A/B acquittal. The remaining 28 r8-tier
-    # queries are the r12 must-record set (28 < 50 — feasible).
-    "cdc_merge_upsert",
-    "ann_topk_ivf_recall",
+    # (a) the 46 r8-recorded must-records:
+    "ann_topk_bruteforce",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "asof_last_view_before_purchase",
+    "bigram_pmi",
+    "bigram_vocab",
+    "booking_customer_aggregation",
+    "chunk_dedup_intervals",
+    "chunk_dedup_spans",
+    "chunk_dedup_summary",
+    "dataset_split_counts",
+    "decontaminate_vs_benchmark",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "dedup_simhash_cluster",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_outliers",
+    "incremental_chunk_dedup",
+    "large_orders",
+    "late_ship_priority_check",
+    "lookup_latest_event",
+    "mixture_by_token_budget",
+    "multimodal_features",
+    "orders_profile",
+    "part_name_canonical",
+    "pit_state_at_purchase",
+    "pivot_status_by_priority",
+    "pricing_summary",
+    "promo_revenue_share",
+    "quality_filter",
+    "rolling_fingerprint",
+    "salted_status_totals",
+    "sample_by_lang",
+    "semdedup_pairs",
+    "set_ops_customers",
+    "top_spenders",
+    "user_overlap_kmv",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    # (b) 4 r9-tier backfills (the rest of the r9 tier is the r13
+    # must-record set, planned below):
+    "conditional_split_bad",
+    "customer_name_clean",
+    "filter_by_status",
+    "project_cast",
+]
+
+# Planned r13 cut, written now so r13 doesn't hit the saturation
+# squeeze r12 did (the r11 verdict's #5). After r12 records the list
+# above, the 24 remaining r9-tier names age to 4 in r13 — they MUST
+# all be in the r13 cut — and the 26 free slots go to the oldest
+# r10-tier names (alphabetical; the remaining 20 r10-tier queries age
+# to 3 after r13, legal, and form the r14 must-record backbone).
+# scripts/rotation_audit.py --simulate-next checks this list.
+_NEXT_ROUND_PLAN = [
+    # the 24 r9-tier must-records:
+    "ann_topk_ivf_nprobe",
+    "anti_join_never_bought",
+    "cohort_retention",
+    "cube_status_priority",
+    "dedup_containment",
+    "dedup_keep_canonical",
+    "distinct_users_kmv",
+    "incremental_dedup_new_docs",
+    "json_extract_agg",
+    "knn_label_vote",
+    "language_id",
+    "local_supplier_revenue",
+    "mm_frame_sample",
+    "orders_by_month",
+    "pii_report",
+    "running_customer_spend",
+    "semi_join_buyers",
+    "shipping_priority",
+    "text_stats",
+    "token_count_cms",
+    "token_counts",
+    "top_terms_per_doc",
+    "user_sessions",
+    "winnow_components",
+    # 26 oldest r10-tier backfills:
+    "alter_row_flags",
+    "ann_topk_ivf",
+    "asof_next_purchase_after_view",
+    "asof_view_within_tolerance",
+    "bloom_prune_effect",
+    "bloom_semi_join_orders",
+    "bm25_topk",
+    "boilerplate_strip",
+    "conditional_split_accepted",
+    "contrastive_negatives",
+    "diversity_sample_by_cluster",
+    "domain_capped_sample",
+    "dsir_select",
+    "events_hopping_agg",
+    "events_resample_ffill",
+    "events_windowed_agg",
+    "forecast_revenue_change",
+    "fuzzy_link_part_names",
+    "important_parts_share",
+    "incremental_dsir_select",
+    "incremental_minhash_neardup",
+    "interval_join_attribution",
+    "kmv_range_rollup",
+    "length_bucket_stats",
+    "mm_resize",
+    "pack_concat_split",
 ]
 
 
@@ -4440,5 +4470,9 @@ _no_oracle = sorted(set(QUERIES) - set(ORACLE_SQL))
 assert not _no_oracle, f"queries missing oracles: {_no_oracle}"
 
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
+assert len(_NEXT_ROUND_PLAN) == 50 and len(set(_NEXT_ROUND_PLAN)) == 50
+assert not set(_NEXT_ROUND_PLAN) & set(_DRIVER_PRIORITY), (
+    "a planned-r13 slot wastes a record the r12 cut already makes"
+)
 QUERIES = _rotated(QUERIES)
 ORACLE_SQL = _rotated(ORACLE_SQL)

@@ -43,14 +43,24 @@ def load_records() -> dict[int, set[str]]:
     return recs
 
 
-def audit() -> tuple[list[tuple[str, int | None, int]], int]:
+def audit(simulate_next: bool = False) -> tuple[list[tuple[str, int | None, int]], int]:
     """(rows, upcoming_round): rows are (query, last_recorded_round,
-    projected_age_after_upcoming_round); age 0 = in the upcoming cut."""
+    projected_age_after_upcoming_round); age 0 = in the upcoming cut.
+
+    With ``simulate_next``, assume the upcoming round records the
+    current ``_DRIVER_PRIORITY`` cut verbatim, then audit the round
+    AFTER against the planned ``_NEXT_ROUND_PLAN`` cut — so a rotation
+    plan written this round is proven feasible before the squeeze."""
     from airbnb_cdc_spark import queries as q
 
     recs = load_records()
     upcoming = max(recs, default=0) + 1
     cut = set(q._DRIVER_PRIORITY)
+    if simulate_next:
+        recs = dict(recs)
+        recs[upcoming] = set(q._DRIVER_PRIORITY)
+        upcoming += 1
+        cut = set(q._NEXT_ROUND_PLAN)
     rows = []
     for name in q.QUERIES:
         last = max((r for r, names in recs.items() if name in names), default=None)
@@ -65,7 +75,8 @@ def audit() -> tuple[list[tuple[str, int | None, int]], int]:
 
 
 def main() -> int:
-    rows, upcoming = audit()
+    simulate = "--simulate-next" in sys.argv[1:]
+    rows, upcoming = audit(simulate_next=simulate)
     rows.sort(key=lambda r: (-r[2], r[0]))
     stale = [r for r in rows if r[2] > MAX_AGE]
     print(f"upcoming round: r{upcoming}; registry: {len(rows)} queries; "
