@@ -76,6 +76,11 @@ def test_shared_components_helper_memoizes(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(q._dedup, "ngram_jaccard_pairs", counting)
     monkeypatch.setattr(q, "_COMPONENTS_PATHS", {})
+    # neardup_components derives its pairs THROUGH jaccard_pairs_store;
+    # reset that memo too, or an earlier test/bench in this process may
+    # have already populated it for this sf_dir and the counting shim
+    # never fires (order-dependent flakiness).
+    monkeypatch.setattr(q, "_JACCARD_PAIRS_PATHS", {})
     sf_dir = "/root/testdata/sf0.001"
     first = q.neardup_components(spark, sf_dir).collect()
     second = q.neardup_components(spark, sf_dir).collect()
