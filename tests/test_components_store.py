@@ -86,3 +86,27 @@ def test_shared_components_helper_memoizes(spark, tmp_path, monkeypatch):
     second = q.neardup_components(spark, sf_dir).collect()
     assert calls["n"] == 1  # second call read the store, no re-derive
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_shared_simhash_cluster_store_memoizes(spark, monkeypatch):
+    """queries.simhash_cluster_store derives+writes once per sf_dir;
+    the diversity sampler then reads the store instead of re-running
+    the clustering inside its own plan."""
+    import airbnb_cdc_spark.queries as q
+
+    calls = {"n": 0}
+    real = q._dedup.simhash_cluster
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(q._dedup, "simhash_cluster", counting)
+    monkeypatch.setattr(q, "_SIMHASH_CLUSTER_PATHS", {})
+    sf_dir = "/root/testdata/sf0.001"
+    first = q.simhash_cluster_store(spark, sf_dir).collect()
+    sampled = q.QUERIES["diversity_sample_by_cluster"](spark, sf_dir)
+    assert sampled.count() > 0
+    assert calls["n"] == 1  # the sampler read the store, no re-derive
+    second = q.simhash_cluster_store(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
