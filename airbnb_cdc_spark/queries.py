@@ -365,18 +365,59 @@ def _derive_once(memo: dict, key, prefix: str, derive) -> str:
     return path
 
 
+# Raw intersection-count store: Jaccard (0.5) and containment (0.8)
+# are both one-line filters over the IDENTICAL `_index_pair_counts`
+# frame (id_a, id_b, sz_a, sz_b, i) — same shingles, same cap, same
+# inverted index. Persisting the raw counts (instead of only the
+# thresholded jaccard pairs) lets every set-overlap measure derive by
+# filter, so the corpus sees ONE inverted-index pass per snapshot no
+# matter how many measures consume it. The frame is pair-count-sized
+# (bounded by the frequency cap), not corpus-sized.
+_PAIR_COUNTS_PATHS: dict[str, str] = {}
+
+
+def pair_counts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, sz_a, sz_b, i) exact capped-shingle intersection
+    counts at ``sf_dir`` — the shared core of every set-overlap
+    measure, derived once per (sf_dir, process)."""
+    path = _derive_once(
+        _PAIR_COUNTS_PATHS,
+        str(sf_dir),
+        "airbnb_cdc_paircnt_",
+        lambda p: _dedup._index_pair_counts(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            3,
+            _dedup.AUTO,
+        ).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(path)
+
+
 def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) threshold-0.5 near-dup pairs at
-    ``sf_dir`` — derived and persisted on first use, a thresholded-
-    pair-sized parquet scan thereafter. Derivation is deterministic,
-    so a store read is value-identical to a recompute."""
+    ``sf_dir`` — the Jaccard filter over the shared pair-counts
+    store, persisted thresholded-pair-sized on first use. Derivation
+    is deterministic, so a store read is value-identical to a
+    recompute."""
+
+    def _derive(p: str) -> None:
+        pairs = pair_counts_store(spark, sf_dir)
+        (
+            pairs.withColumn(
+                "jaccard",
+                F.col("i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= F.lit(0.5))
+            .select("id_a", "id_b", "jaccard")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
     path = _derive_once(
-        _JACCARD_PAIRS_PATHS,
-        str(sf_dir),
-        "airbnb_cdc_jaccard_",
-        lambda p: _dedup.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=0.5
-        ).write.mode("overwrite").parquet(p),
+        _JACCARD_PAIRS_PATHS, str(sf_dir), "airbnb_cdc_jaccard_", _derive
     )
     return spark.read.parquet(path)
 
@@ -404,8 +445,21 @@ def q_dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_containment", _CONTAINMENT_ORACLE)
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.containment_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+    """Containment = |A∩B| / min(|A|,|B|) >= 0.8 — a one-line filter
+    over the shared raw pair-counts store (the same inverted-index
+    core Jaccard filters at 0.5), so the second overlap measure costs
+    a pair-set read, not a second corpus pass. The operators-level
+    ``containment_pairs`` keeps its standalone derivation for
+    non-registry callers; value-identical by construction."""
+    pairs = pair_counts_store(spark, sf_dir)
+    return (
+        pairs.withColumn(
+            "containment",
+            F.col("i").cast("double")
+            / F.least("sz_a", "sz_b").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(0.8))
+        .select("id_a", "id_b", "containment")
     )
 
 

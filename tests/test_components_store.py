@@ -68,19 +68,21 @@ def test_shared_components_helper_memoizes(spark, tmp_path, monkeypatch):
     import airbnb_cdc_spark.queries as q
 
     calls = {"n": 0}
-    real = q._dedup.ngram_jaccard_pairs
+    real = q._dedup._index_pair_counts
 
     def counting(*a, **kw):
         calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(q._dedup, "ngram_jaccard_pairs", counting)
+    monkeypatch.setattr(q._dedup, "_index_pair_counts", counting)
     monkeypatch.setattr(q, "_COMPONENTS_PATHS", {})
-    # neardup_components derives its pairs THROUGH jaccard_pairs_store;
-    # reset that memo too, or an earlier test/bench in this process may
-    # have already populated it for this sf_dir and the counting shim
-    # never fires (order-dependent flakiness).
+    # neardup_components derives its pairs THROUGH jaccard_pairs_store,
+    # which filters the raw pair-counts store; reset both memos too, or
+    # an earlier test/bench in this process may have already populated
+    # them for this sf_dir and the counting shim never fires
+    # (order-dependent flakiness).
     monkeypatch.setattr(q, "_JACCARD_PAIRS_PATHS", {})
+    monkeypatch.setattr(q, "_PAIR_COUNTS_PATHS", {})
     sf_dir = "/root/testdata/sf0.001"
     first = q.neardup_components(spark, sf_dir).collect()
     second = q.neardup_components(spark, sf_dir).collect()
@@ -110,3 +112,32 @@ def test_shared_simhash_cluster_store_memoizes(spark, monkeypatch):
     assert calls["n"] == 1  # the sampler read the store, no re-derive
     second = q.simhash_cluster_store(spark, sf_dir).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_pair_counts_store_serves_both_measures(spark, monkeypatch):
+    """One inverted-index pass per corpus snapshot: jaccard and
+    containment both filter the shared raw pair-counts store, and the
+    filtered results equal the operators-level standalone derivations
+    exactly."""
+    import airbnb_cdc_spark.queries as q
+    from airbnb_cdc_spark.session import load_table
+
+    calls = {"n": 0}
+    real = q._dedup._index_pair_counts
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(q._dedup, "_index_pair_counts", counting)
+    monkeypatch.setattr(q, "_PAIR_COUNTS_PATHS", {})
+    monkeypatch.setattr(q, "_JACCARD_PAIRS_PATHS", {})
+    sf_dir = "/root/testdata/sf0.001"
+    jac = q.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    cont = q.QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert calls["n"] == 1  # both measures filtered ONE core pass
+    docs = load_table(spark, sf_dir, "documents")
+    jac_direct = q._dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    cont_direct = q._dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert sorted(map(tuple, jac)) == sorted(map(tuple, jac_direct))
+    assert sorted(map(tuple, cont)) == sorted(map(tuple, cont_direct))
