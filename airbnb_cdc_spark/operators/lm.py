@@ -367,14 +367,19 @@ def assign_ppl_buckets(
     head if its (fluency desc, id asc) sort key precedes the bucket-1
     boundary row, middle if it precedes the bucket-2 boundary, else
     tail; a NULL boundary (language smaller than the bucket) keeps
-    everything above it."""
+    everything above it. The join is LEFT so a language absent from
+    the frozen threshold table — a new language arriving in a later
+    batch or stream — is not silently dropped: its boundaries are all
+    NULL, which the NULL-boundary rule resolves to 'head' (nothing is
+    known to outrank it yet); the next threshold refresh re-buckets
+    it properly."""
     before = lambda bf, bid: (  # noqa: E731 — local sort-key comparator
         F.col(bf).isNull()
         | (F.col("fluency") > F.col(bf))
         | ((F.col("fluency") == F.col(bf)) & (F.col(id_col) < F.col(bid)))
     )
     return (
-        scored.join(F.broadcast(thresholds), lang_col)
+        scored.join(F.broadcast(thresholds), lang_col, "left")
         .withColumn(
             "bucket",
             F.when(before("b1_f", "b1_id"), F.lit("head"))

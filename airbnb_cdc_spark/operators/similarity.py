@@ -162,17 +162,30 @@ def sq8_codes(
     boundary to -128 even same-corpus — either way the code rail-stops
     instead of overflowing. The expression is a fixed left-to-right
     double chain over exactly-converted floats, so the codes are
-    bit-identical on any engine and any partitioning."""
+    bit-identical on any engine and any partitioning.
+
+    A degenerate scale (all-zero or empty corpus → max_abs 0 or NULL)
+    fails LOUDLY at execution instead of silently emitting NULL/NaN
+    codes — a zero scale written by ``write_sq8_index`` would poison
+    every later append and query. For any positive scale the guard
+    passes ``__mx`` through unchanged (no value drift)."""
     base = ensure_parallelism(df) if widen else df
+    mx = F.when(F.col("__mx") > 0, F.col("__mx")).otherwise(
+        F.raise_error(
+            F.lit(
+                "sq8_codes: degenerate quantizer scale (max_abs <= 0 or"
+                " NULL) — all-zero or empty corpus; rebuild the index"
+                " from a corpus with signal"
+            )
+        )
+    )
     return base.crossJoin(F.broadcast(scale)).select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
             lambda x: F.greatest(
                 F.least(
-                    F.floor(
-                        x.cast("double") * F.lit(SQ8_LEVELS) / F.col("__mx")
-                    ),
+                    F.floor(x.cast("double") * F.lit(SQ8_LEVELS) / mx),
                     F.lit(127).cast("long"),
                 ),
                 F.lit(-127).cast("long"),

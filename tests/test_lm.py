@@ -274,3 +274,28 @@ def test_ppl_thresholds_freeze_and_assign(spark):
     )
     nb = {r.doc_id: r.bucket for r in assign_ppl_buckets(new, th).collect()}
     assert nb == {200: "head", 201: "tail"}
+
+
+def test_assign_buckets_keeps_unknown_languages(spark):
+    """A language absent from the frozen threshold table (a new
+    language arriving in a later batch/stream) must not be silently
+    dropped: all-NULL boundaries resolve to 'head' via the
+    NULL-boundary rule, and the doc survives until the next
+    threshold refresh re-buckets it."""
+    from airbnb_cdc_spark.operators.lm import (
+        assign_ppl_buckets,
+        ppl_tercile_thresholds,
+    )
+
+    fitted = spark.createDataFrame(
+        [(i, "a", float(9 - i)) for i in range(9)],
+        "doc_id long, lang string, fluency double",
+    )
+    th = ppl_tercile_thresholds(fitted)
+    arriving = spark.createDataFrame(
+        [(300, "a", 5.0), (301, "zz", 1.0)],
+        "doc_id long, lang string, fluency double",
+    )
+    got = {r.doc_id: r.bucket for r in assign_ppl_buckets(arriving, th).collect()}
+    assert set(got) == {300, 301}  # the unknown-lang doc is kept
+    assert got[301] == "head"

@@ -115,3 +115,26 @@ def test_sq8_codes_scale_smoke(spark):
     assert codes.count() == n
     hi = codes.agg(F.max(F.array_max("c8")).alias("m")).collect()[0].m
     assert hi <= 127
+
+
+def test_degenerate_scale_fails_loudly(spark, tmp_path):
+    """An all-zero corpus has max_abs 0; quantizing against it must
+    raise at execution instead of silently emitting NULL codes (a
+    zero scale written to the store would poison every later append
+    and query)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * 4) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    scale = zeros.agg(
+        F.max(F.array_max(F.transform(F.col("embedding"), F.abs)))
+        .cast("double")
+        .alias("__mx")
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+        sq8_codes(zeros, scale, "vec_id", "embedding").collect()
+    assert "degenerate quantizer scale" in str(ei.value)
