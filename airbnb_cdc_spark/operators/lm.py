@@ -464,3 +464,91 @@ def streaming_lm_select(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def write_ppl_thresholds(thresholds: DataFrame, path: str) -> None:
+    """Persist the frozen per-language tercile boundary table (one row
+    per language — metadata-sized at any corpus). The CCNet production
+    contract: boundaries are extracted once per corpus snapshot, then
+    any number of batches/streams bucket against the store with no
+    re-rank."""
+    thresholds.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_ppl_thresholds(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _assign_buckets_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    model_path: str,
+    thresholds_path: str,
+    out_dir: str,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    n_buckets: int,
+) -> None:
+    """One ``streaming_ppl_bucket_assign`` micro-batch (module-level so
+    replay idempotence is directly testable). Both stores are
+    READ-ONLY — scoring model and frozen thresholds — so a
+    crash-replay of an epoch overwrites ``out_dir/batch_id=N`` with
+    the identical deterministic assignment."""
+    import posixpath
+
+    spark = batch_df.sparkSession
+    model = read_lm_model(spark, model_path)
+    thresholds = read_ppl_thresholds(spark, thresholds_path)
+    scored = lm_score(
+        batch_df.select(id_col, text_col), model, text_col, id_col, n_buckets
+    ).join(batch_df.select(id_col, lang_col), id_col)
+    out = assign_ppl_buckets(scored, thresholds, lang_col, id_col).select(
+        id_col, lang_col, "fluency", "bucket"
+    )
+    out.write.mode("overwrite").parquet(
+        posixpath.join(out_dir, f"batch_id={epoch}")
+    )
+
+
+def streaming_ppl_bucket_assign(
+    stream_docs: DataFrame,
+    model_path: str,
+    thresholds_path: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming frozen-threshold perplexity bucketing — the CCNet
+    production shape end to end: each arriving micro-batch scores
+    against the PERSISTED dense model and buckets against the
+    PERSISTED frozen tercile boundary table (one broadcast join +
+    lexicographic comparison), landing head/middle/tail assignments
+    idempotently under ``out_dir/batch_id=N``. Nothing re-ranks,
+    nothing refits, nothing rescans the corpus that produced either
+    store — per-batch cost is O(batch). A language unseen by the
+    thresholds buckets to 'head' (the ``assign_ppl_buckets``
+    unknown-language rule) rather than dropping.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _assign_buckets_batch(
+            batch_df,
+            epoch,
+            model_path,
+            thresholds_path,
+            out_dir,
+            text_col,
+            id_col,
+            lang_col,
+            n_buckets,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

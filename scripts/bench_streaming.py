@@ -41,6 +41,14 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   append 0 rows (replay safety measured on real traffic, not a unit
   fixture).
 
+- ``buckets`` (r12): streaming frozen-threshold perplexity bucketing
+  docs/sec — each micro-batch scores against the persisted dense
+  model and buckets against the persisted per-language tercile
+  boundary table (one broadcast join + lexicographic comparison per
+  batch); no refit, no re-rank, both stores read-only — the CCNet
+  production shape end to end. Fit + threshold freeze excluded
+  (one-time batch jobs).
+
 - ``lm`` (r11): streaming bigram-LM fluency selection docs/sec —
   each micro-batch scored against the persisted dense transition
   model (broadcast n_buckets^2-row join + doc-key groupBy per
@@ -48,7 +56,7 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   (one-time batch job), the DSIR leg's second-order sibling.
 
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality|lm] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm|sq8|buckets] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -410,6 +418,93 @@ def bench_lm(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_buckets(n_docs: int, n_files: int) -> None:
+    """Frozen-threshold perplexity bucketing in-stream: arriving docs
+    score against the persisted dense model and bucket against the
+    persisted tercile boundary table — no refit, no re-rank, both
+    stores read-only. The fit + threshold freeze are one-time batch
+    jobs; the stream pays scoring + one broadcast join per batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.lm import (
+        fit_bigram_lm,
+        lm_score,
+        ppl_tercile_thresholds,
+        streaming_ppl_bucket_assign,
+        transition_buckets,
+        write_lm_model,
+        write_ppl_thresholds,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-buckets")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_buckets_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        # one-time: fit the model on the planted target cohort, then
+        # freeze per-language tercile boundaries from a scored snapshot
+        full = spark.read.schema("doc_id long, text string").json(
+            str(feed)
+        ).withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+        fit = full.filter(F.col("doc_id") % 10 == 0)
+        model = fit_bigram_lm(transition_buckets(fit, "text"))
+        model_path = str(work / "model")
+        write_lm_model(model, model_path)
+        snapshot = lm_score(
+            full.select("doc_id", "text"), model, "text", "doc_id"
+        ).join(full.select("doc_id", "lang"), "doc_id")
+        th_path = str(work / "thresholds")
+        write_ppl_thresholds(ppl_tercile_thresholds(snapshot), th_path)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        out = str(work / "buckets")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+            .withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+        )
+        t0 = time.time()
+        q = streaming_ppl_bucket_assign(
+            stream,
+            model_path,
+            th_path,
+            out,
+            checkpoint_dir=str(work / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        landed = spark.read.parquet(out)
+        n_out = landed.count()
+        n_buckets_seen = landed.select("bucket").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "metric": "ppl_bucket_assign_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "bucketed": n_out,
+                    "buckets_seen": n_buckets_seen,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_quality(n_docs: int, n_files: int) -> None:
     from pyspark.sql import types as T
 
@@ -558,7 +653,7 @@ def bench_sq8(n_vecs: int, n_files: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "buckets"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -579,6 +674,9 @@ def main() -> None:
         return
     if leg == "sq8":
         bench_sq8(n_rows, n_files)
+        return
+    if leg == "buckets":
+        bench_buckets(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable

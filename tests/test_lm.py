@@ -299,3 +299,136 @@ def test_assign_buckets_keeps_unknown_languages(spark):
     got = {r.doc_id: r.bucket for r in assign_ppl_buckets(arriving, th).collect()}
     assert set(got) == {300, 301}  # the unknown-lang doc is kept
     assert got[301] == "head"
+
+
+def test_streaming_bucket_assign_matches_batch_and_replays(spark, tmp_path):
+    """Frozen-threshold bucketing's streaming leg: per-batch
+    assignments against the persisted model + threshold stores equal
+    the batch assign_ppl_buckets on the same rows, and a crash-replay
+    of an epoch overwrites its partition with identical content. Both
+    stores are read-only in-stream — the CCNet contract."""
+    from airbnb_cdc_spark.operators.lm import (
+        _assign_buckets_batch,
+        assign_ppl_buckets,
+        ppl_tercile_thresholds,
+        read_lm_model,
+        read_ppl_thresholds,
+        write_ppl_thresholds,
+    )
+
+    model = _model(spark, [(0, "spark shuffle join plan spark shuffle")])
+    model_path = str(tmp_path / "model")
+    write_lm_model(model, model_path)
+
+    # freeze thresholds from a fitted corpus of 9 lang-a docs
+    fit_docs = spark.createDataFrame(
+        [(i, "a", f"spark shuffle join w{i} plan") for i in range(9)],
+        "doc_id long, lang string, text string",
+    )
+    scored_fit = lm_score(
+        fit_docs.select("doc_id", "text"), model, "text", "doc_id", N_BUCKETS
+    ).join(fit_docs.select("doc_id", "lang"), "doc_id")
+    th = ppl_tercile_thresholds(scored_fit)
+    th_path = str(tmp_path / "thresholds")
+    write_ppl_thresholds(th, th_path)
+
+    out = str(tmp_path / "buckets")
+    b0 = spark.createDataFrame(
+        [(10, "a", "spark shuffle join plan"), (11, "a", "banana mango kiwi")],
+        "doc_id long, lang string, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(20, "zz", "join plan spark")],  # lang unseen by the thresholds
+        "doc_id long, lang string, text string",
+    )
+    args = (model_path, th_path, out, "text", "doc_id", "lang", N_BUCKETS)
+    _assign_buckets_batch(b0, 0, *args)
+    _assign_buckets_batch(b1, 1, *args)
+
+    landed = {
+        (r.doc_id, r.lang, r.bucket, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch equivalence on the same rows through the same stores
+    stored_model = read_lm_model(spark, model_path)
+    stored_th = read_ppl_thresholds(spark, th_path)
+    want = set()
+    for df, ep in ((b0, 0), (b1, 1)):
+        scored = lm_score(
+            df.select("doc_id", "text"), stored_model, "text", "doc_id", N_BUCKETS
+        ).join(df.select("doc_id", "lang"), "doc_id")
+        for r in assign_ppl_buckets(scored, stored_th).collect():
+            want.add((r.doc_id, r.lang, r.bucket, ep))
+    assert landed == want
+    # the unknown-language doc is kept and heads (nothing outranks it yet)
+    assert (20, "zz", "head", 1) in landed
+
+    # crash-replay of epoch 0: identical partition content
+    _assign_buckets_batch(b0, 0, *args)
+    assert {
+        (r.doc_id, r.lang, r.bucket, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    } == want
+
+
+def test_streaming_bucket_assign_end_to_end(spark, tmp_path):
+    import json
+
+    from airbnb_cdc_spark.operators.lm import (
+        ppl_tercile_thresholds,
+        streaming_ppl_bucket_assign,
+        write_ppl_thresholds,
+    )
+
+    model = _model(spark, [(0, "spark shuffle join plan")])
+    model_path = str(tmp_path / "model")
+    write_lm_model(model, model_path)
+    fit_docs = spark.createDataFrame(
+        [(i, "a", f"spark shuffle join w{i}") for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    scored_fit = lm_score(
+        fit_docs.select("doc_id", "text"), model, "text", "doc_id", N_BUCKETS
+    ).join(fit_docs.select("doc_id", "lang"), "doc_id")
+    th_path = str(tmp_path / "thresholds")
+    write_ppl_thresholds(ppl_tercile_thresholds(scored_fit), th_path)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for fi, rows in enumerate(
+        [
+            [{"doc_id": 1, "lang": "a", "text": "spark shuffle join"}],
+            [{"doc_id": 2, "lang": "a", "text": "unrelated words here"}],
+        ]
+    ):
+        with open(feed / f"f{fi}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    out = str(tmp_path / "buckets")
+    q = streaming_ppl_bucket_assign(
+        stream,
+        model_path,
+        th_path,
+        out,
+        n_buckets=N_BUCKETS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
