@@ -4507,6 +4507,12 @@ _DRIVER_PRIORITY = [
 # r10-tier names (alphabetical; the remaining 20 r10-tier queries age
 # to 3 after r13, legal, and form the r14 must-record backbone).
 # scripts/rotation_audit.py --simulate-next checks this list.
+# r13 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands (the audit refuses never-recorded names outside the
+# cut), ceding one r10-tier backfill below to the r14 backlog. First
+# in line: the quality-classifier query over operators/classifier.py
+# (operator + pytest landed in r12; needs only a registry entry +
+# DuckDB oracle).
 _NEXT_ROUND_PLAN = [
     # the 24 r9-tier must-records:
     "ann_topk_ivf_nprobe",
