@@ -3017,6 +3017,80 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, neardup_components(spark, sf_dir))
 
 
+# DSIR derive-once (the lm_model_store/lm_scored_store pattern): the
+# bucket-score model and the per-doc candidate scores are properties
+# of the corpus snapshot, shared by the selection query and the
+# two-axis gate — one fit + one scoring pass per (sf_dir, process),
+# persisted through importance.write_dsir_scores, read thereafter.
+# incremental_dsir_select and the streaming leg keep their own
+# half/half fits on purpose (they demonstrate the arrival path).
+_DSIR_MODEL_PATHS: dict[str, str] = {}
+_DSIR_SCORED_PATHS: dict[str, str] = {}
+
+
+def dsir_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense ``_DSIR_BUCKETS``-row bucket-score table fitted on
+    the ``_DSIR_TARGET`` source vs the whole corpus at ``sf_dir`` —
+    fitted once per (sf_dir, process), a constant-size parquet read
+    thereafter."""
+    from airbnb_cdc_spark.operators import importance as _imp
+
+    def _derive(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = _imp.token_buckets(
+            docs.select("doc_id", "source", "text"), "text", _DSIR_BUCKETS
+        )
+        scores = _imp.dsir_bucket_scores(
+            tok.filter(F.col("source") == _DSIR_TARGET),
+            tok,
+            _DSIR_BUCKETS,
+            _DSIR_SCALE,
+        )
+        _imp.write_dsir_scores(scores, p)
+
+    path = _derive_once(
+        _DSIR_MODEL_PATHS, str(sf_dir), "airbnb_cdc_dsir_model_", _derive
+    )
+    return _imp.read_dsir_scores(spark, path)
+
+
+def dsir_scored_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR scores (doc_id, dsir_score) for every non-target
+    candidate at ``sf_dir`` — ONE scoring pass per (sf_dir, process),
+    persisted, then a per-doc-row parquet read for every consumer."""
+    from airbnb_cdc_spark.operators import importance as _imp
+
+    def _derive(p: str) -> None:
+        scores = dsir_model_store(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        cand = docs.filter(F.col("source") != _DSIR_TARGET).select(
+            "doc_id", "text"
+        )
+        tok = _imp.token_buckets(cand, "text", _DSIR_BUCKETS)
+        (
+            tok.join(F.broadcast(scores), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("dsir_score"))
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    path = _derive_once(
+        _DSIR_SCORED_PATHS, str(sf_dir), "airbnb_cdc_dsir_scored_", _derive
+    )
+    return spark.read.parquet(path)
+
+
+def _dsir_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsir_select's (dsir_score desc, doc_id) top-K cut, taken over
+    the persisted score store instead of a fresh scoring pass."""
+    return (
+        dsir_scored_store(spark, sf_dir)
+        .orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+        .limit(_DSIR_K)
+    )
+
+
 @query("dsir_select", _DSIR_ORACLE)
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023): treat one
@@ -3027,27 +3101,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "models" are metadata-sized aggregates; scoring is one broadcast
     join + one doc-key shuffle (operators/importance.py). The oracle
     replays the exact integer Laplace-ratio scores, so any drift in
-    hashing, smoothing, or the top-k cut hash-mismatches."""
-    from airbnb_cdc_spark.operators.importance import (
-        dsir_bucket_scores,
-        dsir_select,
-        token_buckets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = token_buckets(
-        docs.select("doc_id", "source", "text"), "text", _DSIR_BUCKETS
-    )
-    scores = dsir_bucket_scores(
-        tok.filter(F.col("source") == _DSIR_TARGET),
-        tok,
-        _DSIR_BUCKETS,
-        _DSIR_SCALE,
-    )
-    cand = docs.filter(F.col("source") != _DSIR_TARGET).select(
-        "doc_id", "text"
-    )
-    return dsir_select(cand, scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS)
+    hashing, smoothing, or the top-k cut hash-mismatches. Reads the
+    shared per-process score store — one fit + one scoring pass."""
+    return _dsir_topk_from_store(spark, sf_dir)
 
 
 @query("vocab_coverage", _VOCAB_COVERAGE_ORACLE)
@@ -4008,31 +4064,10 @@ def q_target_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of the two verified selectors (importance.py, lm.py);
     both model tables are constant-size broadcasts, the join of two
     K-row selections is metadata-sized."""
-    from airbnb_cdc_spark.operators.importance import (
-        dsir_bucket_scores,
-        dsir_select,
-        token_buckets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    cand = docs.filter(F.col("source") != _DSIR_TARGET).select(
-        "doc_id", "text"
-    )
-    tok = token_buckets(
-        docs.select("doc_id", "source", "text"), "text", _DSIR_BUCKETS
-    )
-    dsir_scores = dsir_bucket_scores(
-        tok.filter(F.col("source") == _DSIR_TARGET),
-        tok,
-        _DSIR_BUCKETS,
-        _DSIR_SCALE,
-    )
-    dsir_top = dsir_select(
-        cand, dsir_scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS
-    )
-    # the LM axis reads the shared Laplace score store (one fit + one
-    # scoring pass per process) — _LM_TARGET == _DSIR_TARGET, so the
-    # store's candidate set is exactly `cand`
+    # both axes read the shared per-process score stores (one fit +
+    # one scoring pass each) — _LM_TARGET == _DSIR_TARGET, so both
+    # stores cover exactly the non-target candidate set
+    dsir_top = _dsir_topk_from_store(spark, sf_dir)
     lm_top = _lm_topk_from_store(spark, sf_dir, "laplace")
     return (
         dsir_top.join(
