@@ -583,11 +583,33 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two blocking strategies are comparable on the same corpus.
 
 
+# SemDeDup pair store: the semantic near-dup pair set is a property
+# of the embedding-corpus snapshot shared by the pairs query and the
+# keeper apply — the same derive-once move as the jaccard/winnow
+# stores, over the embedding table.
+_SEMDEDUP_PAIRS_PATHS: dict[str, str] = {}
+
+
+def semdedup_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cosine) threshold-0.4 semantic near-dup pairs at
+    ``sf_dir`` — derived (cluster-blocked, never all-pairs) and
+    persisted on first use, a thresholded-pair-sized parquet scan
+    thereafter. Deterministic derivation, so a store read is
+    value-identical to a recompute."""
+    path = _derive_once(
+        _SEMDEDUP_PAIRS_PATHS,
+        str(sf_dir),
+        "airbnb_cdc_semdedup_",
+        lambda p: _sim.semdedup_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        ).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(path)
+
+
 @query("semdedup_pairs", _SEMDEDUP_ORACLE)
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.semdedup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
-    )
+    return semdedup_pairs_store(spark, sf_dir)
 
 
 # -- multimodal plumbing ------------------------------------------------------
@@ -3784,13 +3806,13 @@ def q_semdedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster — the embedding-space sibling of
     dedup_keep_canonical, completing the detect→apply story for the
     paraphrase-level duplicates n-grams can't see. Pairs come
-    cluster-blocked from semdedup_pairs (never all-pairs); the apply
-    is the same broadcast anti-join — the embedding corpus is never
-    shuffled."""
+    cluster-blocked from the shared semdedup pair store (derived once
+    per corpus snapshot, never all-pairs); the apply is the same
+    broadcast anti-join — the embedding corpus is never shuffled."""
     from airbnb_cdc_spark.operators.graph import keep_canonical
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _sim.semdedup_pairs(emb, threshold=0.4)
+    pairs = semdedup_pairs_store(spark, sf_dir)
     return keep_canonical(
         emb, pairs, id_col="vec_id", max_iters=16
     ).select("vec_id", "label", "in_cluster")
