@@ -1301,6 +1301,21 @@ def winnow_pairs(
     broadcast/AQE planning of the downstream joins."""
     posts = winnowed_fingerprints(df, id_col, text_col, k=k, w=w)
     total = df.select(F.count(F.lit(1)).alias("__n"))
+    return winnow_pairs_from_posts(posts, total, id_col, min_shared)
+
+
+def winnow_pairs_from_posts(
+    posts: DataFrame,
+    total: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """The pair half of ``winnow_pairs``, taking an already-derived
+    (id, fp) fingerprint frame — e.g. one read back from a persisted
+    store — plus a one-row doc-count frame for the AUTO cap. Lets the
+    fingerprint derivation be shared between the fingerprint report
+    and the pair derivation (store-not-rescan: the corpus is
+    fingerprinted once per snapshot)."""
     cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
     keep = (
         posts.groupBy("fp")

@@ -1613,9 +1613,35 @@ def q_chunk_dedup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard family conventions exactly.
 
 
+# Winnowed-fingerprint store: the per-doc fingerprint posting frame
+# is the SHARED INPUT of the fingerprint report and the pair
+# derivation — the corpus is fingerprinted once per snapshot, both
+# consumers read the store (a parquet scan, NOT the documented
+# InMemoryRelation trap: a disk read plans like any other scan, while
+# an in-memory cache barrier on exploded postings measured 4-5x
+# slower by defeating broadcast/AQE planning downstream).
+_WINNOW_FPS_PATHS: dict[str, str] = {}
+
+
+def winnow_fps_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) winnowed fingerprint postings at ``sf_dir`` —
+    derived and persisted on first use, a posting-sized parquet scan
+    thereafter. Deterministic derivation, so a store read is
+    value-identical to a recompute."""
+    path = _derive_once(
+        _WINNOW_FPS_PATHS,
+        str(sf_dir),
+        "airbnb_cdc_winnowfps_",
+        lambda p: _dedup.winnowed_fingerprints(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(path)
+
+
 @query("winnow_fingerprints", _WINNOW_FP_ORACLE)
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.winnowed_fingerprints(load_table(spark, sf_dir, "documents"))
+    return winnow_fps_store(spark, sf_dir)
 
 
 # Shared winnow-pair STORE: like the near-dup component store below,
@@ -1630,14 +1656,21 @@ def winnow_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, shared_fps) winnow pairs at ``sf_dir`` — computed
     and written on first use, a thresholded-pair-sized parquet scan
     thereafter. Deterministic derivation, so a store read is
-    value-identical to a recompute."""
+    value-identical to a recompute. The fingerprint half comes from
+    the shared ``winnow_fps_store`` — one fingerprint pass per
+    corpus snapshot feeds both the report and the pairs."""
+
+    def _derive(p: str) -> None:
+        posts = winnow_fps_store(spark, sf_dir)
+        total = load_table(spark, sf_dir, "documents").select(
+            F.count(F.lit(1)).alias("__n")
+        )
+        _dedup.winnow_pairs_from_posts(posts, total).write.mode(
+            "overwrite"
+        ).parquet(p)
+
     path = _derive_once(
-        _WINNOW_PAIRS_PATHS,
-        str(sf_dir),
-        "airbnb_cdc_winnow_",
-        lambda p: _dedup.winnow_pairs(
-            load_table(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(p),
+        _WINNOW_PAIRS_PATHS, str(sf_dir), "airbnb_cdc_winnow_", _derive
     )
     return spark.read.parquet(path)
 
