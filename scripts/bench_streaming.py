@@ -49,6 +49,12 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   production shape end to end. Fit + threshold freeze excluded
   (one-time batch jobs).
 
+- ``classify`` (r12): streaming quality-classifier inference
+  docs/sec — each micro-batch scores against the persisted hashed
+  bag-of-words weight table (one-time closed-form fit, or an
+  external fastText export) with one broadcast join + one doc-key
+  groupBy per batch, per-doc verdicts landed idempotently.
+
 - ``lm`` (r11): streaming bigram-LM fluency selection docs/sec —
   each micro-batch scored against the persisted dense transition
   model (broadcast n_buckets^2-row join + doc-key groupBy per
@@ -56,7 +62,7 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   (one-time batch job), the DSIR leg's second-order sibling.
 
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality|lm|sq8|buckets] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm|sq8|buckets|classify] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -505,6 +511,85 @@ def bench_buckets(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_classify(n_docs: int, n_files: int) -> None:
+    """Streaming quality-classifier inference: arriving docs score
+    against the persisted hashed bag-of-words weight table (fitted
+    once — or imported from an external fastText trainer) and land
+    per-doc verdicts idempotently per batch. The fit is a one-time
+    batch job; the stream pays one broadcast join + one doc-key
+    groupBy per micro-batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.classifier import (
+        fit_quality_classifier,
+        streaming_classify,
+        token_buckets,
+        write_classifier,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-classify")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_classify_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        # one-time fit: planted positive cohort (doc_id % 10 == 0) vs
+        # the rest as the negative class
+        full = spark.read.schema("doc_id long, text string").json(str(feed))
+        tok = token_buckets(full, "text")
+        model = fit_quality_classifier(
+            tok.filter(F.col("doc_id") % 10 == 0),
+            tok.filter(F.col("doc_id") % 10 != 0),
+        )
+        model_path = str(work / "clf")
+        write_classifier(model, model_path)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        out = str(work / "verdicts")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_classify(
+            stream,
+            model_path,
+            out,
+            checkpoint_dir=str(work / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        landed = spark.read.parquet(out)
+        n_out = landed.count()
+        n_quality = landed.filter(F.col("label") == 1).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "classifier_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "scored": n_out,
+                    "kept_quality": n_quality,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_quality(n_docs: int, n_files: int) -> None:
     from pyspark.sql import types as T
 
@@ -653,7 +738,7 @@ def bench_sq8(n_vecs: int, n_files: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "buckets"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "buckets", "classify"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -677,6 +762,9 @@ def main() -> None:
         return
     if leg == "buckets":
         bench_buckets(n_rows, n_files)
+        return
+    if leg == "classify":
+        bench_classify(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
