@@ -4575,86 +4575,19 @@ def q_ppl_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY = [
-    # r12 rotation — a RECORD-THE-BACKLOG round, rebuilt verbatim from
-    # scripts/rotation_audit.py's must-list (the r11 verdict's #1 and
-    # the reason tests/test_rotation_audit.py was red at r11 HEAD).
-    # The audit names 46 r8-recorded queries that would age past 3
-    # rounds after r12; all 46 take slots, and the 4 remaining slots
-    # go to r9-tier names (chosen cheap — they re-prove the
-    # reference-surface split/projection/filter spine) so the r13
-    # squeeze shrinks from 28 to 24 must-records. NO new queries are
-    # registered in r12, by design.
+    # r13 rotation — the r12-written plan, swapped in verbatim (the
+    # r12 verdict's #1): the 24 r9-tier must-records head the cut and
+    # the backfills are the oldest r10-tier names (alphabetical). The
+    # 20 r10-tier queries left out age to 3 after r13 — legal — and
+    # form the r14 must-record backbone, planned below.
     #
-    # (a) the 46 r8-recorded must-records:
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_kmeans",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "asof_last_view_before_purchase",
-    "bigram_pmi",
-    "bigram_vocab",
-    "booking_customer_aggregation",
-    "chunk_dedup_intervals",
-    "chunk_dedup_spans",
-    "chunk_dedup_summary",
-    "dataset_split_counts",
-    "decontaminate_vs_benchmark",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "dedup_simhash_cluster",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_outliers",
-    "incremental_chunk_dedup",
-    "large_orders",
-    "late_ship_priority_check",
-    "lookup_latest_event",
-    "mixture_by_token_budget",
-    "multimodal_features",
-    "orders_profile",
-    "part_name_canonical",
-    "pit_state_at_purchase",
-    "pivot_status_by_priority",
-    "pricing_summary",
-    "promo_revenue_share",
-    "quality_filter",
-    "rolling_fingerprint",
-    "salted_status_totals",
-    "sample_by_lang",
-    "semdedup_pairs",
-    "set_ops_customers",
-    "top_spenders",
-    "user_overlap_kmv",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    # (b) 4 r9-tier backfills (the rest of the r9 tier is the r13
-    # must-record set, planned below):
-    "conditional_split_bad",
-    "customer_name_clean",
-    "filter_by_status",
-    "project_cast",
-]
-
-# Planned r13 cut, written now so r13 doesn't hit the saturation
-# squeeze r12 did (the r11 verdict's #5). After r12 records the list
-# above, the 24 remaining r9-tier names age to 4 in r13 — they MUST
-# all be in the r13 cut — and the 26 free slots go to the oldest
-# r10-tier names (alphabetical; the remaining 20 r10-tier queries age
-# to 3 after r13, legal, and form the r14 must-record backbone).
-# scripts/rotation_audit.py --simulate-next checks this list.
-# r13 NEW-QUERY BUDGET: each new registry query must take a slot the
-# round it lands (the audit refuses never-recorded names outside the
-# cut), ceding one r10-tier backfill below to the r14 backlog. First
-# in line: the quality-classifier query over operators/classifier.py
-# (operator + pytest landed in r12; needs only a registry entry +
-# DuckDB oracle).
-_NEXT_ROUND_PLAN = [
-    # the 24 r9-tier must-records:
+    # REGISTRY CEILING DISCIPLINE (r12 verdict #6): 170 names x 50
+    # slots x MAX_AGE 3 ==> the registry hard ceiling is 200. At most
+    # ~2 new queries per round are sustainable from here, each
+    # displacing a backfill slot; prefer re-leading existing queries
+    # over registering new ones.
+    #
+    # (a) the 24 r9-tier must-records:
     "ann_topk_ivf_nprobe",
     "anti_join_never_bought",
     "cohort_retention",
@@ -4679,7 +4612,7 @@ _NEXT_ROUND_PLAN = [
     "top_terms_per_doc",
     "user_sessions",
     "winnow_components",
-    # 26 oldest r10-tier backfills:
+    # (b) 26 oldest r10-tier backfills:
     "alter_row_flags",
     "ann_topk_ivf",
     "asof_next_purchase_after_view",
@@ -4706,6 +4639,71 @@ _NEXT_ROUND_PLAN = [
     "length_bucket_stats",
     "mm_resize",
     "pack_concat_split",
+]
+
+# Planned r14 cut, written now per the r12-established discipline so
+# r14 never hits a saturation squeeze. After r13 records the list
+# above, the 20 r10-tier names below age to 4 in r14 — they MUST all
+# be in the r14 cut — and the 30 free slots go to the oldest r11-tier
+# names (alphabetical; the remaining 20 r11-tier queries age to 3
+# after r14, legal, and form the r15 must-record backbone).
+# scripts/rotation_audit.py --simulate-next checks this list.
+# r14 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands (the audit refuses never-recorded names outside the
+# cut), ceding one r11-tier backfill below to the r15 backlog.
+_NEXT_ROUND_PLAN = [
+    # the 20 r10-tier must-records:
+    "pii_scrub",
+    "priority_returns_exists",
+    "quality_filter_chain",
+    "returned_item_revenue",
+    "revenue_pareto",
+    "rollup_country_status",
+    "semantic_decontam",
+    "session_window_stats",
+    "source_quality_profile",
+    "status_percentiles",
+    "temperature_mixture",
+    "temperature_mixture_sample",
+    "top_supplier",
+    "trailing_7d_users",
+    "url_canonical_dedup",
+    "value_trend_by_type",
+    "vocab_coverage",
+    "windowed_kmv_distinct",
+    "winnow_keep_canonical",
+    "zorder_events_layout",
+    # 30 oldest r11-tier backfills:
+    "ann_topk_ivf_recall",
+    "ann_topk_ivf_sq8",
+    "ann_topk_sq8",
+    "ann_topk_sq8_recall",
+    "bilateral_trade_volume",
+    "bracket_revenue",
+    "cdc_merge_upsert",
+    "cheapest_supplier_per_part",
+    "components_store_apply",
+    "corpus_prep_summary",
+    "customer_order_distribution",
+    "dedup_pair_sources",
+    "doc_sentiment",
+    "event_gaps_leadlag",
+    "event_transitions",
+    "events_ohlc",
+    "idle_customers_balance",
+    "incremental_lm_quality",
+    "interpolated_lm_score",
+    "keep_best_quality",
+    "kneser_ney_lm_score",
+    "leakage_safe_split",
+    "length_quartiles_by_lang",
+    "linestatus_priority_class",
+    "lm_perplexity_buckets",
+    "lm_quality_score",
+    "market_share_by_year",
+    "neardup_cluster_sizes",
+    "oov_rate",
+    "orders_expectations",
 ]
 
 
