@@ -79,14 +79,15 @@ def fit_quality_classifier(
         .join(F.broadcast(pt))
         .join(F.broadcast(nt))
     )
-    # DECIMAL(19,0) * DECIMAL(19,0) -> DECIMAL(38,0): exact for any
-    # realistic corpus (each factor < 1e19); `div` truncates, which
-    # equals floor for these positive operands. DuckDB mirror uses
-    # HUGEINT `//` (the dsir_bucket_scores overflow discipline).
+    # Every factor is promoted to DECIMAL BEFORE any product, so the
+    # headroom is decimal end to end — (pc+1)*scale in BIGINT first
+    # would silently wrap past ~1.4e14 tokens in one bucket. `div`
+    # truncates, which equals floor for these positive operands.
+    # DuckDB mirror uses HUGEINT `//` (the dsir_bucket_scores
+    # overflow discipline).
     num = (
-        ((F.coalesce(F.col("pc"), F.lit(0)) + 1) * F.lit(scale)).cast(
-            "decimal(19,0)"
-        )
+        (F.coalesce(F.col("pc"), F.lit(0)) + 1).cast("decimal(19,0)")
+        * F.lit(scale).cast("decimal(19,0)")
         * (F.col("NT") + F.lit(n_buckets)).cast("decimal(19,0)")
     )
     den = (F.coalesce(F.col("nc"), F.lit(0)) + 1).cast("decimal(19,0)") * (

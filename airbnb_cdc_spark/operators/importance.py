@@ -100,12 +100,13 @@ def dsir_bucket_scores(
             "S",
         )
     )
-    # DECIMAL(19,0) * DECIMAL(19,0) -> DECIMAL(38,0): exact for any
-    # realistic corpus (each factor < 1e19); `div` truncates, which
-    # equals floor for these positive operands. DuckDB mirror uses
-    # HUGEINT `//`.
+    # Every factor is promoted to DECIMAL BEFORE any product — a
+    # BIGINT (tc+1)*scale first step would silently wrap past ~1.4e14
+    # tokens in one bucket. `div` truncates, which equals floor for
+    # these positive operands. DuckDB mirror uses HUGEINT `//`.
     num = (
-        ((F.col("tc") + 1) * F.lit(scale)).cast("decimal(19,0)")
+        (F.col("tc") + 1).cast("decimal(19,0)")
+        * F.lit(scale).cast("decimal(19,0)")
         * (F.col("S") + F.lit(n_buckets)).cast("decimal(19,0)")
     )
     den = (F.col("sc") + 1).cast("decimal(19,0)") * (

@@ -28,7 +28,7 @@ _ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
 # shared by the chunk-dedup oracles AND their Spark query bodies
 _CHUNK_W, _CHUNK_S = 64, 48
 
-__all__ = ['_TRADE_VOLUME_ORACLE', '_SEMDEDUP_KEEPER_ORACLE', '_SOFT_DEDUP_ORACLE', '_PRIORITY_RETURNS_ORACLE', '_ASOF_TOLERANCE_SEC', '_ASOF_TOL_ORACLE', '_KMV_WINDOWED_ORACLE', '_FORECAST_REV_ORACLE', '_SOURCE_PROFILE_ORACLE', '_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE', '_LM_BUCKETS', '_LM_SCALE', '_LM_K', '_LM_TARGET', '_LM_ORACLE', '_INCR_LM_ORACLE', '_ORDER_DIST_ORACLE', '_IDLE_CUSTOMERS_ORACLE', '_WAIT_CHAIN_ORACLE', '_JOINT_GATE_ORACLE', '_IDLE_CUTOFF', '_INTERP_LM_ORACLE', '_SMALL_QTY_ORACLE', '_BRACKET_REV_ORACLE', '_MKT_SHARE_ORACLE', '_CHEAPEST_SUPP_ORACLE', '_SUPP_VARIETY_SIZES', '_SUPP_VARIETY_ORACLE', '_SQ8_ORACLE', '_PPL_BUCKETS_ORACLE', '_SQ8_RECALL_ORACLE', '_IVF_SQ8_ORACLE', '_DOMINANT_SUPP_ORACLE', '_KN_LM_ORACLE', '_BLOCKLIST_RULES', '_BLOCKLIST_ORACLE', '_PPL_ASSIGN_ORACLE']
+__all__ = ['_TRADE_VOLUME_ORACLE', '_SEMDEDUP_KEEPER_ORACLE', '_SOFT_DEDUP_ORACLE', '_PRIORITY_RETURNS_ORACLE', '_ASOF_TOLERANCE_SEC', '_ASOF_TOL_ORACLE', '_KMV_WINDOWED_ORACLE', '_FORECAST_REV_ORACLE', '_SOURCE_PROFILE_ORACLE', '_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE', '_LM_BUCKETS', '_LM_SCALE', '_LM_K', '_LM_TARGET', '_LM_ORACLE', '_INCR_LM_ORACLE', '_ORDER_DIST_ORACLE', '_IDLE_CUSTOMERS_ORACLE', '_WAIT_CHAIN_ORACLE', '_JOINT_GATE_ORACLE', '_IDLE_CUTOFF', '_INTERP_LM_ORACLE', '_SMALL_QTY_ORACLE', '_BRACKET_REV_ORACLE', '_MKT_SHARE_ORACLE', '_CHEAPEST_SUPP_ORACLE', '_SUPP_VARIETY_SIZES', '_SUPP_VARIETY_ORACLE', '_SQ8_ORACLE', '_PPL_BUCKETS_ORACLE', '_SQ8_RECALL_ORACLE', '_IVF_SQ8_ORACLE', '_DOMINANT_SUPP_ORACLE', '_KN_LM_ORACLE', '_BLOCKLIST_RULES', '_BLOCKLIST_ORACLE', '_PPL_ASSIGN_ORACLE', '_CLF_BUCKETS', '_CLF_SCALE', '_CLF_K', '_CLF_TARGET', '_CLF_TOPK_ORACLE', '_BPE_SEP', '_BPE_RULES', '_BPE_APPLY_ORACLE']
 
 _AGG_ORACLE = """
 WITH fact AS (
@@ -3853,3 +3853,113 @@ SELECT doc_id, lang,
             WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ranked
 """
+
+
+# fastText-style quality-classifier selection (operators/classifier.py
+# — registered r13 from the oracle pinned by
+# tests/test_classifier_oracle_rehearsal.py). Positive class = the
+# _CLF_TARGET source, negative class = the rest of the corpus,
+# candidates = the negative pool, output = the TOP-K verdict rows by
+# (mean margin desc, doc_id) — the keep_quality selection form. The
+# thresholded-label form is DEGENERATE at sf0.001/0.01 (all label=0;
+# probed per the Q22 rule), so the cut is the discriminative shape.
+# HUGEINT `//` mirrors Spark's DECIMAL(38,0) `div` (both truncate;
+# operands positive) — the _DSIR_ORACLE arithmetic with two class
+# corpora instead of target-vs-corpus.
+_CLF_BUCKETS, _CLF_SCALE, _CLF_K, _CLF_TARGET = 512, 1 << 16, 120, "src0"
+
+_CLF_TOPK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substring(md5(u.tok), 1, 15)) AS BIGINT)
+               % {_CLF_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ), unnest(t) AS u(tok)
+),
+pcnt AS (
+    SELECT bucket, count(*) AS pc FROM tok
+    WHERE source = '{_CLF_TARGET}' GROUP BY bucket
+),
+ncnt AS (
+    SELECT bucket, count(*) AS nc FROM tok
+    WHERE source <> '{_CLF_TARGET}' GROUP BY bucket
+),
+tot AS (
+    SELECT (SELECT COALESCE(SUM(pc), 0) FROM pcnt) AS PT,
+           (SELECT COALESCE(SUM(nc), 0) FROM ncnt) AS NT
+),
+weights AS (
+    SELECT r.range AS bucket,
+           CAST(
+               (CAST((COALESCE(pc.pc, 0) + 1) * {_CLF_SCALE} AS HUGEINT)
+                    * (tot.NT + {_CLF_BUCKETS}))
+               // (CAST(COALESCE(nc.nc, 0) + 1 AS HUGEINT)
+                    * (tot.PT + {_CLF_BUCKETS}))
+           AS BIGINT) AS w
+    FROM range({_CLF_BUCKETS}) r
+    LEFT JOIN pcnt pc ON pc.bucket = r.range
+    LEFT JOIN ncnt nc ON nc.bucket = r.range
+    CROSS JOIN tot
+)
+SELECT t.doc_id AS doc_id,
+       CAST(SUM(ws.w) AS BIGINT) AS margin_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ws.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS margin,
+       CAST(SUM(ws.w) >= {_CLF_SCALE} * COUNT(*) AS INT) AS label
+FROM tok t JOIN weights ws ON t.bucket = ws.bucket
+WHERE t.source <> '{_CLF_TARGET}'
+GROUP BY t.doc_id
+ORDER BY margin DESC, doc_id
+LIMIT {_CLF_K}
+"""
+
+
+# BPE tokenizer INFERENCE with a frozen rule table (operators/bpe.py —
+# registered r13 from the oracle pinned by
+# tests/test_bpe_oracle_rehearsal.py; the FIT is a driver-side argmax
+# loop, pytest-proven, not SQL-replayable). DuckDB replays the greedy
+# left-to-right non-overlapping merge EXACTLY via literal replace()
+# over a sentinel-wrapped encoding: each token is wrapped as
+# \x1f||t||\x1f, so the adjacent pair (a, b) is the literal substring
+# and one replace per rule IS the fold; rules apply in rank order over
+# earlier rules' outputs. Rules were probed to FIRE on the driver
+# corpus (('order','fast') 51x, ('order','order') 47x at sf0.001; the
+# self-pair exercises greedy non-overlap on runs).
+_BPE_SEP = "\x1f"
+_BPE_RULES = ((0, "order", "fast"), (1, "order", "order"))
+
+
+def _bpe_apply_sql() -> str:
+    sep = _BPE_SEP
+    expr = (
+        f"CASE WHEN length(t) = 0 THEN '' ELSE '{sep}' || "
+        f"array_to_string(list_transform(t, x -> x), '{sep}{sep}') || '{sep}' END"
+    )
+    for _, a, b in _BPE_RULES:
+        expr = (
+            f"replace({expr}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a} {b}{sep}')"
+        )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+merged AS (
+    SELECT doc_id, {expr} AS r FROM toks
+)
+SELECT doc_id,
+       CAST(CASE WHEN r = '' THEN 0
+            ELSE length(r) - length(replace(r, '{sep}{sep}', '{sep}')) + 1
+            END AS BIGINT) AS n_bpe_tokens,
+       replace(trim(r, '{sep}'), '{sep}{sep}', '|') AS bpe_text
+FROM merged
+"""
+
+
+_BPE_APPLY_ORACLE = _bpe_apply_sql()

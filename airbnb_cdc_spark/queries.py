@@ -325,15 +325,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # own derivation (it exists to exercise the OTHER pair algorithm).
 _JACCARD_PAIRS_PATHS: dict[str, str] = {}
 
-# One lock serializes every store's derive-and-publish step: without
-# it two threads (a threaded bench, pytest-xdist) could both observe
-# the memo empty and double-derive — wasted work and a leaked temp
-# dir. The temp dirs themselves are registered for atexit cleanup so
-# a long-lived process doesn't accumulate them.
+# Per-key locks serialize each store's derive-and-publish step:
+# without them two threads (a threaded bench, pytest-xdist) could
+# both observe the memo empty and double-derive — wasted work and a
+# leaked temp dir. The lock TABLE itself sits behind one short-held
+# global lock; the derivation holds only its own key's lock, so a
+# memo hit (or an unrelated store's derivation) never blocks behind
+# an in-flight derivation. The temp dirs are registered for atexit
+# cleanup so a long-lived process doesn't accumulate them.
 import atexit as _atexit  # noqa: E402
 import threading as _threading  # noqa: E402
 
 _STORE_LOCK = _threading.RLock()
+_STORE_KEY_LOCKS: dict = {}
 
 
 def _cleanup_store_dir(d: str) -> None:
@@ -346,13 +350,24 @@ def _derive_once(memo: dict, key, prefix: str, derive) -> str:
     """Memoized derive-and-persist: on first use under ``key``, call
     ``derive(path)`` to write a parquet store into a fresh temp dir
     (registered for atexit removal) and publish the path in ``memo``;
-    thereafter return the published path. The lock makes concurrent
-    first-use derive exactly once."""
+    thereafter return the published path. Double-checked per-key
+    locking makes concurrent first-use derive exactly once while memo
+    hits stay lock-free (the path is published only after a complete
+    derivation, so a bare dict read is safe under the GIL). RLocks
+    keep nested derivations (a store whose derive reads another
+    store) reentrant-safe."""
     import hashlib
     import posixpath
     import tempfile
 
+    path = memo.get(key)
+    if path is not None:
+        return path
     with _STORE_LOCK:
+        klock = _STORE_KEY_LOCKS.setdefault(
+            (id(memo), key), _threading.RLock()
+        )
+    with klock:
         path = memo.get(key)
         if path is None:
             d = tempfile.mkdtemp(prefix=prefix)
@@ -4574,6 +4589,110 @@ def q_ppl_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-classifier derive-once (the dsir_scored_store pattern): the
+# fitted weight table AND the per-doc verdicts are properties of the
+# corpus snapshot — one fit + one scoring pass per (sf_dir, process),
+# persisted through classifier.write_classifier / a parquet write,
+# read thereafter. The streaming leg (streaming_classify) keeps its
+# own store on purpose (it demonstrates the arrival path).
+_CLF_MODEL_PATHS: dict[str, str] = {}
+_CLF_SCORED_PATHS: dict[str, str] = {}
+
+
+def clf_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense ``_CLF_BUCKETS``-row NB log-count-ratio weight table
+    fitted on the ``_CLF_TARGET`` source vs the rest of the corpus at
+    ``sf_dir`` — fitted once per (sf_dir, process), a constant-size
+    parquet read thereafter (operators/classifier.py)."""
+    from airbnb_cdc_spark.operators import classifier as _clf
+
+    def _derive(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = _clf.token_buckets(
+            docs.select("doc_id", "source", "text"), "text", _CLF_BUCKETS
+        )
+        model = _clf.fit_quality_classifier(
+            tok.filter(F.col("source") == _CLF_TARGET),
+            tok.filter(F.col("source") != _CLF_TARGET),
+            _CLF_BUCKETS,
+            _CLF_SCALE,
+        )
+        _clf.write_classifier(model, p)
+
+    path = _derive_once(
+        _CLF_MODEL_PATHS, str(sf_dir), "airbnb_cdc_clf_model_", _derive
+    )
+    return _clf.read_classifier(spark, path)
+
+
+def clf_scored_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc classifier verdicts (doc_id, margin_sum, n_tokens,
+    margin, label) for every non-target candidate at ``sf_dir`` — ONE
+    scoring pass per (sf_dir, process), persisted, then a parquet
+    read for every consumer."""
+    from airbnb_cdc_spark.operators import classifier as _clf
+
+    def _derive(p: str) -> None:
+        model = clf_model_store(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        cand = docs.filter(F.col("source") != _CLF_TARGET).select(
+            "doc_id", "text"
+        )
+        _clf.classify(
+            cand, model, "text", "doc_id", _CLF_BUCKETS, _CLF_SCALE
+        ).write.mode("overwrite").parquet(p)
+
+    path = _derive_once(
+        _CLF_SCORED_PATHS, str(sf_dir), "airbnb_cdc_clf_scored_", _derive
+    )
+    return spark.read.parquet(path)
+
+
+@query("quality_classifier_topk", _CLF_TOPK_ORACLE)
+def q_quality_classifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier selection (Joulin et al.
+    2017; the LLaMA/RedPajama CommonCrawl filter stage): fit a linear
+    model over hashed bag-of-words buckets — positive class = the
+    reference-quality ``_CLF_TARGET`` source, negative = the rest —
+    then keep the top-K candidates by mean token margin, ties broken
+    by doc_id (operators/classifier.py keep_quality form). The model
+    is the deterministic NB log-count-ratio stand-in for SGD fastText
+    (exact integers, bit-identical cross-engine); the top-K cut is
+    the discriminative shape — the thresholded label is degenerate at
+    small SF (probed: all label=0 below sf0.1). Both the weight table
+    and the per-doc verdicts come from per-process stores: one fit +
+    one scoring pass per corpus snapshot, metadata-priced reads
+    after."""
+    return (
+        clf_scored_store(spark, sf_dir)
+        .orderBy(F.col("margin").desc(), F.col("doc_id"))
+        .limit(_CLF_K)
+    )
+
+
+@query("bpe_apply", _BPE_APPLY_ORACLE)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE with a frozen merge-rule table
+    (operators/bpe.py; Sennrich et al. 2016): whitespace
+    pre-tokenization, then each rule applied in rank order as a pure
+    Catalyst left-to-right greedy fold — a per-row projection that
+    fuses into the scan, zero shuffles, zero Python. The fit itself
+    (driver-side bounded argmax loop) is pytest-proven; this query
+    runs the production-shaped APPLY leg with ``_BPE_RULES`` (probed
+    to fire on the driver corpus, self-pair included to exercise
+    greedy non-overlap). Output is engine-stable scalars: the BPE
+    token count and the '|'-joined tokenization."""
+    from airbnb_cdc_spark.operators.bpe import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rules = [(r, a, b, f"{a} {b}") for r, a, b in _BPE_RULES]
+    return bpe_apply(docs, rules).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", "|").alias("bpe_text"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # r13 rotation — the r12-written plan, swapped in verbatim (the
     # r12 verdict's #1): the 24 r9-tier must-records head the cut and
@@ -4637,8 +4756,13 @@ _DRIVER_PRIORITY = [
     "interval_join_attribution",
     "kmv_range_rollup",
     "length_bucket_stats",
-    "mm_resize",
-    "pack_concat_split",
+    # (c) the 2 queries REGISTERED in r13 (each must take a slot the
+    # round it lands — the audit refuses never-recorded names outside
+    # the cut); they displace the 2 alphabetically-last r10-tier
+    # backfills (mm_resize, pack_concat_split), which now HEAD the
+    # r14 must-record backbone below:
+    "quality_classifier_topk",
+    "bpe_apply",
 ]
 
 # Planned r14 cut, written now per the r12-established discipline so
@@ -4652,7 +4776,10 @@ _DRIVER_PRIORITY = [
 # round it lands (the audit refuses never-recorded names outside the
 # cut), ceding one r11-tier backfill below to the r15 backlog.
 _NEXT_ROUND_PLAN = [
-    # the 20 r10-tier must-records:
+    # the 22 r10-tier must-records (mm_resize + pack_concat_split
+    # ceded their r13 slots to the two queries registered in r13):
+    "mm_resize",
+    "pack_concat_split",
     "pii_scrub",
     "priority_returns_exists",
     "quality_filter_chain",
@@ -4673,7 +4800,8 @@ _NEXT_ROUND_PLAN = [
     "windowed_kmv_distinct",
     "winnow_keep_canonical",
     "zorder_events_layout",
-    # 30 oldest r11-tier backfills:
+    # 28 oldest r11-tier backfills (oov_rate + orders_expectations
+    # dropped to the r15 backlog to keep the plan at 50):
     "ann_topk_ivf_recall",
     "ann_topk_ivf_sq8",
     "ann_topk_sq8",
@@ -4702,8 +4830,6 @@ _NEXT_ROUND_PLAN = [
     "lm_quality_score",
     "market_share_by_year",
     "neardup_cluster_sizes",
-    "oov_rate",
-    "orders_expectations",
 ]
 
 

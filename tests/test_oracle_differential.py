@@ -15,9 +15,11 @@ from hypothesis import strategies as st
 from airbnb_cdc_spark import queries as Q
 
 # "good"/"bad" are in the sentiment lexicon, so doc_sentiment draws
-# nonzero polarity; the other queries are content-agnostic.
+# nonzero polarity; "order"/"fast" are the frozen bpe_apply rule
+# tokens, so merge rules fire (incl. self-pair runs) in random draws;
+# the other queries are content-agnostic.
 WORDS = ["agg", "row", "scan", "the", "a", "of", "and", "is", "to", "in", "zz",
-         "good", "bad"]
+         "good", "bad", "order", "fast"]
 
 
 @st.composite
@@ -204,6 +206,18 @@ DIFF_QUERIES = [
     # edges, and empty candidate sets; the oracle computes buckets the
     # RANK way, so every passing example re-proves the equivalence
     "ppl_bucket_assign",
+    # r13: fastText-style classifier selection — random corpora draw
+    # an EMPTY positive class (sources s1-s3 never match src0,
+    # all-Laplace weights), 0-token candidates (no verdict row), and
+    # mean-margin ties broken by doc_id, against the exact integer
+    # NB log-count-ratio replay; the store round-trip runs per
+    # example (fresh tmp dir, so the per-sf_dir memo never aliases)
+    "quality_classifier_topk",
+    # r13: BPE apply with the frozen rule table — random word draws
+    # exercise agreement-on-no-fire, and draws containing
+    # 'order'/'fast' runs exercise the greedy non-overlap fold
+    # against the sentinel-replace replay
+    "bpe_apply",
 ]
 
 
@@ -975,6 +989,8 @@ NULL_TEXT_QUERIES = [
     "chunk_dedup_spans",
     "chunk_dedup_summary",
     "winnow_fingerprints",
+    "quality_classifier_topk",
+    "bpe_apply",
 ]
 
 
