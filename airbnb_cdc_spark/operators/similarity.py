@@ -497,6 +497,18 @@ def write_sq8_index(
     import os
 
     scale = _sq8_max_abs(corpus, vec_col)
+    # Validate the 1-row scale frame EAGERLY: sq8_codes' in-plan guard
+    # is per-row, so an EMPTY corpus streams zero rows through it and
+    # would silently freeze a NULL scale into scale/ — deferring the
+    # failure to the first append instead of the build. One driver-side
+    # row; the build is corpus-scale anyway.
+    mx = scale.collect()[0]["__mx"]
+    if mx is None or mx <= 0:
+        raise ValueError(
+            "write_sq8_index: degenerate quantizer scale"
+            f" (max_abs={mx!r}) — empty or all-zero corpus; an index"
+            " built from it would poison every later append and query"
+        )
     sq8_codes(corpus, scale, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "codes"))

@@ -290,17 +290,23 @@ def bigram_pmi(
 
 
 def corpus_token_counts(
-    df: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame]:
-    """The corpus token-statistics pair every tokenizer-construction
+    df: DataFrame,
+    text_col: str = "text",
+    with_doc_tf: bool = False,
+    id_col: str = "doc_id",
+):
+    """The corpus token-statistics tables every tokenizer-construction
     step consumes: (unigram counts (w, c), FULL unfiltered bigram
-    counts (w1, w2, c_ab)). One persisted token-array projection feeds
-    both aggregations — the corpus tokenizes once. These are the
-    tables a 100 TB pipeline materializes once per snapshot (the BPE /
-    collocation statistics artifact) and every consumer reads."""
+    counts (w1, w2, c_ab)), plus — under ``with_doc_tf`` — the
+    document-term matrix (doc_id, term, tf). One persisted token-array
+    projection feeds every aggregation — the corpus tokenizes once.
+    These are the tables a 100 TB pipeline materializes once per
+    snapshot (the BPE / collocation / per-doc-tf statistics artifact)
+    and every consumer reads."""
     toks = tokens(F.col(text_col))
+    keep = [id_col] if with_doc_tf else []
     base = persist_tracked(
-        ensure_parallelism(df).select(toks.alias("__toks"))
+        ensure_parallelism(df).select(*keep, toks.alias("__toks"))
     )
     uni = base.select(F.explode("__toks").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
@@ -321,6 +327,13 @@ def corpus_token_counts(
         .groupBy("p.w1", "p.w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
+    if with_doc_tf:
+        tf = (
+            base.select(id_col, F.explode("__toks").alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        return uni, bi_full, tf
     return uni, bi_full
 
 

