@@ -420,6 +420,13 @@ def ivf_sq8_topk(
     )
 
     def nearest(side: DataFrame, out_id: str, n: int) -> DataFrame:
+        if n == 1:
+            # map-side-combined argmax (see _nearest_centroid): one
+            # shuffled row per vector instead of one per
+            # (vector, centroid)
+            return _nearest_centroid(side, cents, id_col).select(
+                F.col(id_col).alias(out_id), "cid"
+            )
         scored = side.crossJoin(cents).withColumn(
             "__cos",
             _pair_cosine(
@@ -644,6 +651,36 @@ def cosine_neardup_pairs(
     # old dedup shuffled all surviving pairs for no semantic effect
 
 
+def _nearest_centroid(base: DataFrame, cents_b, id_col: str) -> DataFrame:
+    """(id, __q, __norm, cid): each vector joined to its nearest
+    centroid under the (cosine desc, cid asc) total order. Argmax as a
+    hash aggregate, not a window: a window over the corpus×centroids
+    cross join exchanges every scored row (two quantized arrays each —
+    n·sqrt(n) rows under the ~sqrt(n) centroid rule), while max_by
+    partial-combines map-side so the shuffle is one row per vector
+    regardless of centroid count. The struct key (__cos, -cid) is the
+    same total order as the window form — NaN sorts largest and
+    struct-NULL smallest on both paths — so the pick (and the DuckDB
+    oracle replay) is identical."""
+    scored = base.crossJoin(cents_b).withColumn(
+        "__cos",
+        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__q"), F.col("__norm"), F.col("cid")),
+                F.struct(
+                    F.col("__cos").alias("__c"),
+                    (-F.col("cid")).alias("__negcid"),
+                ),
+            ).alias("__best")
+        )
+        .select(id_col, "__best.*")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -717,6 +754,20 @@ def ivf_topk(
             "__cos",
             _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
         )
+        if n == 1:
+            # _nearest_centroid: map-side-combined argmax — at sf0.1
+            # the query is stage-overhead-bound and measures the same
+            # as the window form (A/B r13: 3.19s vs 3.09s, inside
+            # noise); the win is shuffle VOLUME — n rows instead of
+            # n·sqrt(n) under the ~sqrt(n) centroid rule, the
+            # difference between linear and superlinear exchange at
+            # corpus scale.
+            return _nearest_centroid(side, cents_b, id_col).select(
+                F.col(id_col).alias(out_id),
+                "cid",
+                F.col("__q").alias(f"__q_{out_id}"),
+                F.col("__norm").alias(f"__n_{out_id}"),
+            )
         w = Window.partitionBy(side[id_col]).orderBy(
             F.col("__cos").desc(), F.col("cid").asc()
         )
@@ -838,15 +889,8 @@ def build_ivf_index(
             f"{centroid_rem}; pass a smaller centroid_mod (or None to "
             "derive ~sqrt(n) from the corpus size)"
         )
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "__cos",
-        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid"))
+    assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
+        F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid")
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "lists")
@@ -890,20 +934,13 @@ def append_ivf_index(
 
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
     base = _with_quant(new_vectors, id_col, vec_col)
-    scored = base.crossJoin(cents).withColumn(
-        "__cos",
-        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cos").desc(), F.col("cid").asc()
-    )
     # persist: the touched-cid collect, the existence probe, and the
     # append all consume this frame — unpersisted, the batch x
     # centroids scoring pass would run three times.
     assigned = persist_tracked(
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid"))
+        _nearest_centroid(base, cents, id_col).select(
+            F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid")
+        )
     )
     if skip_existing:
         touched = [r.cid for r in assigned.select("cid").distinct().collect()]
