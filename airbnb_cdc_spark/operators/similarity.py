@@ -1104,8 +1104,6 @@ def semdedup_pairs(
     centroids) expected cluster size is ~sqrt(n), keeping Σ|c|² ≈
     n^1.5 — the paper's regime; skewed clusters are the caller's
     signal to raise the centroid count."""
-    from pyspark.sql import Window
-
     if centroid_mod is None:
         import math
 
@@ -1128,15 +1126,12 @@ def semdedup_pairs(
             f"no vec id satisfies id % {centroid_mod} == {centroid_rem}; "
             "pass centroid_mod=None to derive centroids from corpus size"
         )
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "__cos",
-        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), "cid", "__q", "__norm")
+    # map-side-combined argmax (see _nearest_centroid): one shuffled
+    # row per vector instead of one per (vector, centroid) — same
+    # (cosine desc, cid asc) total order, so cluster structure (and
+    # the oracle replay) is unchanged
+    assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
+        F.col(id_col), "cid", "__q", "__norm"
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"), "cid",
