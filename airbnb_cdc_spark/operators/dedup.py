@@ -885,6 +885,14 @@ def chunk_dedup(
             df, id_col=id_col, text_col=text_col, window=window, stride=stride
         )
     )
+    return _mark_chunk_keepers(chunks, id_col)
+
+
+def _mark_chunk_keepers(chunks: DataFrame, id_col: str) -> DataFrame:
+    """The shared keeper-marking tail of every chunk-granularity dedup:
+    first occurrence in (doc_id, chunk_idx) order keeps each
+    chunk_hash, one hash-keyed groupBy + one same-key mark-back join
+    (AQE broadcasts the keeper table while it fits)."""
     keepers = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__keep")
     )
@@ -903,6 +911,32 @@ def chunk_dedup(
             ).alias("is_dup"),
         )
     )
+
+
+def content_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+    rem: int = 3,
+) -> DataFrame:
+    """``chunk_dedup`` over CONTENT-DEFINED chunks
+    (``text.content_chunk_documents``): boundaries follow the token
+    hashes instead of fixed positions, so shared boilerplate still
+    collides on identical chunks when an edit SHIFTS it within the
+    document — the case where every fixed-stride window after the edit
+    changes and chunk-level dedup goes blind (pytest-pinned contrast
+    in ``test_content_chunks.py``). Same output contract and the same
+    linear scale shape as ``chunk_dedup``: narrow per-row chunking,
+    one chunk-hash groupBy, one same-key mark-back join."""
+    from airbnb_cdc_spark.operators.text import content_chunk_documents
+
+    chunks = persist_tracked(
+        content_chunk_documents(
+            df, id_col=id_col, text_col=text_col, divisor=divisor, rem=rem
+        )
+    )
+    return _mark_chunk_keepers(chunks, id_col)
 
 
 def chunk_dedup_summary(

@@ -423,6 +423,68 @@ def chunk_documents(
     )
 
 
+def content_chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+    rem: int = 3,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rsync/LBFS/FastCDC boundary rule
+    at token granularity): cut after every token whose hash satisfies
+    ``h60(token) % divisor == rem`` — expected chunk length is
+    ``divisor`` tokens, and boundaries move WITH the content, so an
+    insertion near the front of a document re-chunks only the chunk it
+    lands in, where fixed-stride chunking (``chunk_documents``) shifts
+    every later window and loses all of them to dedup. Same output
+    schema as ``chunk_documents``: (id, chunk_idx, chunk_tokens,
+    chunk_hash), so the chunk-dedup machinery composes with either
+    chunker.
+
+    Production FastCDC adds min/max chunk-size clamps; those make the
+    boundary decision sequential (a cut depends on where the previous
+    cut landed after clamping), so this keeps the pure Rabin rule —
+    order-free per position, embarrassingly parallel, and exactly
+    replayable in SQL. Extreme chunk lengths are possible but
+    geometrically rare (P[len > L] = (1 - 1/divisor)^L).
+
+    Scale: per-row array transforms only (hash, filter, slice) + one
+    explode — zero shuffle, the ``chunk_documents`` shape. Empty
+    documents produce no chunks."""
+    from airbnb_cdc_spark.functions.textfns import h60
+
+    toks = tokens(F.col(text_col))
+    base = ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    # ascending cut positions (1-based, end-inclusive), then append the
+    # doc end; array_distinct keeps first occurrences so a final-token
+    # boundary isn't doubled
+    cuts = F.filter(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda p: h60(F.element_at("__toks", p)) % divisor == F.lit(rem),
+    )
+    ends = F.array_distinct(F.concat(cuts, F.array(n)))
+    with_ends = base.filter(n >= 1).select(
+        id_col,
+        "__toks",
+        ends.alias("__ends"),
+        F.explode(F.sequence(F.lit(1), F.size(ends))).alias("__k"),
+    )
+    start = F.when(F.col("__k") == 1, F.lit(1)).otherwise(
+        F.element_at("__ends", F.col("__k") - 1) + 1
+    )
+    end = F.element_at("__ends", F.col("__k"))
+    chunk = F.slice("__toks", start, end - start + 1)
+    return with_ends.select(
+        id_col,
+        (F.col("__k") - 1).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 def sentiment_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -4794,10 +4794,11 @@ _DRIVER_PRIORITY = [
 # r14 NEW-QUERY BUDGET: each new registry query must take a slot the
 # round it lands (the audit refuses never-recorded names outside the
 # cut), ceding one r11-tier backfill below to the r15 backlog.
-# REHEARSED AND READY for r14: `ann_topk_pq` (pq_refine_topk, the
-# PQ-shortlist + exact-refine ANN leg) — its bit-exact DuckDB oracle
-# is pinned in tests/test_pq_oracle_rehearsal.py; registering it is a
-# move-the-SQL edit plus the slot swap above.
+# REHEARSED AND READY for r14 (each a move-the-SQL edit + the slot
+# swap above): `ann_topk_pq` (pq_refine_topk, PQ shortlist + exact
+# refine — tests/test_pq_oracle_rehearsal.py) and
+# `content_chunk_dedup` (Rabin-boundary chunk dedup —
+# tests/test_content_chunk_oracle_rehearsal.py).
 _NEXT_ROUND_PLAN = [
     # the 22 r10-tier must-records (mm_resize + pack_concat_split
     # ceded their r13 slots to the two queries registered in r13):
