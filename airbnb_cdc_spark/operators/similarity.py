@@ -1492,3 +1492,109 @@ def pq_refine_topk(
         .select("query_id", "neighbor_id", "cosine")
     )
     return _rank_topk(scored, k)
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    dim: int = 64,
+    cb_mod: int | None = None,
+    cb_rem: int = 1,
+) -> None:
+    """Materialize the PQ index as a DISK LAYOUT: ``codebook/`` (the
+    ~256-entries-per-subspace long-form table) plus ``codes/``
+    (id, j, cid — m bigints per vector, the 32x compression). The
+    codebook is FROZEN at build time, the same contract as the SQ8
+    scale and the IVF centroids: later appends encode against it so
+    codes stay mutually comparable; corpus drift needs a rebuild.
+    ``pq_codebook`` fails loud on an empty/unsampled corpus, so a
+    degenerate build can never persist a poisoned store."""
+    import os
+
+    cb = persist_tracked(
+        pq_codebook(corpus, id_col, vec_col, m, dim, cb_mod, cb_rem)
+    )
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    pq_codes(corpus, cb, id_col, vec_col, m, dim).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+
+
+def append_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    dim: int = 64,
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a ``write_pq_index`` layout: encode the batch
+    against the FROZEN stored codebook and append. The existing code
+    table is never rewritten — ingest cost is one batch-sized encode
+    plus an id anti-join against the (id-column-only, column-pruned)
+    existing codes scan. Returns rows appended (vectors, not code
+    rows); ``skip_existing`` makes replays idempotent — the
+    store-not-rescan contract every incremental store here follows."""
+    import os
+
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    batch = pq_codes(new_vectors, cb, id_col, vec_col, m, dim)
+    if skip_existing:
+        existing = spark.read.parquet(os.path.join(path, "codes")).select(
+            id_col
+        )
+        batch = batch.join(existing.distinct(), id_col, "left_anti")
+    batch = persist_tracked(batch)
+    n_rows = batch.count()
+    if n_rows:
+        batch.write.mode("append").parquet(os.path.join(path, "codes"))
+    return n_rows // m
+
+
+def query_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ layout: the query side builds
+    its LUT from the stored codebook and broadcasts it; the corpus
+    side reads ONLY the m-bigints-per-vector code table — at no point
+    is a stored float embedding materialized. Identical ADC semantics
+    to ``pq_topk`` over the same logical corpus and codebook
+    (pytest-asserted). Callers wanting exact-quality answers re-rank
+    the returned shortlist against their float table — the
+    ``pq_refine_topk`` composition; the index itself never needs the
+    floats."""
+    import os
+
+    from pyspark.sql import Window
+
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        F.col(id_col).alias("neighbor_id"), "j", "cid"
+    )
+    lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
+    scored = (
+        codes.join(F.broadcast(lut), ["j", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__pdot").alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_score", "rank")
+    )
