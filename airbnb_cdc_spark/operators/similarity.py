@@ -1542,6 +1542,15 @@ def append_pq_index(
     store-not-rescan contract every incremental store here follows."""
     import os
 
+    # Fan the batch out before encoding: ensure_parallelism leaves
+    # non-file frames (foreachBatch micro-batches) untouched, but the
+    # encode is compute-heavy (batch x m x 256 subspace distances) and
+    # serializes on a narrow JSON/Kafka batch. The RDD partition probe
+    # is a per-BATCH fixed cost — fine at ingest cadence, unlike the
+    # per-call hot-path cost ensure_parallelism's design avoids.
+    want = spark.sparkContext.defaultParallelism
+    if new_vectors.rdd.getNumPartitions() < want:
+        new_vectors = new_vectors.repartition(want)
     cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
     batch = pq_codes(new_vectors, cb, id_col, vec_col, m, dim)
     if skip_existing:

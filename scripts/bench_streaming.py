@@ -62,7 +62,7 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   (one-time batch job), the DSIR leg's second-order sibling.
 
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality|lm|sq8|buckets|classify] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -735,10 +735,87 @@ def bench_sq8(n_vecs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_pq(n_vecs: int, n_files: int) -> None:
+    """Streaming PQ ingest vectors/sec: the index is built from the
+    first file (freezing the codebook), then every micro-batch encodes
+    against the frozen codebook and appends via the idempotent id
+    anti-join — the per-batch cost is one batch-sized encode + the
+    column-pruned existing-id probe, independent of index size. The
+    final code count must equal m x the distinct feed ids (batch 0
+    replays the first file's vectors and must be skipped — replay
+    safety on real traffic)."""
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_pq_index,
+        write_pq_index,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    m = 16
+    spark = get_spark("bench-streaming-pq")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_pq_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_vectors_feed(feed, n_vecs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        index = str(work / "pq")
+        # build from the first file — codebook frozen here
+        first = spark.read.schema(schema).json(
+            str(sorted(feed.iterdir())[0])
+        )
+        write_pq_index(first, index, m=m)
+
+        appended = []
+
+        def _ingest(batch_df, batch_id):
+            appended.append(append_pq_index(spark, index, batch_df, m=m))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        n_codes = spark.read.parquet(index + "/codes").count()
+        assert n_codes == total * m, (n_codes, total, m)
+        print(
+            json.dumps(
+                {
+                    "metric": "pq_ingest_stream_vecs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "vecs/sec",
+                    "feed_vecs": total,
+                    "micro_batches": n_files,
+                    "code_rows": n_codes,
+                    "appended_per_batch": appended,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "buckets", "classify"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -759,6 +836,9 @@ def main() -> None:
         return
     if leg == "sq8":
         bench_sq8(n_rows, n_files)
+        return
+    if leg == "pq":
+        bench_pq(n_rows, n_files)
         return
     if leg == "buckets":
         bench_buckets(n_rows, n_files)
