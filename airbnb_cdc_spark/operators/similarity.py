@@ -1607,3 +1607,200 @@ def query_pq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pq_score", "rank")
     )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int | None = 37,
+    centroid_rem: int = 3,
+    m: int = 16,
+    dim: int = 64,
+    cb_mod: int | None = None,
+    cb_rem: int = 1,
+) -> None:
+    """The composed FAISS ``IVFx,PQy`` DISK LAYOUT — the full
+    production ANN artifact: PQ codes (one array<long> of m codes per
+    vector) written as parquet PARTITIONED by nearest-IVF-centroid id
+    (``lists/cid=N/``), with ``centroids/`` and ``codebook/``
+    alongside. A query prunes to its probed ``cid=`` directories at
+    the scan (directory-level, nothing else read or listed) and then
+    ADC-scores m-code rows — at 100 TB a top-k touches
+    ~nprobe/n_centroids of a 32x-compressed corpus, the product of
+    both cuts. Centroids AND codebook freeze at build; appends encode
+    against both, rebuild cadence owns drift."""
+    import os
+
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(2, int(math.sqrt(corpus.count())))
+    base = persist_tracked(_with_quant(corpus, id_col, vec_col))
+    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+        F.col(id_col).alias("cid"),
+        F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
+    )
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
+            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
+            "derive ~sqrt(n) from the corpus size)"
+        )
+    cb = persist_tracked(
+        pq_codebook(corpus, id_col, vec_col, m, dim, cb_mod, cb_rem)
+    )
+    assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
+        F.col(id_col), "cid"
+    )
+    codes = _pq_code_arrays(corpus, cb, id_col, vec_col, m, dim)
+    (
+        codes.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "lists"))
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+
+
+def _pq_code_arrays(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """(id, codes array<long>): the long-form ``pq_codes`` rolled back
+    up to one m-element array per vector, ordered by subspace — the
+    on-disk shape (m bigints per row packs better than m rows and
+    reads back with one scan)."""
+    long_form = pq_codes(corpus, codebook, id_col, vec_col, m, dim)
+    return long_form.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "cid"))),
+            lambda s: s["cid"],
+        ).alias("codes")
+    )
+
+
+def append_ivf_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    dim: int = 64,
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a ``build_ivf_pq_index`` layout: assign each
+    new vector to its nearest FROZEN centroid and encode it against
+    the FROZEN codebook, then append into the matching ``cid=``
+    partitions. Ingest cost is one batch-sized assignment+encode plus
+    a partition-pruned existence probe over only the touched lists —
+    independent of index size. ``skip_existing`` replays are
+    append-zero (the insert-only contract). Returns rows appended."""
+    import os
+
+    want = spark.sparkContext.defaultParallelism
+    if new_vectors.rdd.getNumPartitions() < want:
+        new_vectors = new_vectors.repartition(want)
+    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    base = _with_quant(new_vectors, id_col, vec_col, widen=False)
+    assigned = _nearest_centroid(base, cents, id_col).select(F.col(id_col), "cid")
+    batch = persist_tracked(
+        _pq_code_arrays(new_vectors, cb, id_col, vec_col, m, dim).join(
+            assigned, id_col
+        )
+    )
+    if skip_existing:
+        touched = [r.cid for r in batch.select("cid").distinct().collect()]
+        existing = (
+            spark.read.parquet(os.path.join(path, "lists"))
+            .filter(F.col("cid").isin(touched))
+            .select(id_col)
+        )
+        batch = persist_tracked(batch.join(existing, id_col, "left_anti"))
+    n = batch.count()
+    if n:
+        batch.write.mode("append").partitionBy("cid").parquet(
+            os.path.join(path, "lists")
+        )
+    return n
+
+
+def query_ivf_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k over a ``build_ivf_pq_index`` layout: the probe set
+    (query -> nprobe nearest stored centroids) is |queries|·nprobe
+    ints, collected and pushed into the lists scan as a STATIC
+    partition filter (the ``query_ivf_index`` trade — driver-side
+    metadata, never data), so only the probed ``cid=`` directories are
+    read; the survivors' m-code arrays are scored against the
+    broadcast query LUT. Identical ADC semantics to ``ivf_pq_topk``
+    over the same logical corpus and parameters (pytest-asserted)."""
+    import os
+
+    from pyspark.sql import Window
+
+    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    qs = _with_quant(queries, id_col, vec_col)
+    scored = qs.crossJoin(cents).withColumn(
+        "__cos",
+        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("cid").asc()
+    )
+    probes = persist_tracked(
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
+    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("j", "code"),
+        )
+    )
+    scored_pairs = (
+        cand.join(
+            F.broadcast(lut),
+            (cand["j"] == lut["j"])
+            & (cand["code"] == lut["cid"])
+            & (cand["query_id"] == lut["query_id"]),
+        )
+        .groupBy(cand["query_id"], "neighbor_id")
+        .agg(F.sum("__pdot").alias("pq_score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored_pairs.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_score", "rank")
+    )

@@ -1,0 +1,103 @@
+"""Composed IVF-PQ disk index: store queries must equal the
+in-session ivf_pq_topk, the lists scan must prune to the probed
+partitions (inputFiles), appends must use the FROZEN centroids and
+codebook with replay-zero — the full FAISS IVFx,PQy on-disk
+contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbnb_cdc_spark.operators.similarity import (
+    append_ivf_pq_index,
+    build_ivf_pq_index,
+    ivf_pq_topk,
+    query_ivf_pq_index,
+)
+
+
+def _vecs(spark, ids):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (
+            i,
+            [((((i * 31 + d * 7) % 257) - 128) / 128.0) for d in range(64)],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_store_query_equals_in_session_and_prunes(spark, tmp_path):
+    corpus = _vecs(spark, range(120))
+    queries = _vecs(spark, range(0, 120, 60))  # 2 queries, ~11 centroids
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        corpus, path, centroid_mod=11, centroid_rem=3, cb_mod=7, cb_rem=1
+    )
+    out = query_ivf_pq_index(spark, path, queries, k=3, nprobe=2)
+    stored = sorted(map(tuple, out.collect()))
+    insess = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                corpus,
+                queries,
+                k=3,
+                centroid_mod=11,
+                centroid_rem=3,
+                nprobe=2,
+                m=16,
+                cb_mod=7,
+                cb_rem=1,
+            ).collect(),
+        )
+    )
+    assert stored == insess
+    assert len(stored) > 0
+
+    # partition pruning: the lists scan carries a static PartitionFilter
+    # over the probed cids (2 queries x nprobe 2 = at most 4 of the ~11
+    # list partitions). inputFiles() reflects the unpruned relation, so
+    # assert on the physical plan's scan node (the query_ivf_index
+    # technique in test_operators.py).
+    import os
+    import re
+
+    n_parts = len(
+        [d for d in os.listdir(path + "/lists") if d.startswith("cid=")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    mm = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", plan)
+    assert mm, "lists scan has no static cid partition filter"
+    probed = {int(x) for x in mm.group(1).split(",")}
+    assert len(probed) <= 4 < n_parts, (sorted(probed), n_parts)
+
+
+def test_append_frozen_geometry_and_replay_zero(spark, tmp_path):
+    old = _vecs(spark, range(80))
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        old, path, centroid_mod=37, centroid_rem=3, cb_mod=7, cb_rem=1
+    )
+    n_cents = spark.read.parquet(path + "/centroids").count()
+    n_cb = spark.read.parquet(path + "/codebook").count()
+    batch = _vecs(spark, range(200, 220))
+    assert append_ivf_pq_index(spark, path, batch) == 20
+    assert append_ivf_pq_index(spark, path, batch) == 0  # replay
+    # frozen geometry: neither table grew
+    assert spark.read.parquet(path + "/centroids").count() == n_cents
+    assert spark.read.parquet(path + "/codebook").count() == n_cb
+    # the store now answers over old + new under the same geometry
+    qs = _vecs(spark, [0])
+    got = {
+        r.neighbor_id
+        for r in query_ivf_pq_index(spark, path, qs, k=200, nprobe=99).collect()
+    }
+    assert got == (set(range(1, 80)) | set(range(200, 220)))
