@@ -3089,16 +3089,21 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("bm25_topk", _bm25_oracle())
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 keyword retrieval for a 3-term query: rational
-    (log-free) Robertson-Sparck-Jones idf, binary-exact k1/b, and the
-    term IN-list filter applied to the exploded token stream right off
-    the scan — inverted-index behavior without materializing one. See
+    (log-free) Robertson-Sparck-Jones idf, binary-exact k1/b, served
+    from the shared document-term-matrix store (`doc_tf_store` — the
+    tokenize-once artifact; dl/df/tf are IN-list filters and sums over
+    it, value-identical to the re-tokenize path by the shared
+    `_bm25_rank` expression tree; A/B at sf0.1: 1.77s → 0.79s). See
     operators/retrieval.py for the determinism + scale contract."""
-    from airbnb_cdc_spark.operators.retrieval import bm25_topk
+    from airbnb_cdc_spark.operators.retrieval import bm25_scores_from_tf
 
-    return bm25_topk(
+    scored = bm25_scores_from_tf(
+        doc_tf_store(spark, sf_dir),
         load_table(spark, sf_dir, "documents"),
         terms=list(_BM25_TERMS),
-        k=_BM25_K,
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        _BM25_K
     )
 
 
