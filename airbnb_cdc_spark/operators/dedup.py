@@ -1054,6 +1054,7 @@ def incremental_chunk_dedup(
     text_col: str = "text",
     window: int = 64,
     stride: int = 48,
+    chunker=None,
 ) -> DataFrame:
     """Chunk-level dedup in the production ingest shape: a NEW batch
     marked against an already-ingested corpus's chunk-hash store — the
@@ -1073,19 +1074,25 @@ def incremental_chunk_dedup(
     keeper choice is one hash groupBy; the store probe is a LEFT join
     on ``chunk_hash`` against a DISTINCT, column-pruned store scan —
     the store itself is never re-shuffled against the corpus, the same
-    contract as ``incremental_exact_dedup``."""
+    contract as ``incremental_exact_dedup``.
+
+    ``chunker`` swaps the chunking rule while keeping every store/
+    keeper/replay semantic: a callable ``docs -> (id, chunk_idx,
+    chunk_tokens, chunk_hash)`` — e.g. a ``content_chunk_documents``
+    closure for insertion-robust boundaries. Default: fixed-stride
+    ``chunk_documents`` with ``window``/``stride``."""
     from airbnb_cdc_spark.operators.text import chunk_documents
 
+    if chunker is None:
+        def chunker(d):
+            return chunk_documents(
+                d, id_col=id_col, text_col=text_col, window=window, stride=stride
+            )
+
     if "chunk_hash" not in seen.columns:
-        seen = chunk_documents(
-            seen, id_col=id_col, text_col=text_col, window=window, stride=stride
-        )
+        seen = chunker(seen)
     store = seen.select("chunk_hash").distinct().withColumn("__seen", F.lit(True))
-    chunks = persist_tracked(
-        chunk_documents(
-            new_docs, id_col=id_col, text_col=text_col, window=window, stride=stride
-        )
-    )
+    chunks = persist_tracked(chunker(new_docs))
     keepers = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__keep")
     )
@@ -1116,6 +1123,7 @@ def streaming_chunk_dedup(
     window: int = 64,
     stride: int = 48,
     checkpoint_dir: str | None = None,
+    chunker=None,
 ):
     """Streaming chunk-level dedup against a PERSISTENT chunk-hash
     store: each micro-batch is marked by ``incremental_chunk_dedup``,
@@ -1181,6 +1189,7 @@ def streaming_chunk_dedup(
             window,
             stride,
             run_id=run_id,
+            chunker=chunker,
         )
 
     writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
@@ -1199,6 +1208,7 @@ def _chunk_dedup_batch(
     window: int,
     stride: int,
     run_id: str = "",
+    chunker=None,
 ) -> None:
     """One ``streaming_chunk_dedup`` micro-batch, replay-idempotent:
     re-running the same ``(batch_df, epoch)`` under the same ``run_id``
@@ -1238,7 +1248,8 @@ def _chunk_dedup_batch(
         else:
             seen = batch_df.sparkSession.createDataFrame([], "chunk_hash string")
         marked = incremental_chunk_dedup(
-            batch_df, seen, id_col, text_col, window=window, stride=stride
+            batch_df, seen, id_col, text_col,
+            window=window, stride=stride, chunker=chunker,
         )
         marked.filter(F.col("is_dup")).select(
             id_col, "chunk_idx", "chunk_tokens", "chunk_hash"

@@ -105,3 +105,38 @@ def test_single_and_empty_docs(spark):
     ).collect()
     assert len(out) == 1
     assert (out[0].doc_id, out[0].chunk_idx, out[0].chunk_tokens) == (1, 0, 1)
+
+def test_incremental_content_chunk_dedup_against_store(spark):
+    """The content-defined chunker rides the SAME incremental store
+    machinery as fixed-stride chunks (the `chunker` hook): boilerplate
+    ingested earlier suppresses a later batch's SHIFTED copy — the
+    arrival-path form of the shift-robustness contrast."""
+    from airbnb_cdc_spark.operators.dedup import incremental_chunk_dedup
+    from airbnb_cdc_spark.operators.text import content_chunk_documents
+
+    run = " ".join(f"boil{i}" for i in range(64))  # cuts at 27/39/60
+    seen = _docs(spark, [(1, "original header " + run + " original tail")])
+    batch = _docs(
+        spark,
+        [
+            (50, "a very different inserted preamble shifts everything " + run),
+            (51, " ".join(f"fresh{i}" for i in range(30))),
+        ],
+    )
+
+    def chunker(d):
+        return content_chunk_documents(d)
+
+    out = incremental_chunk_dedup(batch, seen, chunker=chunker).collect()
+    dup_by_doc = {}
+    for r in out:
+        dup_by_doc.setdefault(r.doc_id, []).append(r.is_dup)
+    # doc 50's interior boilerplate chunks are suppressed by the store
+    assert sum(dup_by_doc[50]) >= 2
+    # the fresh doc survives untouched
+    assert not any(dup_by_doc[51])
+
+    # fixed-stride control: the same arrival marks NOTHING (the shift
+    # moved every window)
+    ctrl = incremental_chunk_dedup(batch, seen, window=16, stride=16).collect()
+    assert not any(r.is_dup for r in ctrl if r.doc_id == 50)
