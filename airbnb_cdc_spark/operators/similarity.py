@@ -1164,8 +1164,8 @@ def pq_codebook(
     vec_col: str = "embedding",
     m: int = PQ_M,
     dim: int = 64,
-    cb_mod: int | None = 23,
-    cb_rem: int = 5,
+    cb_mod: int | None = None,
+    cb_rem: int = 1,
 ) -> DataFrame:
     """Long-form PQ codebook ``(j, cid, __csub)`` — subspace ``j``'s
     entries are the ``j``-th quantized subvectors of a deterministic
@@ -1297,8 +1297,8 @@ def pq_topk(
     k: int = 5,
     m: int = PQ_M,
     dim: int = 64,
-    cb_mod: int = 23,
-    cb_rem: int = 5,
+    cb_mod: int | None = None,
+    cb_rem: int = 1,
 ) -> DataFrame:
     """Flat PQ/ADC top-k (Jegou, Douze, Schmid: "Product quantization
     for nearest neighbor search", TPAMI 2011): vectors are stored as m
@@ -1349,8 +1349,8 @@ def ivf_pq_topk(
     nprobe: int = 2,
     m: int = PQ_M,
     dim: int = 64,
-    cb_mod: int = 23,
-    cb_rem: int = 5,
+    cb_mod: int | None = None,
+    cb_rem: int = 1,
 ) -> DataFrame:
     """IVF pruning x PQ/ADC scanning — the FAISS ``IVFx,PQy`` shape, THE
     production 100 TB ANN configuration: the inverted file cuts the
