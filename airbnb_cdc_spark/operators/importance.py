@@ -226,3 +226,78 @@ def streaming_dsir_select(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def distribution_drift(
+    ref_tok: DataFrame,
+    new_tok: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Per-bucket corpus-drift table — the ingest-monitoring stage a
+    production pretraining pipeline runs between snapshots (did this
+    crawl's token distribution shift against the reference corpus?).
+    Both inputs are ``token_buckets`` outputs; the result is DENSE
+    (exactly ``n_buckets`` rows: bucket, ref_count, new_count,
+    drift_num) where ``drift_num = |new_count * R - ref_count * N|``
+    with R/N the reference/new token totals — the cross-multiplied
+    numerator of ``|new_share - ref_share|``, so ranking buckets by it
+    IS ranking by share drift without a single division. Products run
+    in DECIMAL(38,0) (HUGEINT on DuckDB): web-scale counts (1e12
+    tokens) squared overflow int64, the classifier/DSIR discipline.
+
+    Scale shape: two map-side-combined groupBy(bucket) aggregations
+    (metadata-sized outputs at any corpus size) + a dense range join —
+    nothing corpus-sized survives the aggregation."""
+    spark = ref_tok.sparkSession
+    r = _bucket_counts(ref_tok).withColumnRenamed("c", "ref_count")
+    n = _bucket_counts(new_tok).withColumnRenamed("c", "new_count")
+    dense = (
+        spark.range(n_buckets)
+        .withColumnRenamed("id", "bucket")
+        .join(F.broadcast(r), "bucket", "left")
+        .join(F.broadcast(n), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+            F.coalesce("new_count", F.lit(0)).alias("new_count"),
+        )
+    )
+    totals = dense.agg(
+        F.sum("ref_count").cast("decimal(38,0)").alias("__r"),
+        F.sum("new_count").cast("decimal(38,0)").alias("__n"),
+    )
+    return dense.join(F.broadcast(totals)).select(
+        "bucket",
+        "ref_count",
+        "new_count",
+        F.abs(
+            F.col("new_count").cast("decimal(38,0)") * F.col("__r")
+            - F.col("ref_count").cast("decimal(38,0)") * F.col("__n")
+        )
+        .cast("decimal(38,0)")
+        .alias("drift_num"),
+    )
+
+
+def drift_summary(per_bucket: DataFrame) -> DataFrame:
+    """One-row drift report over a ``distribution_drift`` table:
+    ``total_variation = sum(drift_num) / (2 * R * N)`` — the exact
+    total-variation distance between the two bucket distributions
+    (0 = identical, 1 = disjoint), integer arithmetic throughout with
+    ONE final double division, plus the count of buckets whose share
+    moved. An alerting pipeline thresholds ``total_variation``; the
+    per-bucket table names the drifted vocabulary regions."""
+    return per_bucket.agg(
+        F.sum("ref_count").cast("decimal(38,0)").alias("__r"),
+        F.sum("new_count").cast("decimal(38,0)").alias("__n"),
+        F.sum(F.col("drift_num").cast("decimal(38,0)")).alias("__d"),
+        F.sum((F.col("drift_num") > 0).cast("long")).alias("buckets_moved"),
+    ).select(
+        F.col("__r").cast("long").alias("ref_tokens"),
+        F.col("__n").cast("long").alias("new_tokens"),
+        (
+            F.col("__d").cast("double")
+            / (F.lit(2.0) * F.col("__r").cast("double") * F.col("__n").cast("double"))
+        ).alias("total_variation"),
+        "buckets_moved",
+    )
