@@ -677,15 +677,14 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("token_count_cms", _CMS_ORACLE)
 def q_token_count_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.sketch import cms_from_counts, cms_lookup
-    from airbnb_cdc_spark.functions.textfns import tokens
-    from airbnb_cdc_spark.session import ensure_parallelism, persist_tracked
 
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = persist_tracked(
-        ensure_parallelism(docs)
-        .select(F.explode(tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+    # the exact vocabulary IS the token-statistics store's unigram
+    # table (one tokenization pass per snapshot feeds every consumer);
+    # both downstream reads are vocabulary-sized parquet scans, so no
+    # cache barrier is needed
+    uni, _ = token_counts_store(spark, sf_dir)
+    vocab = uni.select(
+        F.col("w").alias("token"), F.col("c").alias("exact_count")
     )
     sketch = cms_from_counts(vocab, "token", "exact_count")
     top = vocab.orderBy(F.col("exact_count").desc(), F.col("token").asc()).limit(20)
