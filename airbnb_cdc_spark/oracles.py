@@ -3963,3 +3963,155 @@ FROM merged
 
 
 _BPE_APPLY_ORACLE = _bpe_apply_sql()
+
+
+# PQ shortlist + exact refine ANN (operators/similarity.py
+# pq_refine_topk — registered r14 from the oracle pinned bit-exact by
+# tests/test_pq_oracle_rehearsal.py). The FAISS IndexRefineFlat shape:
+# ADC scan over m=16 integer codes cuts each query's candidates to
+# refine*k=50 by exact-BIGINT PQ score, then ONLY those are re-ranked
+# with the exact quantized cosine (recall@5 >= 0.99 vs brute force;
+# raw ADC alone is 0.36-0.68 on these synthetic embeddings —
+# COVERAGE.md). Every tie (code argmin, shortlist cut, final rank)
+# breaks on an id, so the replay is bit-exact.
+_ANN_PQ_K, _ANN_PQ_REFINE, _ANN_PQ_M, _ANN_PQ_DIM = 5, 10, 16, 64
+_ANN_PQ_D = _ANN_PQ_DIM // _ANN_PQ_M  # 4-dim subvectors
+
+_ANN_PQ_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+    FROM embeddings
+),
+params AS (
+    SELECT GREATEST(2, COUNT(*) // 256) AS cb_mod FROM embeddings
+),
+cb AS (
+    SELECT j.j AS j, q.vec_id AS cid,
+           list_transform(range(1, {_ANN_PQ_D + 1}),
+                          i -> q.qe[j.j * {_ANN_PQ_D} + i]) AS csub
+    FROM q, params, range(0, {_ANN_PQ_M}) AS j(j)
+    WHERE q.vec_id % params.cb_mod = 1
+),
+subs AS (
+    SELECT q.vec_id, j.j AS j,
+           list_transform(range(1, {_ANN_PQ_D + 1}),
+                          i -> q.qe[j.j * {_ANN_PQ_D} + i]) AS xsub
+    FROM q, range(0, {_ANN_PQ_M}) AS j(j)
+),
+codes AS (
+    SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, cb.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.j
+                   ORDER BY CAST(list_sum(list_transform(range(1, {_ANN_PQ_D + 1}),
+                           i -> (s.xsub[i] - cb.csub[i])
+                                * (s.xsub[i] - cb.csub[i]))) AS BIGINT),
+                        cb.cid) AS rn
+        FROM subs s JOIN cb ON cb.j = s.j
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT a.vec_id AS query_id, cb.j, cb.cid,
+           CAST(list_sum(list_transform(range(1, {_ANN_PQ_D + 1}),
+                   i -> a.qe[cb.j * {_ANN_PQ_D} + i] * cb.csub[i])) AS BIGINT)
+               AS pdot
+    FROM q a, cb
+    WHERE a.vec_id % 50 = 0
+),
+adc AS (
+    SELECT l.query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(l.pdot) AS BIGINT) AS pq_score
+    FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
+    WHERE l.query_id <> c.vec_id
+    GROUP BY l.query_id, c.vec_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY pq_score DESC, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_ANN_PQ_REFINE * _ANN_PQ_K}
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS DOUBLE)))
+               AS cosine
+    FROM shortlist s
+    JOIN q a ON a.vec_id = s.query_id
+    JOIN q b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM rer
+) WHERE rank <= {_ANN_PQ_K}
+"""
+
+
+# Content-defined (Rabin-rule) chunk dedup (operators/dedup.py
+# content_chunk_dedup — registered r14 from the oracle pinned
+# bit-exact by tests/test_content_chunk_oracle_rehearsal.py).
+# Boundaries follow the token hashes (cut after tokens whose h60 %
+# divisor == rem) instead of fixed positions, so shared boilerplate
+# still collides on identical chunks when an edit SHIFTS it — the case
+# fixed-stride chunk_dedup provably misses (pytest-pinned contrast in
+# test_content_chunks.py). The cut-position list is ascending, so the
+# doc end dedups with a tail check instead of list_distinct (whose
+# ordering DuckDB does not guarantee; Spark's array_distinct is
+# order-preserving). Everything is md5 + integer arithmetic.
+_CC_DIVISOR, _CC_REM = 16, 3
+
+_CONTENT_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       t -> t <> '') AS t
+    FROM documents
+),
+e AS (
+    SELECT doc_id, t,
+           CASE WHEN coalesce(cuts[-1], CAST(-1 AS BIGINT)) = len(t)
+                THEN cuts ELSE list_append(cuts, CAST(len(t) AS BIGINT)) END
+               AS ends
+    FROM (
+        SELECT doc_id, t,
+               list_filter(range(1, len(t) + 1),
+                   p -> CAST(('0x' || substring(md5(t[p]), 1, 15)) AS BIGINT)
+                        % {_CC_DIVISOR} = {_CC_REM}) AS cuts
+        FROM toks WHERE len(t) >= 1
+    )
+),
+chunks AS (
+    SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+           CAST(len(ck) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM (
+        SELECT doc_id, k,
+               list_slice(t,
+                   CASE WHEN k = 1 THEN 1 ELSE ends[CAST(k - 1 AS INT)] + 1 END,
+                   ends[CAST(k AS INT)]) AS ck
+        FROM e, unnest(range(1, len(ends) + 1)) AS u(k)
+    )
+),
+kp AS (
+    SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx
+    FROM (SELECT chunk_hash, doc_id, chunk_idx,
+                 row_number() OVER (PARTITION BY chunk_hash
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks) WHERE rn = 1
+)
+SELECT c.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_hash,
+       kp.keep_doc_id, kp.keep_chunk_idx,
+       NOT (c.doc_id = kp.keep_doc_id AND c.chunk_idx = kp.keep_chunk_idx)
+           AS is_dup
+FROM chunks c JOIN kp USING (chunk_hash)
+"""
+
+__all__ += [
+    '_ANN_PQ_K', '_ANN_PQ_REFINE', '_ANN_PQ_M', '_ANN_PQ_DIM',
+    '_ANN_PQ_ORACLE', '_CC_DIVISOR', '_CC_REM', '_CONTENT_CHUNK_ORACLE',
+]

@@ -4716,96 +4716,58 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DRIVER_PRIORITY = [
-    # r13 rotation — the r12-written plan, swapped in verbatim (the
-    # r12 verdict's #1): the 24 r9-tier must-records head the cut and
-    # the backfills are the oldest r10-tier names (alphabetical). The
-    # 20 r10-tier queries left out age to 3 after r13 — legal — and
-    # form the r14 must-record backbone, planned below.
-    #
-    # REGISTRY CEILING DISCIPLINE (r12 verdict #6): 170 names x 50
-    # slots x MAX_AGE 3 ==> the registry hard ceiling is 200. At most
-    # ~2 new queries per round are sustainable from here, each
-    # displacing a backfill slot; prefer re-leading existing queries
-    # over registering new ones.
-    #
-    # (a) the 24 r9-tier must-records:
-    "ann_topk_ivf_nprobe",
-    "anti_join_never_bought",
-    "cohort_retention",
-    "cube_status_priority",
-    "dedup_containment",
-    "dedup_keep_canonical",
-    "distinct_users_kmv",
-    "incremental_dedup_new_docs",
-    "json_extract_agg",
-    "knn_label_vote",
-    "language_id",
-    "local_supplier_revenue",
-    "mm_frame_sample",
-    "orders_by_month",
-    "pii_report",
-    "running_customer_spend",
-    "semi_join_buyers",
-    "shipping_priority",
-    "text_stats",
-    "token_count_cms",
-    "token_counts",
-    "top_terms_per_doc",
-    "user_sessions",
-    "winnow_components",
-    # (b) 26 oldest r10-tier backfills:
-    "alter_row_flags",
-    "ann_topk_ivf",
-    "asof_next_purchase_after_view",
-    "asof_view_within_tolerance",
-    "bloom_prune_effect",
-    "bloom_semi_join_orders",
-    "bm25_topk",
-    "boilerplate_strip",
-    "conditional_split_accepted",
-    "contrastive_negatives",
-    "diversity_sample_by_cluster",
-    "domain_capped_sample",
-    "dsir_select",
-    "events_hopping_agg",
-    "events_resample_ffill",
-    "events_windowed_agg",
-    "forecast_revenue_change",
-    "fuzzy_link_part_names",
-    "important_parts_share",
-    "incremental_dsir_select",
-    "incremental_minhash_neardup",
-    "interval_join_attribution",
-    "kmv_range_rollup",
-    "length_bucket_stats",
-    # (c) the 2 queries REGISTERED in r13 (each must take a slot the
-    # round it lands — the audit refuses never-recorded names outside
-    # the cut); they displace the 2 alphabetically-last r10-tier
-    # backfills (mm_resize, pack_concat_split), which now HEAD the
-    # r14 must-record backbone below:
-    "quality_classifier_topk",
-    "bpe_apply",
-]
+@query("ann_topk_pq", _ANN_PQ_ORACLE)
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN in the production IndexRefineFlat
+    shape (operators/similarity.py pq_refine_topk; Jégou et al. 2011,
+    the FAISS ``IVFx,PQy`` + refine configuration): the ADC scan reads
+    m=16 integer codes per corpus vector (32x compression) to cut each
+    query's candidates to refine*k=50 by exact-BIGINT score, then ONLY
+    the shortlist is re-ranked with the exact quantized cosine —
+    recall@5 >= 0.99 vs brute force while the corpus-wide scan never
+    touches a full vector. Registered r14 from the oracle pinned
+    bit-exact by tests/test_pq_oracle_rehearsal.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.pq_refine_topk(
+        emb, queries_df, k=_ANN_PQ_K, refine=_ANN_PQ_REFINE, m=_ANN_PQ_M
+    )
 
-# Planned r14 cut, written now per the r12-established discipline so
-# r14 never hits a saturation squeeze. After r13 records the list
-# above, the 20 r10-tier names below age to 4 in r14 — they MUST all
-# be in the r14 cut — and the 30 free slots go to the oldest r11-tier
-# names (alphabetical; the remaining 20 r11-tier queries age to 3
-# after r14, legal, and form the r15 must-record backbone).
-# scripts/rotation_audit.py --simulate-next checks this list.
-# r14 NEW-QUERY BUDGET: each new registry query must take a slot the
-# round it lands (the audit refuses never-recorded names outside the
-# cut), ceding one r11-tier backfill below to the r15 backlog.
-# REHEARSED AND READY for r14 (each a move-the-SQL edit + the slot
-# swap above): `ann_topk_pq` (pq_refine_topk, PQ shortlist + exact
-# refine — tests/test_pq_oracle_rehearsal.py) and
-# `content_chunk_dedup` (Rabin-boundary chunk dedup —
-# tests/test_content_chunk_oracle_rehearsal.py).
-_NEXT_ROUND_PLAN = [
-    # the 22 r10-tier must-records (mm_resize + pack_concat_split
-    # ceded their r13 slots to the two queries registered in r13):
+
+@query("content_chunk_dedup", _CONTENT_CHUNK_ORACLE)
+def q_content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk dedup over CONTENT-DEFINED (Rabin-rule) boundaries
+    (operators/dedup.py content_chunk_dedup): cut after tokens whose
+    h60 % divisor == rem, so shared boilerplate still collides on
+    identical chunk hashes when an edit SHIFTS it within a document —
+    the case every fixed-stride window misses (pytest-pinned contrast
+    in test_content_chunks.py). Same output contract as chunk_dedup;
+    zero-shuffle chunking, one chunk-hash groupBy, one same-key
+    mark-back join. Registered r14 from the oracle pinned bit-exact by
+    tests/test_content_chunk_oracle_rehearsal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.content_chunk_dedup(docs, divisor=_CC_DIVISOR, rem=_CC_REM)
+
+
+_DRIVER_PRIORITY = [
+    # r14 rotation — the r13-written plan, swapped in per the r13
+    # verdict's #1, with the planned 2-slot swap executed: the 22
+    # r10-tier must-records head the cut, the backfills are the 26
+    # oldest r11-tier names (alphabetical), and the 2 queries
+    # REGISTERED THIS ROUND from their pinned rehearsal oracles take
+    # the last 2 slots, displacing the 2 alphabetically-last r11-tier
+    # backfills (market_share_by_year, neardup_cluster_sizes), which
+    # now head the r15 must-record backbone below.
+    #
+    # REGISTRY CEILING DISCIPLINE (r12 verdict #6, restated per the
+    # r13 verdict's #5 on every registration): 174 names x 50 slots x
+    # MAX_AGE 3 ==> the hard ceiling is 200; steady-state slot demand
+    # is now ~44/round against 50. At most ~2 net new queries per
+    # round are sustainable forever, each displacing a backfill slot;
+    # prefer re-leading existing queries onto stores over net-new
+    # registrations.
+    #
+    # (a) the 22 r10-tier must-records:
     "mm_resize",
     "pack_concat_split",
     "pii_scrub",
@@ -4828,8 +4790,7 @@ _NEXT_ROUND_PLAN = [
     "windowed_kmv_distinct",
     "winnow_keep_canonical",
     "zorder_events_layout",
-    # 28 oldest r11-tier backfills (oov_rate + orders_expectations
-    # dropped to the r15 backlog to keep the plan at 50):
+    # (b) 26 oldest r11-tier backfills (alphabetical):
     "ann_topk_ivf_recall",
     "ann_topk_ivf_sq8",
     "ann_topk_sq8",
@@ -4856,8 +4817,81 @@ _NEXT_ROUND_PLAN = [
     "linestatus_priority_class",
     "lm_perplexity_buckets",
     "lm_quality_score",
+    # (c) the 2 queries REGISTERED in r14 (each must take a slot the
+    # round it lands — the audit refuses never-recorded names outside
+    # the cut):
+    "ann_topk_pq",
+    "content_chunk_dedup",
+]
+
+# Planned r15 cut, written now per the r12-established discipline so
+# r15 never hits a saturation squeeze. After r14 records the list
+# above, the 24 r11-tier names below age to 4 in r15 — they MUST all
+# be in the r15 cut — and the 26 free slots go to the oldest r12-tier
+# names (alphabetical; the remaining 24 r12-tier queries age to 3
+# after r15, legal, and form the r16 must-record backbone).
+# scripts/rotation_audit.py --simulate-next checks this list.
+# r15 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands, ceding one r12-tier backfill below to the r16
+# backlog. REHEARSED AND READY for r15 (a move-the-SQL edit + the
+# slot swap): `corpus_drift` (TV-distance drift monitor —
+# tests/test_drift_oracle_rehearsal.py); when registered it displaces
+# the alphabetically-last backfill below (embedding_outliers).
+_NEXT_ROUND_PLAN = [
+    # the 24 r11-tier must-records (market_share_by_year +
+    # neardup_cluster_sizes ceded their r14 slots to the two queries
+    # registered in r14):
     "market_share_by_year",
     "neardup_cluster_sizes",
+    "oov_rate",
+    "orders_expectations",
+    "outsized_supplier_share",
+    "pack_sequences",
+    "ppl_bucket_assign",
+    "price_deciles_distributed",
+    "repetition_filter",
+    "scd2_user_state_history",
+    "semdedup_keep_canonical",
+    "small_quantity_revenue",
+    "soft_dedup_weights",
+    "supplier_customer_pagerank",
+    "supplier_variety_by_part",
+    "supplier_wait_chain",
+    "target_fluency_gate",
+    "trailing_hour_activity",
+    "ts_profile_similarity",
+    "url_blocklist_filter",
+    "user_funnel",
+    "value_histogram",
+    "value_outliers_by_type",
+    "weighted_sample_by_length",
+    # 26 oldest r12-tier backfills (alphabetical):
+    "ann_topk_bruteforce",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "asof_last_view_before_purchase",
+    "bigram_pmi",
+    "bigram_vocab",
+    "booking_customer_aggregation",
+    "chunk_dedup_intervals",
+    "chunk_dedup_spans",
+    "chunk_dedup_summary",
+    "conditional_split_bad",
+    "customer_name_clean",
+    "dataset_split_counts",
+    "decontaminate_vs_benchmark",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "dedup_simhash_cluster",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_outliers",
 ]
 
 
