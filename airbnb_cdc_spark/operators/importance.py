@@ -247,7 +247,14 @@ def distribution_drift(
 
     Scale shape: two map-side-combined groupBy(bucket) aggregations
     (metadata-sized outputs at any corpus size) + a dense range join —
-    nothing corpus-sized survives the aggregation."""
+    nothing corpus-sized survives the aggregation.
+
+    A bucketing mismatch (``token_buckets`` built with a LARGER
+    n_buckets than this call's) fails loud instead of silently
+    understating drift: totals are taken from the RAW bucket counts
+    before densification, guarded by a runtime assert on the max
+    bucket id — the dense left join would otherwise quietly discard
+    the out-of-range buckets from both the rows and the totals."""
     spark = ref_tok.sparkSession
     r = _bucket_counts(ref_tok).withColumnRenamed("c", "ref_count")
     n = _bucket_counts(new_tok).withColumnRenamed("c", "new_count")
@@ -262,9 +269,34 @@ def distribution_drift(
             F.coalesce("new_count", F.lit(0)).alias("new_count"),
         )
     )
-    totals = dense.agg(
-        F.sum("ref_count").cast("decimal(38,0)").alias("__r"),
-        F.sum("new_count").cast("decimal(38,0)").alias("__n"),
+    # totals from the RAW counts (pre-densify), with the bucket-range
+    # guard fused into the consumed column so Catalyst cannot prune it
+    rt = r.agg(
+        F.coalesce(F.sum("ref_count"), F.lit(0)).cast("decimal(38,0)").alias("__r"),
+        F.max("bucket").alias("__rmax"),
+    )
+    nt = n.agg(
+        F.coalesce(F.sum("new_count"), F.lit(0)).cast("decimal(38,0)").alias("__n"),
+        F.max("bucket").alias("__nmax"),
+    )
+    in_range = (
+        F.coalesce(F.col("__rmax"), F.lit(-1)) < F.lit(n_buckets)
+    ) & (F.coalesce(F.col("__nmax"), F.lit(-1)) < F.lit(n_buckets))
+    guard = F.assert_true(
+        in_range,
+        F.lit(
+            f"token bucket id >= n_buckets={n_buckets}: the inputs were "
+            "bucketed with a different n_buckets — rebuild token_buckets "
+            "with the same value"
+        ),
+    )
+    totals = rt.crossJoin(nt).select(
+        # assert_true is NULL on success and raises otherwise; routing
+        # __r through it (NO otherwise branch — when(c, x).otherwise(x)
+        # would constant-fold the guard away) keeps the check in the
+        # evaluated plan
+        F.when(guard.isNull(), F.col("__r")).alias("__r"),
+        F.col("__n"),
     )
     return dense.join(F.broadcast(totals)).select(
         "bucket",
@@ -286,7 +318,21 @@ def drift_summary(per_bucket: DataFrame) -> DataFrame:
     (0 = identical, 1 = disjoint), integer arithmetic throughout with
     ONE final double division, plus the count of buckets whose share
     moved. An alerting pipeline thresholds ``total_variation``; the
-    per-bucket table names the drifted vocabulary regions."""
+    per-bucket table names the drifted vocabulary regions.
+
+    An EMPTY snapshot (R or N = 0) fails loud: the division would
+    yield NULL, and an alerting consumer thresholding
+    ``total_variation`` would silently never fire on exactly the
+    degenerate case most worth alerting on (a crawl that produced no
+    tokens)."""
+    nonempty_guard = F.assert_true(
+        (F.col("__r") > 0) & (F.col("__n") > 0),
+        F.lit(
+            "drift_summary over an empty snapshot: reference and new "
+            "corpora must both contain tokens (an empty side is an "
+            "ingest failure, not zero drift)"
+        ),
+    )
     return per_bucket.agg(
         F.sum("ref_count").cast("decimal(38,0)").alias("__r"),
         F.sum("new_count").cast("decimal(38,0)").alias("__n"),
@@ -295,9 +341,10 @@ def drift_summary(per_bucket: DataFrame) -> DataFrame:
     ).select(
         F.col("__r").cast("long").alias("ref_tokens"),
         F.col("__n").cast("long").alias("new_tokens"),
-        (
+        F.when(
+            nonempty_guard.isNull(),
             F.col("__d").cast("double")
-            / (F.lit(2.0) * F.col("__r").cast("double") * F.col("__n").cast("double"))
+            / (F.lit(2.0) * F.col("__r").cast("double") * F.col("__n").cast("double")),
         ).alias("total_variation"),
         "buckets_moved",
     )

@@ -1156,6 +1156,53 @@ def semdedup_pairs(
 # -- product quantization (PQ / IVF-PQ) ---------------------------------------
 
 PQ_M = 8  # subspaces over the dim-64 embedding -> 8 dims per codebook
+# The refine/persisted-index operating point: finer subspaces (4 dims
+# each) buy the shortlist recall the exact re-rank depends on
+# (measured 0.96-1.00 of true top-5 inside the ADC top-50 at m=16 vs
+# ~0.8 at m=8 — COVERAGE.md). One named constant so the in-session
+# refine form and every disk layout agree by default; the persisted
+# query/append paths additionally DERIVE geometry from the stored
+# codebook (``_stored_pq_geometry``), so a default can never silently
+# disagree with an artifact on disk.
+PQ_INDEX_M = 16
+
+
+def _stored_pq_geometry(
+    codebook: DataFrame, m: int | None, dim: int | None
+) -> tuple[int, int]:
+    """(m, dim) of a persisted PQ layout, read from the artifact
+    itself: the codebook's subspace count is ``max(j)+1`` and the
+    subvector width is ``size(__csub)``. Geometry lives in the store —
+    a caller passing a mismatched ``m``/``dim`` (e.g. index built at
+    m=8, queried with the m=16 default) would otherwise get silently
+    truncated subvectors from ``zip_with`` and dropped subspaces from
+    the j-join: plausible but wrong scores. Deriving makes the
+    defaults always-correct; an explicit override must MATCH or this
+    fails loud (the SQ8 ``scale/`` persistence contract, without
+    needing a separate meta file). One 1-row collect over the
+    broadcast-sized codebook — control-plane, like the centroid
+    lists."""
+    row = codebook.select(
+        (F.max("j") + F.lit(1)).alias("m"),
+        F.max(F.size("__csub")).alias("d"),
+        F.min(F.size("__csub")).alias("d_min"),
+    ).first()
+    if row is None or row.m is None:
+        raise ValueError("persisted PQ codebook is empty")
+    stored_m, stored_dim = int(row.m), int(row.m) * int(row.d)
+    if row.d != row.d_min:
+        raise ValueError("persisted PQ codebook has ragged subvectors")
+    if m is not None and m != stored_m:
+        raise ValueError(
+            f"index was built with m={stored_m} but queried with m={m}; "
+            "omit m to use the stored geometry"
+        )
+    if dim is not None and dim != stored_dim:
+        raise ValueError(
+            f"index was built with dim={stored_dim} but queried with "
+            f"dim={dim}; omit dim to use the stored geometry"
+        )
+    return stored_m, stored_dim
 
 
 def pq_codebook(
@@ -1437,7 +1484,7 @@ def pq_refine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     refine: int = 10,
-    m: int = 16,
+    m: int = PQ_INDEX_M,
     dim: int = 64,
     cb_mod: int | None = None,
     cb_rem: int = 1,
@@ -1499,7 +1546,7 @@ def write_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 16,
+    m: int = PQ_INDEX_M,
     dim: int = 64,
     cb_mod: int | None = None,
     cb_rem: int = 1,
@@ -1529,8 +1576,8 @@ def append_pq_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 16,
-    dim: int = 64,
+    m: int | None = None,
+    dim: int | None = None,
     skip_existing: bool = True,
 ) -> int:
     """Incrementally grow a ``write_pq_index`` layout: encode the batch
@@ -1539,7 +1586,9 @@ def append_pq_index(
     plus an id anti-join against the (id-column-only, column-pruned)
     existing codes scan. Returns rows appended (vectors, not code
     rows); ``skip_existing`` makes replays idempotent — the
-    store-not-rescan contract every incremental store here follows."""
+    store-not-rescan contract every incremental store here follows.
+    ``m``/``dim`` default to the STORED geometry
+    (``_stored_pq_geometry``); an explicit value must match it."""
     import os
 
     # Fan the batch out before encoding: ensure_parallelism leaves
@@ -1551,7 +1600,9 @@ def append_pq_index(
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
-    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    cb = F.broadcast(stored_cb)
     batch = pq_codes(new_vectors, cb, id_col, vec_col, m, dim)
     if skip_existing:
         existing = spark.read.parquet(os.path.join(path, "codes")).select(
@@ -1572,8 +1623,8 @@ def query_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    m: int = 16,
-    dim: int = 64,
+    m: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k against a persisted PQ layout: the query side builds
     its LUT from the stored codebook and broadcasts it; the corpus
@@ -1583,12 +1634,15 @@ def query_pq_index(
     (pytest-asserted). Callers wanting exact-quality answers re-rank
     the returned shortlist against their float table — the
     ``pq_refine_topk`` composition; the index itself never needs the
-    floats."""
+    floats. ``m``/``dim`` default to the STORED geometry
+    (``_stored_pq_geometry``); an explicit value must match it."""
     import os
 
     from pyspark.sql import Window
 
-    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    cb = F.broadcast(stored_cb)
     codes = spark.read.parquet(os.path.join(path, "codes")).select(
         F.col(id_col).alias("neighbor_id"), "j", "cid"
     )
@@ -1616,7 +1670,7 @@ def build_ivf_pq_index(
     vec_col: str = "embedding",
     centroid_mod: int | None = 37,
     centroid_rem: int = 3,
-    m: int = 16,
+    m: int = PQ_INDEX_M,
     dim: int = 64,
     cb_mod: int | None = None,
     cb_rem: int = 1,
@@ -1693,8 +1747,8 @@ def append_ivf_pq_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 16,
-    dim: int = 64,
+    m: int | None = None,
+    dim: int | None = None,
     skip_existing: bool = True,
 ) -> int:
     """Incrementally grow a ``build_ivf_pq_index`` layout: assign each
@@ -1703,14 +1757,18 @@ def append_ivf_pq_index(
     partitions. Ingest cost is one batch-sized assignment+encode plus
     a partition-pruned existence probe over only the touched lists —
     independent of index size. ``skip_existing`` replays are
-    append-zero (the insert-only contract). Returns rows appended."""
+    append-zero (the insert-only contract). Returns rows appended.
+    ``m``/``dim`` default to the STORED geometry
+    (``_stored_pq_geometry``); an explicit value must match it."""
     import os
 
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
-    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    cb = F.broadcast(stored_cb)
     base = _with_quant(new_vectors, id_col, vec_col, widen=False)
     assigned = _nearest_centroid(base, cents, id_col).select(F.col(id_col), "cid")
     batch = persist_tracked(
@@ -1742,8 +1800,8 @@ def query_ivf_pq_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
-    m: int = 16,
-    dim: int = 64,
+    m: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k over a ``build_ivf_pq_index`` layout: the probe set
     (query -> nprobe nearest stored centroids) is |queries|·nprobe
@@ -1752,13 +1810,18 @@ def query_ivf_pq_index(
     metadata, never data), so only the probed ``cid=`` directories are
     read; the survivors' m-code arrays are scored against the
     broadcast query LUT. Identical ADC semantics to ``ivf_pq_topk``
-    over the same logical corpus and parameters (pytest-asserted)."""
+    over the same logical corpus and parameters (pytest-asserted).
+    ``m``/``dim`` default to the STORED geometry
+    (``_stored_pq_geometry``); an explicit value must match it."""
     import os
 
     from pyspark.sql import Window
 
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
-    qs = _with_quant(queries, id_col, vec_col)
+    # widen=False: the query frame is tiny and feeds a broadcast —
+    # repartitioning it first is pure fixed overhead (the query-side
+    # convention ivf_pq_topk / pq_refine_topk / _pq_lut follow).
+    qs = _with_quant(queries, id_col, vec_col, widen=False)
     scored = qs.crossJoin(cents).withColumn(
         "__cos",
         _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
@@ -1772,7 +1835,9 @@ def query_ivf_pq_index(
         .select(F.col(id_col).alias("query_id"), "cid")
     )
     probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
-    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    cb = F.broadcast(stored_cb)
     lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
     lists = spark.read.parquet(os.path.join(path, "lists")).filter(
         F.col("cid").isin(probe_cids)

@@ -75,3 +75,33 @@ def test_drift_output_is_metadata_sized_and_exact_integer(spark):
     assert (R, N) == (500, 560)
     for r in rows:
         assert int(r.drift_num) == abs(r.new_count * R - r.ref_count * N)
+
+
+def test_bucketing_mismatch_fails_loud(spark):
+    """token_buckets built with MORE buckets than the drift call's
+    n_buckets is a bucketing mismatch: the dense join would silently
+    discard the out-of-range buckets and understate drift — it must
+    raise instead."""
+    import pytest
+
+    docs = _docs(spark, [(i, f"alpha beta w{i}") for i in range(30)])
+    wide = token_buckets(docs, "text", 512)  # buckets up to 511
+    with pytest.raises(Exception, match="different n_buckets"):
+        distribution_drift(wide, wide, 8).collect()
+
+
+def test_empty_snapshot_fails_loud(spark):
+    """An empty reference or new snapshot must raise, not emit a NULL
+    total_variation an alerting threshold would silently ignore."""
+    import pytest
+
+    docs = _docs(spark, [(i, "alpha beta") for i in range(5)])
+    empty = _docs(spark, [])
+    per = distribution_drift(_tok(docs), _tok(empty), N_BUCKETS)
+    assert per.count() == N_BUCKETS  # the per-bucket table itself is fine
+    with pytest.raises(Exception, match="empty snapshot"):
+        drift_summary(per).collect()
+    with pytest.raises(Exception, match="empty snapshot"):
+        drift_summary(
+            distribution_drift(_tok(empty), _tok(docs), N_BUCKETS)
+        ).collect()

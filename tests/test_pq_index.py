@@ -84,3 +84,34 @@ def test_empty_build_fails_loud(spark, tmp_path):
     empty = _vecs(spark, [])
     with pytest.raises(ValueError, match="no vec_id satisfies"):
         write_pq_index(empty, str(tmp_path / "pq"))
+
+
+def test_stored_geometry_derived_and_mismatch_fails_loud(spark, tmp_path):
+    """The index carries its own geometry: a store built at a
+    NON-default m answers correctly with no m passed (derived from the
+    codebook), and an explicitly mismatched m/dim raises instead of
+    silently truncating subvectors (zip_with) and dropping subspaces
+    (the j-join) into plausible-but-wrong scores."""
+    corpus = _vecs(spark, range(60))
+    queries = _vecs(spark, range(0, 60, 10))
+    path = str(tmp_path / "pq8")
+    write_pq_index(corpus, path, m=8, cb_mod=7, cb_rem=1)
+
+    # defaults resolve to the stored m=8, not the package default
+    stored = sorted(
+        map(tuple, query_pq_index(spark, path, queries, k=3).collect())
+    )
+    insess = sorted(
+        map(tuple, pq_topk(corpus, queries, k=3, m=8, cb_mod=7, cb_rem=1).collect())
+    )
+    assert stored == insess
+
+    with pytest.raises(ValueError, match="built with m=8"):
+        query_pq_index(spark, path, queries, k=3, m=16)
+    with pytest.raises(ValueError, match="built with dim=64"):
+        query_pq_index(spark, path, queries, k=3, dim=128)
+    with pytest.raises(ValueError, match="built with m=8"):
+        append_pq_index(spark, path, _vecs(spark, range(100, 105)), m=16)
+    # matching explicit values still pass
+    ok = query_pq_index(spark, path, queries, k=3, m=8, dim=64)
+    assert ok.count() > 0
