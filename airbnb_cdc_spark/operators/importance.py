@@ -258,6 +258,17 @@ def distribution_drift(
     spark = ref_tok.sparkSession
     r = _bucket_counts(ref_tok).withColumnRenamed("c", "ref_count")
     n = _bucket_counts(new_tok).withColumnRenamed("c", "new_count")
+    return _drift_from_counts(spark, r, n, n_buckets)
+
+
+def _drift_from_counts(
+    spark, r: DataFrame, n: DataFrame, n_buckets: int
+) -> DataFrame:
+    """``distribution_drift`` over already-aggregated bucket-count
+    frames ``(bucket, ref_count)`` / ``(bucket, new_count)`` — shared
+    by the two-snapshot batch form and the persisted-reference
+    streaming form (where the reference side is a stored model, not a
+    corpus rescan)."""
     dense = (
         spark.range(n_buckets)
         .withColumnRenamed("id", "bucket")
@@ -311,7 +322,9 @@ def distribution_drift(
     )
 
 
-def drift_summary(per_bucket: DataFrame) -> DataFrame:
+def drift_summary(
+    per_bucket: DataFrame, empty_is_disjoint: bool = False
+) -> DataFrame:
     """One-row drift report over a ``distribution_drift`` table:
     ``total_variation = sum(drift_num) / (2 * R * N)`` — the exact
     total-variation distance between the two bucket distributions
@@ -320,19 +333,32 @@ def drift_summary(per_bucket: DataFrame) -> DataFrame:
     moved. An alerting pipeline thresholds ``total_variation``; the
     per-bucket table names the drifted vocabulary regions.
 
-    An EMPTY snapshot (R or N = 0) fails loud: the division would
-    yield NULL, and an alerting consumer thresholding
-    ``total_variation`` would silently never fire on exactly the
-    degenerate case most worth alerting on (a crawl that produced no
-    tokens)."""
-    nonempty_guard = F.assert_true(
-        (F.col("__r") > 0) & (F.col("__n") > 0),
-        F.lit(
-            "drift_summary over an empty snapshot: reference and new "
-            "corpora must both contain tokens (an empty side is an "
-            "ingest failure, not zero drift)"
-        ),
+    An EMPTY snapshot (R or N = 0) does not yield a silent NULL an
+    alert threshold would ignore: by default it RAISES (an empty side
+    is an ingest failure, not zero drift); with
+    ``empty_is_disjoint=True`` it reports ``total_variation = 1.0`` —
+    the disjoint-distributions value, which FIRES the alert. The
+    streaming monitor uses the latter so one degenerate micro-batch
+    alerts instead of killing the stream."""
+    tv = F.col("__d").cast("double") / (
+        F.lit(2.0) * F.col("__r").cast("double") * F.col("__n").cast("double")
     )
+    if empty_is_disjoint:
+        tv_out = F.when(
+            (F.col("__r") > 0) & (F.col("__n") > 0), tv
+        ).otherwise(F.lit(1.0))
+    else:
+        nonempty_guard = F.assert_true(
+            (F.col("__r") > 0) & (F.col("__n") > 0),
+            F.lit(
+                "drift_summary over an empty snapshot: reference and new "
+                "corpora must both contain tokens (an empty side is an "
+                "ingest failure, not zero drift); pass "
+                "empty_is_disjoint=True to report total_variation=1.0 "
+                "instead"
+            ),
+        )
+        tv_out = F.when(nonempty_guard.isNull(), tv)
     return per_bucket.agg(
         F.sum("ref_count").cast("decimal(38,0)").alias("__r"),
         F.sum("new_count").cast("decimal(38,0)").alias("__n"),
@@ -341,10 +367,130 @@ def drift_summary(per_bucket: DataFrame) -> DataFrame:
     ).select(
         F.col("__r").cast("long").alias("ref_tokens"),
         F.col("__n").cast("long").alias("new_tokens"),
-        F.when(
-            nonempty_guard.isNull(),
-            F.col("__d").cast("double")
-            / (F.lit(2.0) * F.col("__r").cast("double") * F.col("__n").cast("double")),
-        ).alias("total_variation"),
+        tv_out.alias("total_variation"),
         "buckets_moved",
     )
+
+
+def write_drift_reference(
+    ref_tok: DataFrame, path: str, n_buckets: int = DEFAULT_N_BUCKETS
+) -> None:
+    """Persist the DENSE reference bucket-count model (exactly
+    ``n_buckets`` rows: bucket, ref_count) as one tiny parquet — the
+    drift siblings of ``write_dsir_scores``: fit once over the
+    reference corpus, then every arriving batch is monitored against
+    the store without rescanning the reference. The dense shape makes
+    the model self-describing — ``read_drift_reference`` derives
+    ``n_buckets`` from the row count, so a monitor can never silently
+    re-bucket with the wrong geometry (the ``_stored_pq_geometry``
+    principle). Write-time cost is two passes over the metadata-sized
+    count table; the same bucket-range guard as
+    ``distribution_drift`` fails loud if ``ref_tok`` was bucketed
+    wider than ``n_buckets``."""
+    spark = ref_tok.sparkSession
+    r = _bucket_counts(ref_tok).withColumnRenamed("c", "ref_count")
+    rmax = r.agg(F.max("bucket").alias("__rmax"))
+    guard = F.assert_true(
+        F.coalesce(F.col("__rmax"), F.lit(-1)) < F.lit(n_buckets),
+        F.lit(
+            f"token bucket id >= n_buckets={n_buckets}: the reference was "
+            "bucketed with a different n_buckets — rebuild token_buckets "
+            "with the same value"
+        ),
+    )
+    dense = (
+        spark.range(n_buckets)
+        .withColumnRenamed("id", "bucket")
+        .join(F.broadcast(r), "bucket", "left")
+        .crossJoin(F.broadcast(rmax))
+        .select(
+            "bucket",
+            # guard fused into the consumed column (no otherwise branch
+            # — see _drift_from_counts) so Catalyst cannot prune it
+            F.when(
+                guard.isNull(), F.coalesce("ref_count", F.lit(0))
+            ).alias("ref_count"),
+        )
+    )
+    dense.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_drift_reference(spark, path: str) -> tuple[DataFrame, int]:
+    """(reference bucket counts, n_buckets) — the model is dense, so
+    its row count IS its bucket geometry."""
+    ref = spark.read.parquet(path)
+    return ref, ref.count()
+
+
+def batch_drift_vs_reference(
+    batch_df: DataFrame, ref_path: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-bucket drift of one document batch against the PERSISTED
+    reference model: bucket the batch with the STORED geometry (never
+    a caller guess), count, and reuse the exact ``distribution_drift``
+    arithmetic with the stored counts as the reference side. Per-call
+    cost is O(batch) + the n_buckets-row model read — the reference
+    corpus is never rescanned."""
+    spark = batch_df.sparkSession
+    ref, n_buckets = read_drift_reference(spark, ref_path)
+    tok = token_buckets(batch_df, text_col, n_buckets)
+    n = _bucket_counts(tok).withColumnRenamed("c", "new_count")
+    return _drift_from_counts(spark, ref, n, n_buckets)
+
+
+def _drift_monitor_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    ref_path: str,
+    out_dir: str,
+    text_col: str,
+) -> None:
+    """One ``streaming_drift_monitor`` micro-batch (module-level so
+    replay idempotence is directly testable): one summary row —
+    (batch_id, ref_tokens, new_tokens, total_variation,
+    buckets_moved) — landed idempotently under ``out_dir/batch_id=N``.
+    The model is READ-ONLY, so a crash-replay overwrites the partition
+    with identical content (the ``_dsir_select_batch`` contract). A
+    row-empty micro-batch (no data this trigger) lands nothing; a
+    batch whose documents carry no tokens reports the disjoint value
+    1.0 — alert, don't kill the stream."""
+    import posixpath
+
+    if batch_df.isEmpty():
+        return
+    summary = drift_summary(
+        batch_drift_vs_reference(batch_df, ref_path, text_col),
+        empty_is_disjoint=True,
+    )
+    summary.select(
+        F.lit(epoch).cast("long").alias("batch_id"), "*"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(out_dir, f"batch_id={epoch}")
+    )
+
+
+def streaming_drift_monitor(
+    stream_docs: DataFrame,
+    ref_path: str,
+    out_dir: str,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming corpus-drift monitor: score each arriving micro-batch
+    of documents against the PERSISTED reference model
+    (``write_drift_reference`` output — fitted once, n_buckets rows,
+    never refit in-stream) and land one drift-summary row per batch
+    under ``out_dir/batch_id=N``. Completes the ingest-monitoring
+    story the other foreachBatch legs tell: the same alerting
+    pipeline that thresholds the batch ``drift_summary`` now
+    thresholds the landed stream rows.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _drift_monitor_batch(batch_df, epoch, ref_path, out_dir, text_col)
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
