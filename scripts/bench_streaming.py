@@ -812,10 +812,85 @@ def bench_pq(n_vecs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_drift(n_docs: int, n_files: int) -> None:
+    """Streaming drift-monitor docs/sec: the reference model is fitted
+    from the first file (dense n_buckets-row store, frozen), then
+    every micro-batch is scored against the stored model and lands one
+    summary row — per-batch cost is O(batch) + the model read, the
+    reference corpus is never rescanned. Every batch must land a row
+    and every landed total_variation must be finite."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.importance import (
+        streaming_drift_monitor,
+        token_buckets,
+        write_drift_reference,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-drift")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_drift_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_docs_feed(feed, n_docs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        model = str(work / "model")
+        first = spark.read.schema(schema).json(str(sorted(feed.iterdir())[0]))
+        write_drift_reference(token_buckets(first, "text"), model)
+
+        out = str(work / "landed")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_drift_monitor(
+            stream, model, out, checkpoint_dir=str(work / "ckpt")
+        )
+        # availableNow isn't exposed through the helper; drain manually
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == n_files, (len(rows), n_files)
+        assert all(
+            r.total_variation is not None and math.isfinite(r.total_variation)
+            for r in rows
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "drift_monitor_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "tv_range": [
+                        round(min(r.total_variation for r in rows), 4),
+                        round(max(r.total_variation for r in rows), 4),
+                    ],
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -845,6 +920,9 @@ def main() -> None:
         return
     if leg == "classify":
         bench_classify(n_rows, n_files)
+        return
+    if leg == "drift":
+        bench_drift(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
