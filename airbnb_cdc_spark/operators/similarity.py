@@ -1712,6 +1712,12 @@ def build_ivf_pq_index(
     codes = _pq_code_arrays(corpus, cb, id_col, vec_col, m, dim)
     (
         codes.join(assigned, id_col)
+        # hash-cluster on the partition column before the partitioned
+        # write: each cid lands in exactly ONE task, so the layout is
+        # one file per list instead of (tasks x lists) fragments — at
+        # 32 tasks x 200 centroids the difference is 200 files vs
+        # 6,400, and every later probe/query scan pays the file count
+        .repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(os.path.join(path, "lists"))
@@ -1755,8 +1761,10 @@ def append_ivf_pq_index(
     new vector to its nearest FROZEN centroid and encode it against
     the FROZEN codebook, then append into the matching ``cid=``
     partitions. Ingest cost is one batch-sized assignment+encode plus
-    a partition-pruned existence probe over only the touched lists —
-    independent of index size. ``skip_existing`` replays are
+    a partition-pruned existence probe over only the TOUCHED lists'
+    id columns — proportional to the probed lists, never the whole
+    index (a skewed batch touching few lists probes few; a uniform
+    batch probes its centroid spread). ``skip_existing`` replays are
     append-zero (the insert-only contract). Returns rows appended.
     ``m``/``dim`` default to the STORED geometry
     (``_stored_pq_geometry``); an explicit value must match it."""
@@ -1786,9 +1794,14 @@ def append_ivf_pq_index(
         batch = persist_tracked(batch.join(existing, id_col, "left_anti"))
     n = batch.count()
     if n:
-        batch.write.mode("append").partitionBy("cid").parquet(
-            os.path.join(path, "lists")
-        )
+        # one file per touched list per batch (the build's repartition
+        # rationale): without it every append fragments each cid= dir
+        # into up-to-#tasks files and the NEXT batch's existence probe
+        # pays the growing file count — measured 64 -> 370 scan tasks
+        # over 10 uniform batches before this clustering
+        batch.repartition("cid").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(os.path.join(path, "lists"))
     return n
 
 

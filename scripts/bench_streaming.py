@@ -812,6 +812,83 @@ def bench_pq(n_vecs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_ivfpq(n_vecs: int, n_files: int) -> None:
+    """Streaming IVF-PQ ingest vectors/sec — the REAL production path
+    for the composed disk index (the one-time build cost is paid once;
+    growth arrives as micro-batches): the index is built from the
+    first file (freezing centroids AND codebook), then every
+    micro-batch assigns to frozen centroids, encodes against the
+    frozen codebook, and appends into the touched ``cid=`` partitions
+    via the partition-pruned existence probe. Batch 0 replays the
+    first file and must append zero (replay safety)."""
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-ivfpq")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_ivfpq_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_vectors_feed(feed, n_vecs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        index = str(work / "ivfpq")
+        first = spark.read.schema(schema).json(
+            str(sorted(feed.iterdir())[0])
+        )
+        # ~sqrt(first-file) centroids via the derive-from-count rule
+        build_ivf_pq_index(first, index, centroid_mod=None)
+
+        appended = []
+
+        def _ingest(batch_df, batch_id):
+            appended.append(append_ivf_pq_index(spark, index, batch_df))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        n_rows = spark.read.parquet(index + "/lists").count()
+        assert n_rows == total, (n_rows, total)
+        assert appended[0] == 0  # batch 0 replays the build file
+        print(
+            json.dumps(
+                {
+                    "metric": "ivf_pq_ingest_stream_vecs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "vecs/sec",
+                    "feed_vecs": total,
+                    "micro_batches": n_files,
+                    "list_rows": n_rows,
+                    "appended_per_batch": appended,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_drift(n_docs: int, n_files: int) -> None:
     """Streaming drift-monitor docs/sec: the reference model is fitted
     from the first file (dense n_buckets-row store, frozen), then
@@ -890,7 +967,7 @@ def bench_drift(n_docs: int, n_files: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -923,6 +1000,9 @@ def main() -> None:
         return
     if leg == "drift":
         bench_drift(n_rows, n_files)
+        return
+    if leg == "ivfpq":
+        bench_ivfpq(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
