@@ -4833,10 +4833,13 @@ _DRIVER_PRIORITY = [
 # scripts/rotation_audit.py --simulate-next checks this list.
 # r15 NEW-QUERY BUDGET: each new registry query must take a slot the
 # round it lands, ceding one r12-tier backfill below to the r16
-# backlog. REHEARSED AND READY for r15 (a move-the-SQL edit + the
-# slot swap): `corpus_drift` (TV-distance drift monitor —
-# tests/test_drift_oracle_rehearsal.py); when registered it displaces
-# the alphabetically-last backfill below (embedding_outliers).
+# backlog. REHEARSED AND READY for r15 (each a move-the-SQL edit +
+# the slot swap): `corpus_drift` (TV-distance drift monitor —
+# tests/test_drift_oracle_rehearsal.py) and `ann_topk_ivf_pq` (the
+# composed in-session IVF pruning x PQ/ADC scoring —
+# tests/test_ivf_pq_oracle_rehearsal.py). Registering both displaces
+# the 2 alphabetically-last backfills below (doc_fingerprint,
+# embedding_outliers), which then head the r16 backlog.
 _NEXT_ROUND_PLAN = [
     # the 24 r11-tier must-records (market_share_by_year +
     # neardup_cluster_sizes ceded their r14 slots to the two queries
