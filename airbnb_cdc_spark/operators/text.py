@@ -191,9 +191,25 @@ def benchmark_overlap(
     from airbnb_cdc_spark.functions.textfns import h60
 
     hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), h60))
-    bench_set = benchmark.select(F.explode(hashed).alias("h")).agg(
-        F.collect_set("h").alias("__bench")
-    )
+    bench = benchmark.select(F.explode(hashed).alias("h"))
+    return _overlap_vs_hashes(corpus, bench, id_col, text_col, n)
+
+
+def _overlap_vs_hashes(
+    corpus: DataFrame,
+    bench_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """``benchmark_overlap`` against an already-hashed benchmark
+    shingle table ``(h)`` — shared by the in-session form and the
+    persisted-store streaming form. The hash table collapses to the
+    one-row broadcast array regardless of which side produced it."""
+    from airbnb_cdc_spark.functions.textfns import h60
+
+    hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), h60))
+    bench_set = bench_hashes.agg(F.collect_set("h").alias("__bench"))
     sz = F.size("__hs")
     return (
         ensure_parallelism(corpus)
@@ -202,7 +218,11 @@ def benchmark_overlap(
         .select(
             id_col,
             sz.cast("long").alias("n_shingles"),
-            F.size(F.array_intersect("__hs", "__bench"))
+            F.size(
+                F.array_intersect(
+                    "__hs", F.coalesce("__bench", F.array().cast("array<long>"))
+                )
+            )
             .cast("long")
             .alias("n_overlap"),
         )
@@ -215,6 +235,126 @@ def benchmark_overlap(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def write_benchmark_set(
+    benchmark: DataFrame, path: str, text_col: str = "text", n: int = 3
+) -> None:
+    """Persist the benchmark's distinct shingle-hash set (``hashes/``,
+    one BIGINT row per distinct hash) plus its shingle width
+    (``meta/``, one row) — the decontamination sibling of
+    ``write_dsir_scores``: the eval suite is hashed ONCE, then every
+    arriving batch is screened against the store. The width is part of
+    the artifact (the ``_stored_pq_geometry`` principle): screening
+    5-gram text against a 3-gram store would silently report near-zero
+    overlap, exactly the miss decontamination exists to prevent."""
+    import posixpath
+
+    from airbnb_cdc_spark.functions.textfns import h60
+
+    spark = benchmark.sparkSession
+    hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), h60))
+    (
+        benchmark.select(F.explode(hashed).alias("h"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(path, "hashes"))
+    )
+    spark.createDataFrame([(n,)], "n int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(path, "meta"))
+
+
+def read_benchmark_set(spark, path: str) -> tuple[DataFrame, int]:
+    """(hash table, shingle width) of a ``write_benchmark_set`` store."""
+    import posixpath
+
+    n = spark.read.parquet(posixpath.join(path, "meta")).first().n
+    return spark.read.parquet(posixpath.join(path, "hashes")), int(n)
+
+
+def batch_benchmark_overlap(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc benchmark overlap of one batch against the PERSISTED
+    shingle store, shingled at the STORED width (never a caller
+    guess). O(batch) per call + the store read; the benchmark corpus
+    is never re-shingled."""
+    spark = batch_df.sparkSession
+    hashes, n = read_benchmark_set(spark, store_path)
+    return _overlap_vs_hashes(batch_df, hashes, id_col, text_col, n)
+
+
+def _decontam_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    store_path: str,
+    out_dir: str,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """One ``streaming_decontam`` micro-batch (module-level so replay
+    idempotence is directly testable): per-doc verdict rows —
+    (batch_id, id, n_shingles, n_overlap, overlap_ratio,
+    contaminated) — landed idempotently under ``out_dir/batch_id=N``.
+    The store is READ-ONLY, so a crash-replay overwrites the partition
+    with identical content (the ``_dsir_select_batch`` contract).
+    Verdicts, not just survivors, are landed: a contamination audit
+    needs the flagged docs and their ratios, and the clean subset is a
+    filter over the landed rows."""
+    import posixpath
+
+    if batch_df.isEmpty():
+        return
+    verdicts = batch_benchmark_overlap(
+        batch_df, store_path, id_col, text_col
+    ).select(
+        F.lit(epoch).cast("long").alias("batch_id"),
+        F.col(id_col),
+        "n_shingles",
+        "n_overlap",
+        "overlap_ratio",
+        (F.col("overlap_ratio") >= F.lit(threshold)).alias("contaminated"),
+    )
+    verdicts.write.mode("overwrite").parquet(
+        posixpath.join(out_dir, f"batch_id={epoch}")
+    )
+
+
+def streaming_decontam(
+    stream_docs: DataFrame,
+    store_path: str,
+    out_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming decontamination: screen each arriving micro-batch of
+    documents against the PERSISTED benchmark shingle store
+    (``write_benchmark_set`` output — hashed once, never re-shingled
+    in-stream) and land per-doc contamination verdicts under
+    ``out_dir/batch_id=N``. The ingest-side twin of the batch
+    ``decontaminate_vs_benchmark`` query: eval-set leakage is caught
+    at arrival, before a contaminated document ever reaches the
+    training corpus.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _decontam_batch(
+            batch_df, epoch, store_path, out_dir, threshold, text_col, id_col
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def bigram_counts(
