@@ -344,11 +344,33 @@ def streaming_decontam(
     at arrival, before a contaminated document ever reaches the
     training corpus.
 
-    Returns the started StreamingQuery; await/stop is the caller's."""
+    Returns the started StreamingQuery; await/stop is the caller's.
+
+    The store is read and cached ONCE at stream start (it is read-only
+    and a crash-restart rebuilds this closure, re-reading it), so each
+    micro-batch pays only its own screening — not a store re-read and
+    re-aggregation per trigger."""
+    import posixpath
+
+    spark = stream_docs.sparkSession
+    hashes, n = read_benchmark_set(spark, store_path)
+    hashes = persist_tracked(hashes)
 
     def _batch(batch_df: DataFrame, epoch: int) -> None:
-        _decontam_batch(
-            batch_df, epoch, store_path, out_dir, threshold, text_col, id_col
+        if batch_df.isEmpty():
+            return
+        verdicts = _overlap_vs_hashes(
+            batch_df, hashes, id_col, text_col, n
+        ).select(
+            F.lit(epoch).cast("long").alias("batch_id"),
+            F.col(id_col),
+            "n_shingles",
+            "n_overlap",
+            "overlap_ratio",
+            (F.col("overlap_ratio") >= F.lit(threshold)).alias("contaminated"),
+        )
+        verdicts.write.mode("overwrite").parquet(
+            posixpath.join(out_dir, f"batch_id={epoch}")
         )
 
     writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")

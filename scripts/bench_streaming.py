@@ -964,10 +964,94 @@ def bench_drift(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_decontam(n_docs: int, n_files: int) -> None:
+    """Streaming decontamination docs/sec: the benchmark shingle store
+    is built once from a small synthetic eval suite (plus a planted
+    10% leak cohort in the feed built from benchmark text), then every
+    micro-batch is screened against the store — per-batch cost is
+    O(batch) + the store read, the benchmark is never re-shingled.
+    Every landed verdict row must carry a finite ratio and the planted
+    leaks must be flagged."""
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.text import (
+        streaming_decontam,
+        write_benchmark_set,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-decontam")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_decontam_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        bench_texts = [
+            " ".join(f"eval{q}_{t}" for t in range(30)) for q in range(200)
+        ]
+        per_file = n_docs // n_files
+        total = 0
+        for fi in range(n_files):
+            with open(feed / f"docs_{fi:03d}.json", "w") as f:
+                for j in range(per_file):
+                    i = fi * per_file + j
+                    if i % 10 == 7:  # planted leak: verbatim eval doc
+                        text = bench_texts[i % len(bench_texts)]
+                    else:
+                        text = " ".join(f"w{i}_{t}" for t in range(40))
+                    f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+                    total += 1
+
+        store = str(work / "bench")
+        bench_df = spark.createDataFrame(
+            list(enumerate(bench_texts)), "doc_id long, text string"
+        )
+        write_benchmark_set(bench_df, store, n=3)
+
+        out = str(work / "landed")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = streaming_decontam(
+            stream, store, out, checkpoint_dir=str(work / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        rows = spark.read.parquet(out)
+        n_rows = rows.count()
+        n_flagged = rows.filter("contaminated").count()
+        assert n_rows == total, (n_rows, total)
+        assert n_flagged == sum(1 for i in range(total) if i % 10 == 7)
+        print(
+            json.dumps(
+                {
+                    "metric": "decontam_stream_docs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "docs/sec",
+                    "feed_docs": total,
+                    "micro_batches": n_files,
+                    "flagged": n_flagged,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq", "decontam"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -1003,6 +1087,9 @@ def main() -> None:
         return
     if leg == "ivfpq":
         bench_ivfpq(n_rows, n_files)
+        return
+    if leg == "decontam":
+        bench_decontam(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable
