@@ -129,3 +129,19 @@ def test_streaming_decontam_end_to_end(spark, tmp_path):
 
     rows = {r.doc_id: r.contaminated for r in spark.read.parquet(out).collect()}
     assert rows == {1: True, 2: False}
+
+
+def test_batch_screen_plan_never_reshingles_the_benchmark(spark, tmp_path):
+    """Scale shape: the per-batch screening plan reads the persisted
+    hash store — never re-shingles the benchmark corpus. The benchmark
+    frame carries a distinctively-named text column (`body`) so its
+    scan is identifiable: it must not appear in the screening plan,
+    while the store parquet scan must."""
+    bench = spark.createDataFrame([(0, BENCH_TEXT)], "doc_id long, body string")
+    path = str(tmp_path / "bench")
+    write_benchmark_set(bench, path, text_col="body", n=3)
+    batch = _docs(spark, [(1, "the quick brown fox")])
+    screened = batch_benchmark_overlap(batch, path)
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "body" not in plan  # the benchmark is never re-shingled
+    assert "Scan parquet" in plan  # the hash store is what's read

@@ -166,3 +166,23 @@ def test_streaming_drift_monitor_end_to_end(spark, tmp_path):
     assert (row.ref_tokens, row.new_tokens) == (20, 16)
     assert row.total_variation == 0.5
     assert row.buckets_moved == 3
+
+
+def test_batch_monitor_plan_never_rescans_the_reference(spark, tmp_path):
+    """Scale shape: the per-batch drift plan must read the persisted
+    n_buckets-row model — never re-tokenize the reference corpus. The
+    reference frame carries a distinctively-named text column (`body`)
+    so its scan is identifiable: it must not appear anywhere in the
+    monitored plan, while the model parquet scan must."""
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)],
+        "doc_id long, body string",
+    )
+    path = str(tmp_path / "model")
+    write_drift_reference(token_buckets(ref, "body", N_BUCKETS), path, N_BUCKETS)
+
+    batch = _docs(spark, [(1, "alpha delta")])
+    monitored = batch_drift_vs_reference(batch, path, "text")
+    plan = monitored._jdf.queryExecution().executedPlan().toString()
+    assert "body" not in plan  # the reference corpus is never rescanned
+    assert "Scan parquet" in plan  # the model store is what's read
