@@ -390,12 +390,26 @@ def write_drift_reference(
     spark = ref_tok.sparkSession
     r = _bucket_counts(ref_tok).withColumnRenamed("c", "ref_count")
     rmax = r.agg(F.max("bucket").alias("__rmax"))
+    # fail loud at WRITE time on both degeneracies: a token-free
+    # reference (every later monitor call would raise or report
+    # TV=1.0, surfacing the failure far from its cause) and a
+    # bucketing mismatch (the dense write would silently drop
+    # out-of-range buckets)
     guard = F.assert_true(
-        F.coalesce(F.col("__rmax"), F.lit(-1)) < F.lit(n_buckets),
-        F.lit(
-            f"token bucket id >= n_buckets={n_buckets}: the reference was "
-            "bucketed with a different n_buckets — rebuild token_buckets "
-            "with the same value"
+        F.col("__rmax").isNotNull() & (F.col("__rmax") < F.lit(n_buckets)),
+        F.when(
+            F.col("__rmax").isNull(),
+            F.lit(
+                "drift reference corpus has no tokens: refusing to persist "
+                "an all-zero model (an empty reference is an ingest "
+                "failure, not a baseline)"
+            ),
+        ).otherwise(
+            F.lit(
+                f"token bucket id >= n_buckets={n_buckets}: the reference "
+                "was bucketed with a different n_buckets — rebuild "
+                "token_buckets with the same value"
+            )
         ),
     )
     dense = (
@@ -431,11 +445,50 @@ def batch_drift_vs_reference(
     arithmetic with the stored counts as the reference side. Per-call
     cost is O(batch) + the n_buckets-row model read — the reference
     corpus is never rescanned."""
-    spark = batch_df.sparkSession
-    ref, n_buckets = read_drift_reference(spark, ref_path)
+    ref, n_buckets = read_drift_reference(batch_df.sparkSession, ref_path)
+    return _batch_drift_vs_counts(batch_df, ref, n_buckets, text_col)
+
+
+def _batch_drift_vs_counts(
+    batch_df: DataFrame, ref: DataFrame, n_buckets: int, text_col: str
+) -> DataFrame:
+    """Per-bucket drift of a batch against an already-loaded reference
+    count table — shared by the store-path batch form and the
+    cached-store stream closure."""
     tok = token_buckets(batch_df, text_col, n_buckets)
     n = _bucket_counts(tok).withColumnRenamed("c", "new_count")
-    return _drift_from_counts(spark, ref, n, n_buckets)
+    return _drift_from_counts(batch_df.sparkSession, ref, n, n_buckets)
+
+
+def _monitor_and_land(
+    batch_df: DataFrame,
+    ref: DataFrame,
+    n_buckets: int,
+    epoch: int,
+    out_dir: str,
+    text_col: str,
+) -> None:
+    """Score one batch against a reference bucket-count table and land
+    one summary row — (batch_id, ref_tokens, new_tokens,
+    total_variation, buckets_moved) — idempotently under
+    ``out_dir/batch_id=N``. ONE implementation for both the
+    store-path batch form and the cached-store stream closure. A
+    row-empty micro-batch (no data this trigger) lands nothing; a
+    batch whose documents carry no tokens reports the disjoint value
+    1.0 — alert, don't kill the stream."""
+    import posixpath
+
+    if batch_df.isEmpty():
+        return
+    summary = drift_summary(
+        _batch_drift_vs_counts(batch_df, ref, n_buckets, text_col),
+        empty_is_disjoint=True,
+    )
+    summary.select(
+        F.lit(epoch).cast("long").alias("batch_id"), "*"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(out_dir, f"batch_id={epoch}")
+    )
 
 
 def _drift_monitor_batch(
@@ -445,28 +498,15 @@ def _drift_monitor_batch(
     out_dir: str,
     text_col: str,
 ) -> None:
-    """One ``streaming_drift_monitor`` micro-batch (module-level so
-    replay idempotence is directly testable): one summary row —
-    (batch_id, ref_tokens, new_tokens, total_variation,
-    buckets_moved) — landed idempotently under ``out_dir/batch_id=N``.
-    The model is READ-ONLY, so a crash-replay overwrites the partition
-    with identical content (the ``_dsir_select_batch`` contract). A
-    row-empty micro-batch (no data this trigger) lands nothing; a
-    batch whose documents carry no tokens reports the disjoint value
-    1.0 — alert, don't kill the stream."""
-    import posixpath
-
-    if batch_df.isEmpty():
-        return
-    summary = drift_summary(
-        batch_drift_vs_reference(batch_df, ref_path, text_col),
-        empty_is_disjoint=True,
-    )
-    summary.select(
-        F.lit(epoch).cast("long").alias("batch_id"), "*"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        posixpath.join(out_dir, f"batch_id={epoch}")
-    )
+    """One ``streaming_drift_monitor`` micro-batch against the store
+    path (module-level so replay idempotence is directly testable;
+    the stream itself caches the model once and calls
+    ``_monitor_and_land`` with the cached table — the same code this
+    delegates to). The model is READ-ONLY, so a crash-replay
+    overwrites the partition with identical content (the
+    ``_dsir_select_batch`` contract)."""
+    ref, n_buckets = read_drift_reference(batch_df.sparkSession, ref_path)
+    _monitor_and_land(batch_df, ref, n_buckets, epoch, out_dir, text_col)
 
 
 def streaming_drift_monitor(
@@ -485,10 +525,21 @@ def streaming_drift_monitor(
     pipeline that thresholds the batch ``drift_summary`` now
     thresholds the landed stream rows.
 
-    Returns the started StreamingQuery; await/stop is the caller's."""
+    Returns the started StreamingQuery; await/stop is the caller's.
+
+    The model is read, counted, and cached ONCE at stream start (it is
+    read-only and a crash-restart rebuilds this closure, re-reading
+    it), so each trigger pays only its own batch's scoring — not a
+    model re-read, re-count, and re-aggregation (the
+    ``streaming_decontam`` store discipline)."""
+    from airbnb_cdc_spark.session import persist_tracked
+
+    spark = stream_docs.sparkSession
+    ref, n_buckets = read_drift_reference(spark, ref_path)
+    ref = persist_tracked(ref)
 
     def _batch(batch_df: DataFrame, epoch: int) -> None:
-        _drift_monitor_batch(batch_df, epoch, ref_path, out_dir, text_col)
+        _monitor_and_land(batch_df, ref, n_buckets, epoch, out_dir, text_col)
 
     writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
     if checkpoint_dir is not None:

@@ -1602,6 +1602,7 @@ def append_pq_index(
         new_vectors = new_vectors.repartition(want)
     stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    _check_dim(new_vectors, vec_col, dim)
     cb = F.broadcast(stored_cb)
     batch = pq_codes(new_vectors, cb, id_col, vec_col, m, dim)
     if skip_existing:
@@ -1642,6 +1643,10 @@ def query_pq_index(
 
     stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    # the query frame must match the stored width too: F.slice never
+    # errors on longer arrays, so a 128-dim query against a 64-dim
+    # index would otherwise score the first 64 components silently
+    _check_dim(queries, vec_col, dim, full=True)
     cb = F.broadcast(stored_cb)
     codes = spark.read.parquet(os.path.join(path, "codes")).select(
         F.col(id_col).alias("neighbor_id"), "j", "cid"
@@ -1776,6 +1781,7 @@ def append_ivf_pq_index(
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
     stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    _check_dim(new_vectors, vec_col, dim)
     cb = F.broadcast(stored_cb)
     base = _with_quant(new_vectors, id_col, vec_col, widen=False)
     assigned = _nearest_centroid(base, cents, id_col).select(F.col(id_col), "cid")
@@ -1831,6 +1837,11 @@ def query_ivf_pq_index(
     from pyspark.sql import Window
 
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    # geometry first (before probe selection): the probe-side cosine
+    # zip_with would silently truncate a wrong-width query frame too
+    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    m, dim = _stored_pq_geometry(stored_cb, m, dim)
+    _check_dim(queries, vec_col, dim, full=True)
     # widen=False: the query frame is tiny and feeds a broadcast —
     # repartitioning it first is pure fixed overhead (the query-side
     # convention ivf_pq_topk / pq_refine_topk / _pq_lut follow).
@@ -1848,8 +1859,6 @@ def query_ivf_pq_index(
         .select(F.col(id_col).alias("query_id"), "cid")
     )
     probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
-    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
-    m, dim = _stored_pq_geometry(stored_cb, m, dim)
     cb = F.broadcast(stored_cb)
     lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
     lists = spark.read.parquet(os.path.join(path, "lists")).filter(

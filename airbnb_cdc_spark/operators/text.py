@@ -254,9 +254,20 @@ def write_benchmark_set(
 
     spark = benchmark.sparkSession
     hashed = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), h60))
+    hset = benchmark.select(F.explode(hashed).alias("h")).distinct()
+    # an empty hash set would disable decontamination FOREVER and
+    # silently (every doc screens clean against nothing) — refuse the
+    # write, like the degenerate-build guard in write_pq_index. The
+    # probe recomputes over the benchmark, which is small by
+    # definition (an eval suite, not a corpus).
+    if hset.limit(1).count() == 0:
+        raise ValueError(
+            f"benchmark produced no {n}-gram shingles (empty frame, wrong "
+            f"{text_col!r} column, or texts shorter than n) — refusing to "
+            "persist a store every document would screen clean against"
+        )
     (
-        benchmark.select(F.explode(hashed).alias("h"))
-        .distinct()
+        hset
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(posixpath.join(path, "hashes"))
@@ -289,21 +300,22 @@ def batch_benchmark_overlap(
     return _overlap_vs_hashes(batch_df, hashes, id_col, text_col, n)
 
 
-def _decontam_batch(
+def _screen_and_land(
     batch_df: DataFrame,
+    hashes: DataFrame,
+    n: int,
     epoch: int,
-    store_path: str,
     out_dir: str,
     threshold: float,
     text_col: str,
     id_col: str,
 ) -> None:
-    """One ``streaming_decontam`` micro-batch (module-level so replay
-    idempotence is directly testable): per-doc verdict rows —
-    (batch_id, id, n_shingles, n_overlap, overlap_ratio,
-    contaminated) — landed idempotently under ``out_dir/batch_id=N``.
-    The store is READ-ONLY, so a crash-replay overwrites the partition
-    with identical content (the ``_dsir_select_batch`` contract).
+    """Screen one batch against a benchmark hash table and land the
+    per-doc verdict rows — (batch_id, id, n_shingles, n_overlap,
+    overlap_ratio, contaminated) — idempotently under
+    ``out_dir/batch_id=N``. ONE implementation for both the
+    store-path batch form and the cached-store stream closure, so the
+    replay-idempotence pytest covers exactly the code the stream runs.
     Verdicts, not just survivors, are landed: a contamination audit
     needs the flagged docs and their ratios, and the clean subset is a
     filter over the landed rows."""
@@ -311,9 +323,7 @@ def _decontam_batch(
 
     if batch_df.isEmpty():
         return
-    verdicts = batch_benchmark_overlap(
-        batch_df, store_path, id_col, text_col
-    ).select(
+    verdicts = _overlap_vs_hashes(batch_df, hashes, id_col, text_col, n).select(
         F.lit(epoch).cast("long").alias("batch_id"),
         F.col(id_col),
         "n_shingles",
@@ -323,6 +333,27 @@ def _decontam_batch(
     )
     verdicts.write.mode("overwrite").parquet(
         posixpath.join(out_dir, f"batch_id={epoch}")
+    )
+
+
+def _decontam_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    store_path: str,
+    out_dir: str,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """One ``streaming_decontam`` micro-batch against the store path
+    (module-level so replay idempotence is directly testable; the
+    stream itself caches the store once and calls ``_screen_and_land``
+    with the cached table — the same code this delegates to). The
+    store is READ-ONLY, so a crash-replay overwrites the partition
+    with identical content (the ``_dsir_select_batch`` contract)."""
+    hashes, n = read_benchmark_set(batch_df.sparkSession, store_path)
+    _screen_and_land(
+        batch_df, hashes, n, epoch, out_dir, threshold, text_col, id_col
     )
 
 
@@ -350,27 +381,13 @@ def streaming_decontam(
     and a crash-restart rebuilds this closure, re-reading it), so each
     micro-batch pays only its own screening — not a store re-read and
     re-aggregation per trigger."""
-    import posixpath
-
     spark = stream_docs.sparkSession
     hashes, n = read_benchmark_set(spark, store_path)
     hashes = persist_tracked(hashes)
 
     def _batch(batch_df: DataFrame, epoch: int) -> None:
-        if batch_df.isEmpty():
-            return
-        verdicts = _overlap_vs_hashes(
-            batch_df, hashes, id_col, text_col, n
-        ).select(
-            F.lit(epoch).cast("long").alias("batch_id"),
-            F.col(id_col),
-            "n_shingles",
-            "n_overlap",
-            "overlap_ratio",
-            (F.col("overlap_ratio") >= F.lit(threshold)).alias("contaminated"),
-        )
-        verdicts.write.mode("overwrite").parquet(
-            posixpath.join(out_dir, f"batch_id={epoch}")
+        _screen_and_land(
+            batch_df, hashes, n, epoch, out_dir, threshold, text_col, id_col
         )
 
     writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")

@@ -870,7 +870,12 @@ def bench_ivfpq(n_vecs: int, n_files: int) -> None:
         wall = time.time() - t0
         n_rows = spark.read.parquet(index + "/lists").count()
         assert n_rows == total, (n_rows, total)
-        assert appended[0] == 0  # batch 0 replays the build file
+        # exactly one batch is the replay of the build file and appends
+        # zero; checking membership (not position) because the file
+        # stream orders batches by mtime, which can tie and differ from
+        # the path sort the build used
+        assert appended.count(0) == 1, appended
+        assert sum(appended) == total - (total // n_files), appended
         print(
             json.dumps(
                 {

@@ -145,3 +145,18 @@ def test_batch_screen_plan_never_reshingles_the_benchmark(spark, tmp_path):
     plan = screened._jdf.queryExecution().executedPlan().toString()
     assert "body" not in plan  # the benchmark is never re-shingled
     assert "Scan parquet" in plan  # the hash store is what's read
+
+
+def test_empty_benchmark_store_write_fails_loud(spark, tmp_path):
+    """An empty hash set would disable decontamination forever and
+    silently — the write must refuse (the write_pq_index degenerate-
+    build contract)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no 3-gram shingles"):
+        write_benchmark_set(_docs(spark, []), str(tmp_path / "b1"), n=3)
+    # texts shorter than n produce no shingles either
+    with pytest.raises(ValueError, match="no 5-gram shingles"):
+        write_benchmark_set(
+            _docs(spark, [(0, "too short")]), str(tmp_path / "b2"), n=5
+        )

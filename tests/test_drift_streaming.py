@@ -186,3 +186,21 @@ def test_batch_monitor_plan_never_rescans_the_reference(spark, tmp_path):
     plan = monitored._jdf.queryExecution().executedPlan().toString()
     assert "body" not in plan  # the reference corpus is never rescanned
     assert "Scan parquet" in plan  # the model store is what's read
+
+
+def test_empty_reference_write_fails_loud(spark, tmp_path):
+    """A token-free reference corpus must refuse to persist an
+    all-zero model (the failure would otherwise surface batches later,
+    far from its cause)."""
+    with pytest.raises(Exception, match="no tokens"):
+        write_drift_reference(
+            token_buckets(_docs(spark, []), "text", N_BUCKETS),
+            str(tmp_path / "m1"),
+            N_BUCKETS,
+        )
+    with pytest.raises(Exception, match="no tokens"):
+        write_drift_reference(
+            token_buckets(_docs(spark, [(1, "  ")]), "text", N_BUCKETS),
+            str(tmp_path / "m2"),
+            N_BUCKETS,
+        )

@@ -115,3 +115,26 @@ def test_stored_geometry_derived_and_mismatch_fails_loud(spark, tmp_path):
     # matching explicit values still pass
     ok = query_pq_index(spark, path, queries, k=3, m=8, dim=64)
     assert ok.count() > 0
+
+
+def test_wrong_width_query_frame_fails_loud(spark, tmp_path):
+    """A query frame whose vectors are wider than the stored dim must
+    raise: F.slice never errors on longer arrays, so without the check
+    the ADC would silently score the first stored-dim components."""
+    corpus = _vecs(spark, range(60))
+    path = str(tmp_path / "pq")
+    write_pq_index(corpus, path, cb_mod=7, cb_rem=1)
+
+    wide = spark.createDataFrame(
+        [(0, [0.5] * 128)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="components"):
+        query_pq_index(spark, path, wide, k=3)
+    with pytest.raises(ValueError, match="components"):
+        append_pq_index(spark, path, wide)
