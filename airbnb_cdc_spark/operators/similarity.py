@@ -1811,6 +1811,72 @@ def append_ivf_pq_index(
     return n
 
 
+def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
+    """Compact fragmented inverted lists in a ``build_ivf_pq_index``
+    layout: every append lands one file per touched ``cid=`` (the
+    repartition contract), so after B batches a hot list holds up to B
+    files and every probe/existence scan pays the file count. This
+    rewrites ONLY the lists whose file count exceeds ``max_files`` —
+    one partition-pruned read of the fragmented lists, one clustered
+    write, then a PER-LIST atomic directory swap — and returns the
+    number of lists compacted. Orders of magnitude cheaper than a
+    rebuild: codes and assignments are frozen artifacts, so compaction
+    is pure I/O (no re-encode, no re-assignment, no centroid math).
+
+    Crash safety: each list swaps independently (``cid=N`` →
+    ``cid=N.old``, tmp → ``cid=N``, drop old), so a crash corrupts
+    nothing — at worst one list is parked at ``.old``; the recovery
+    preamble restores any parked list whose live directory is missing
+    before compacting. Run in a maintenance window like any table
+    compaction: a query racing the swap of exactly the list it probes
+    can transiently miss it (the same caveat every
+    rewrite-in-place maintenance op carries)."""
+    import os
+    import shutil
+
+    lists_dir = os.path.join(path, "lists")
+    # recovery preamble: restore lists parked by a crashed prior run
+    for d in os.listdir(lists_dir):
+        if d.endswith(".old"):
+            live = os.path.join(lists_dir, d[: -len(".old")])
+            parked = os.path.join(lists_dir, d)
+            if not os.path.exists(live):
+                os.rename(parked, live)
+            else:
+                shutil.rmtree(parked)
+    frag = []
+    for d in os.listdir(lists_dir):
+        if d.startswith("cid="):
+            n_files = sum(
+                1
+                for f in os.listdir(os.path.join(lists_dir, d))
+                if f.endswith(".parquet")
+            )
+            if n_files > max_files:
+                frag.append(int(d.split("=", 1)[1]))
+    if not frag:
+        return 0
+    tmp = os.path.join(path, ".lists_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(lists_dir)
+        .filter(F.col("cid").isin(frag))
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(tmp)
+    )
+    for cid in frag:
+        src = os.path.join(tmp, f"cid={cid}")
+        dst = os.path.join(lists_dir, f"cid={cid}")
+        old = dst + ".old"
+        os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(frag)
+
+
 def query_ivf_pq_index(
     spark,
     path: str,

@@ -101,3 +101,80 @@ def test_append_frozen_geometry_and_replay_zero(spark, tmp_path):
         for r in query_ivf_pq_index(spark, path, qs, k=200, nprobe=99).collect()
     }
     assert got == (set(range(1, 80)) | set(range(200, 220)))
+
+
+def test_compaction_defragments_and_preserves_answers(spark, tmp_path):
+    """After several appends a hot list holds one file per batch;
+    compaction must rewrite only the fragmented lists to one file each
+    and leave every query answer bit-identical."""
+    import os
+
+    from airbnb_cdc_spark.operators.similarity import compact_ivf_pq_lists
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    for lo in range(100, 160, 10):  # 6 append batches
+        assert append_ivf_pq_index(
+            spark, path, _vecs(spark, range(lo, lo + 10))
+        ) == 10
+
+    lists_dir = os.path.join(path, "lists")
+
+    def files_per_list():
+        return {
+            d: sum(1 for f in os.listdir(os.path.join(lists_dir, d))
+                   if f.endswith(".parquet"))
+            for d in os.listdir(lists_dir) if d.startswith("cid=")
+        }
+
+    before = files_per_list()
+    assert max(before.values()) > 4  # appends fragmented the hot lists
+    qs = _vecs(spark, [0, 105])
+    want = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                                nprobe=3).collect()))
+
+    n_compacted = compact_ivf_pq_lists(spark, path, max_files=4)
+    assert n_compacted == sum(1 for v in before.values() if v > 4)
+    after = files_per_list()
+    assert max(after.values()) <= 4
+    assert set(after) == set(before)  # no list lost
+    for d, n in after.items():
+        if before[d] > 4:
+            assert n == 1  # compacted lists are single-file
+        else:
+            assert n == before[d]  # untouched lists untouched
+
+    got = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                               nprobe=3).collect()))
+    assert got == want  # answers bit-identical across compaction
+    # idempotent: nothing left over threshold
+    assert compact_ivf_pq_lists(spark, path, max_files=4) == 0
+
+
+def test_compaction_recovers_a_parked_list(spark, tmp_path):
+    """Crash simulation: a list parked at cid=N.old with its live dir
+    missing (the one vulnerable swap window) must be restored by the
+    recovery preamble before anything else happens."""
+    import os
+    import shutil
+
+    from airbnb_cdc_spark.operators.similarity import compact_ivf_pq_lists
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    lists_dir = os.path.join(path, "lists")
+    victim = next(d for d in sorted(os.listdir(lists_dir))
+                  if d.startswith("cid="))
+    live = os.path.join(lists_dir, victim)
+    total_before = spark.read.parquet(lists_dir).count()
+    os.rename(live, live + ".old")  # crash between the two renames
+
+    assert compact_ivf_pq_lists(spark, path, max_files=4) == 0
+    assert os.path.exists(live) and not os.path.exists(live + ".old")
+    assert spark.read.parquet(lists_dir).count() == total_before
