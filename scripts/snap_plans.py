@@ -283,6 +283,20 @@ SNAPS = [
         "threshold table broadcast into one mark-back projection over "
         "the persisted scored frame — no rank carried over the corpus",
     ),
+    (
+        "ann_topk_pq",
+        "PQ shortlist + exact refine (registered r14): broadcast "
+        "codebook join with map-side min_by encode, ADC scoring from "
+        "the broadcast LUT, then the refine stage re-scores only the "
+        "broadcast shortlist against one corpus scan — no corpus "
+        "shuffle in the refine",
+    ),
+    (
+        "content_chunk_dedup",
+        "content-defined chunk dedup (registered r14): zero-shuffle "
+        "per-row Rabin-rule chunking fused into the scan, one "
+        "chunk-hash groupBy, one same-key mark-back join",
+    ),
 ]
 
 
