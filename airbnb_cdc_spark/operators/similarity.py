@@ -549,7 +549,9 @@ def append_sq8_index(
     batch = persist_tracked(batch)
     n = batch.count()
     if n:
-        batch.write.mode("append").parquet(os.path.join(path, "codes"))
+        _bounded_files(batch, n).write.mode("append").parquet(
+            os.path.join(path, "codes")
+        )
     return n
 
 
@@ -954,9 +956,12 @@ def append_ivf_index(
         )
     n = assigned.count()
     if n:
-        assigned.write.mode("append").partitionBy("cid").parquet(
-            os.path.join(path, "lists")
-        )
+        # one file per touched list per batch (the IVF-PQ repartition
+        # rationale): an unclustered partitioned write fragments each
+        # cid= dir into up-to-#tasks files per append
+        assigned.repartition("cid").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(os.path.join(path, "lists"))
     return n
 
 
@@ -1165,6 +1170,18 @@ PQ_M = 8  # subspaces over the dim-64 embedding -> 8 dims per codebook
 # codebook (``_stored_pq_geometry``), so a default can never silently
 # disagree with an artifact on disk.
 PQ_INDEX_M = 16
+
+
+def _bounded_files(batch: DataFrame, n_rows: int, rows_per_file: int = 4_000_000):
+    """Cap an append's file count by row volume instead of task count:
+    a 32-task micro-batch otherwise lands 32 tiny files per append and
+    the store's read/probe cost grows with appends, not with data
+    (measured on the IVF-PQ leg: 64 -> 370 scan tasks over 10 uniform
+    batches). ``coalesce`` never increases partitions, so large
+    batches keep their parallelism; the cap only collapses small ones.
+    Call on a PERSISTED frame after its count — the coalesce then
+    reads the cache, not the lineage."""
+    return batch.coalesce(max(1, -(-n_rows // rows_per_file)))
 
 
 def _stored_pq_geometry(
@@ -1613,7 +1630,9 @@ def append_pq_index(
     batch = persist_tracked(batch)
     n_rows = batch.count()
     if n_rows:
-        batch.write.mode("append").parquet(os.path.join(path, "codes"))
+        _bounded_files(batch, n_rows).write.mode("append").parquet(
+            os.path.join(path, "codes")
+        )
     return n_rows // m
 
 
