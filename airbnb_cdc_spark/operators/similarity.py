@@ -540,6 +540,12 @@ def append_sq8_index(
     import os
 
     scale = spark.read.parquet(os.path.join(path, "scale"))
+    _check_stored_width(
+        spark.read.parquet(os.path.join(path, "codes")),
+        new_vectors,
+        vec_col,
+        full=False,
+    )
     batch = sq8_codes(new_vectors, scale, id_col, vec_col)
     if skip_existing:
         existing = spark.read.parquet(os.path.join(path, "codes")).select(
@@ -573,7 +579,13 @@ def query_sq8_index(
     from pyspark.sql import Window
 
     scale = spark.read.parquet(os.path.join(path, "scale"))
-    c = spark.read.parquet(os.path.join(path, "codes")).select(
+    stored_codes = spark.read.parquet(os.path.join(path, "codes"))
+    # the scale is a scalar (max_abs), so the stored WIDTH lives in the
+    # code table: one limit-1 probe guards the query frame — zip_with
+    # silently truncates a wider query into plausible-but-wrong scores
+    # (the _stored_pq_geometry class of drift)
+    _check_stored_width(stored_codes, queries, vec_col)
+    c = stored_codes.select(
         F.col(id_col).alias("neighbor_id"), F.col("c8").alias("__cc")
     )
     q = F.broadcast(
@@ -1170,6 +1182,28 @@ PQ_M = 8  # subspaces over the dim-64 embedding -> 8 dims per codebook
 # codebook (``_stored_pq_geometry``), so a default can never silently
 # disagree with an artifact on disk.
 PQ_INDEX_M = 16
+
+
+def _check_stored_width(
+    stored_codes: DataFrame,
+    frame: DataFrame,
+    vec_col: str,
+    code_col: str = "c8",
+    full: bool = True,
+) -> None:
+    """Guard an incoming frame's vector width against a persisted code
+    table whose geometry has no sidecar (SQ8: the scale is a scalar):
+    one limit-1 probe reads the stored code width, then ``_check_dim``
+    checks the incoming frame (``full=True`` min/max-scans it — the
+    broadcast query side; ``full=False`` is the limit-1 probe for a
+    potentially large append batch)."""
+    row = (
+        stored_codes.select(F.size(F.col(code_col)).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if row:
+        _check_dim(frame, vec_col, row[0].d, full=full)
 
 
 def _bounded_files(batch: DataFrame, n_rows: int, rows_per_file: int = 4_000_000):

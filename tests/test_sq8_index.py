@@ -156,3 +156,35 @@ def test_empty_corpus_build_fails_at_build(spark, tmp_path):
     import os
 
     assert not os.path.exists(path + "/scale")  # nothing poisoned
+
+
+def test_wrong_width_frame_fails_loud(spark, tmp_path):
+    """A query or append frame whose vectors are wider than the stored
+    codes must raise: zip_with silently truncates the longer side, so
+    without the probe the integer-dot scores would be plausibly wrong
+    (the _stored_pq_geometry class of drift; the SQ8 scale is a scalar,
+    so the width lives in the code table)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_sq8_index,
+        query_sq8_index,
+        write_sq8_index,
+    )
+
+    path = str(tmp_path / "sq8")
+    write_sq8_index(_vecs(spark, range(40)), path)
+    wide = spark.createDataFrame(
+        [(0, [0.5] * 128)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="components"):
+        query_sq8_index(spark, path, wide, k=3)
+    with pytest.raises(ValueError, match="components"):
+        append_sq8_index(spark, path, wide)
