@@ -946,7 +946,13 @@ def append_ivf_index(
 
     from pyspark.sql import Window
 
-    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # width guard (the _stored_pq_geometry class): a wrong-width batch
+    # would assign via silently-truncated cosines and poison the lists
+    _check_stored_width(
+        stored_cents, new_vectors, vec_col, code_col="__qc", full=False
+    )
+    cents = F.broadcast(stored_cents)
     base = _with_quant(new_vectors, id_col, vec_col)
     # persist: the touched-cid collect, the existence probe, and the
     # append all consume this frame — unpersisted, the batch x
@@ -996,7 +1002,11 @@ def query_ivf_index(
     from pyspark.sql import Window
     import os
 
-    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # width guard (the _stored_pq_geometry class): the probe cosine's
+    # zip_with silently truncates a wider query frame
+    _check_stored_width(stored_cents, queries, vec_col, code_col="__qc")
+    cents = F.broadcast(stored_cents)
     # widen kept: the probe scoring below (crossJoin + window) runs on
     # this frame's partitioning — see ivf_topk's probes note.
     qs = _with_quant(queries, id_col, vec_col)
