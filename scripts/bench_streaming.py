@@ -61,8 +61,20 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   batch), top-k landed idempotently per batch_id; model fit excluded
   (one-time batch job), the DSIR leg's second-order sibling.
 
+- ``ivfpq`` (r14): streaming IVF-PQ ingest vecs/sec — the composed
+  disk index grown batch-by-batch against frozen centroids+codebook,
+  one file per touched list per append, replay-zero on the build file.
+
+- ``drift`` (r14): streaming corpus-drift monitor docs/sec — each
+  micro-batch scored against the persisted dense reference model
+  (read+cached once per stream), one summary row landed per batch.
+
+- ``decontam`` (r14): streaming decontamination docs/sec — each
+  micro-batch screened against the persisted benchmark shingle store;
+  a planted 10% verbatim-leak cohort must be flagged exactly.
+
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify|drift|ivfpq|decontam] [n_rows] [n_files]
 """
 
 from __future__ import annotations
