@@ -4115,3 +4115,168 @@ __all__ += [
     '_ANN_PQ_K', '_ANN_PQ_REFINE', '_ANN_PQ_M', '_ANN_PQ_DIM',
     '_ANN_PQ_ORACLE', '_CC_DIVISOR', '_CC_REM', '_CONTENT_CHUNK_ORACLE',
 ]
+
+
+# Corpus-drift monitor (operators/importance.py distribution_drift —
+# registered r15 from the oracle pinned bit-exact by
+# tests/test_drift_oracle_rehearsal.py). Half-split arrival
+# convention (reference corpus = doc_id <= max/2, new snapshot = the
+# rest — the incremental_dedup convention), hashed-unigram buckets
+# (the DSIR convention, 512 buckets), DENSE per-bucket drift table
+# where drift_num = |new_count * R - ref_count * N| — the
+# cross-multiplied numerator of |new_share - ref_share|, so ranking
+# by it IS ranking by share drift with zero divisions. Products ride
+# DECIMAL(38,0) in the operator (HUGEINT here); the final cast to
+# BIGINT is bounded at driver SFs (counts x totals << 2^63). Exact
+# integers end to end.
+_DRIFT_B = 512
+
+_CORPUS_DRIFT_ORACLE = f"""
+WITH cutoff AS (
+    SELECT CAST(MAX(doc_id) AS BIGINT) // 2 AS cut FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(u.tok), 1, 15)) AS BIGINT)
+               % {_DRIFT_B} AS bucket
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ), unnest(t) AS u(tok)
+),
+ref AS (
+    SELECT bucket, count(*) AS ref_count FROM tok, cutoff
+    WHERE doc_id <= cut GROUP BY bucket
+),
+nw AS (
+    SELECT bucket, count(*) AS new_count FROM tok, cutoff
+    WHERE doc_id > cut GROUP BY bucket
+),
+dense AS (
+    SELECT r.range AS bucket,
+           COALESCE(ref.ref_count, 0) AS ref_count,
+           COALESCE(nw.new_count, 0) AS new_count
+    FROM range({_DRIFT_B}) r
+    LEFT JOIN ref ON ref.bucket = r.range
+    LEFT JOIN nw ON nw.bucket = r.range
+),
+tot AS (
+    SELECT CAST(SUM(ref_count) AS HUGEINT) AS R,
+           CAST(SUM(new_count) AS HUGEINT) AS N
+    FROM dense
+)
+SELECT bucket, CAST(ref_count AS BIGINT) AS ref_count,
+       CAST(new_count AS BIGINT) AS new_count,
+       CAST(ABS(CAST(new_count AS HUGEINT) * tot.R
+                - CAST(ref_count AS HUGEINT) * tot.N) AS BIGINT) AS drift_num
+FROM dense, tot
+"""
+
+
+# Composed IVF pruning x PQ/ADC scoring (operators/similarity.py
+# ivf_pq_topk — registered r15 from the oracle pinned bit-exact by
+# tests/test_ivf_pq_oracle_rehearsal.py). The FAISS ``IVFx,PQy``
+# production shape: the inverted file cuts candidates to the nprobe=2
+# probed lists (exact quantized-cosine assignment, id tie-breaks),
+# then the survivors are scored from m=16 integer PQ codes (ADC) —
+# the corpus-wide scan never touches a full vector. Integer sums and
+# id tie-breaks end to end — bit-exact replay.
+_IVFPQ_K, _IVFPQ_NPROBE, _IVFPQ_M, _IVFPQ_DIM = 5, 2, 16, 64
+_IVFPQ_D = _IVFPQ_DIM // _IVFPQ_M  # 4-dim subvectors
+_IVFPQ_CMOD, _IVFPQ_CREM = 37, 3
+
+_IVFPQ_COS = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * c.ce[i])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])) AS DOUBLE)))"
+)
+
+_ANN_IVF_PQ_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qe AS ce FROM q
+         WHERE vec_id % {_IVFPQ_CMOD} = {_IVFPQ_CREM}),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_IVFPQ_COS} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_IVFPQ_COS} DESC, c.cid
+               ) AS rn
+        FROM q a CROSS JOIN cent c WHERE a.vec_id % 50 = 0
+    ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+params AS (
+    SELECT GREATEST(2, COUNT(*) // 256) AS cb_mod FROM embeddings
+),
+cb AS (
+    SELECT j.j AS j, q.vec_id AS ccid,
+           list_transform(range(1, {_IVFPQ_D + 1}),
+                          i -> q.qe[j.j * {_IVFPQ_D} + i]) AS csub
+    FROM q, params, range(0, {_IVFPQ_M}) AS j(j)
+    WHERE q.vec_id % params.cb_mod = 1
+),
+subs AS (
+    SELECT q.vec_id, j.j AS j,
+           list_transform(range(1, {_IVFPQ_D + 1}),
+                          i -> q.qe[j.j * {_IVFPQ_D} + i]) AS xsub
+    FROM q, range(0, {_IVFPQ_M}) AS j(j)
+),
+codes AS (
+    SELECT vec_id, j, ccid FROM (
+        SELECT s.vec_id, s.j, cb.ccid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.j
+                   ORDER BY CAST(list_sum(list_transform(range(1, {_IVFPQ_D + 1}),
+                           i -> (s.xsub[i] - cb.csub[i])
+                                * (s.xsub[i] - cb.csub[i]))) AS BIGINT),
+                        cb.ccid) AS rn
+        FROM subs s JOIN cb ON cb.j = s.j
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT a.vec_id AS query_id, cb.j, cb.ccid,
+           CAST(list_sum(list_transform(range(1, {_IVFPQ_D + 1}),
+                   i -> a.qe[cb.j * {_IVFPQ_D} + i] * cb.csub[i])) AS BIGINT)
+               AS pdot
+    FROM q a, cb
+    WHERE a.vec_id % 50 = 0
+),
+adc AS (
+    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+           CAST(SUM(l.pdot) AS BIGINT) AS pq_score
+    FROM probe p
+    JOIN assign n ON p.cid = n.cid
+    JOIN codes c ON c.vec_id = n.vec_id
+    JOIN lut l ON l.j = c.j AND l.ccid = c.ccid AND l.query_id = p.vec_id
+    WHERE p.vec_id <> n.vec_id
+    GROUP BY p.vec_id, n.vec_id
+)
+SELECT query_id, neighbor_id, pq_score, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY pq_score DESC, neighbor_id) AS rank
+    FROM adc
+) WHERE rank <= {_IVFPQ_K}
+"""
+
+__all__ += [
+    '_DRIFT_B', '_CORPUS_DRIFT_ORACLE',
+    '_IVFPQ_K', '_IVFPQ_NPROBE', '_IVFPQ_M', '_IVFPQ_DIM',
+    '_IVFPQ_CMOD', '_IVFPQ_CREM', '_ANN_IVF_PQ_ORACLE',
+]

@@ -4749,101 +4749,94 @@ def q_content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.content_chunk_dedup(docs, divisor=_CC_DIVISOR, rem=_CC_REM)
 
 
+@query("corpus_drift", _CORPUS_DRIFT_ORACLE)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor between snapshots (operators/importance.py
+    distribution_drift) — the ingest gate a production pretraining
+    pipeline runs on every crawl: did the new snapshot's hashed-unigram
+    token distribution shift against the reference corpus? Half-split
+    arrival convention (reference = doc_id <= max/2, new = the rest —
+    the incremental_dedup convention), 512 DSIR-convention buckets,
+    DENSE per-bucket output where drift_num = |new*R - ref*N| (the
+    cross-multiplied numerator of |new_share - ref_share| — ranking by
+    it IS ranking by share drift, zero divisions, DECIMAL(38,0) exact).
+    Scale shape: two map-side-combined groupBy(bucket) aggs whose
+    outputs are metadata-sized at any corpus size + a dense broadcast
+    range join; nothing corpus-sized survives the aggregation. The
+    streaming twin scores each microbatch against a PERSISTED
+    reference store instead of a rescan. Registered r15 from the
+    oracle pinned bit-exact by tests/test_drift_oracle_rehearsal.py."""
+    from airbnb_cdc_spark.operators.importance import (
+        distribution_drift,
+        token_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
+    with_cut = docs.join(F.broadcast(cut))
+    ref = with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text")
+    new = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+    return distribution_drift(
+        token_buckets(ref, "text", _DRIFT_B),
+        token_buckets(new, "text", _DRIFT_B),
+        _DRIFT_B,
+    ).select(
+        "bucket",
+        F.col("ref_count").cast("long").alias("ref_count"),
+        F.col("new_count").cast("long").alias("new_count"),
+        F.col("drift_num").cast("long").alias("drift_num"),
+    )
+
+
+@query("ann_topk_ivf_pq", _ANN_IVF_PQ_ORACLE)
+def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF pruning x PQ/ADC scoring (operators/similarity.py
+    ivf_pq_topk) — the FAISS ``IVFx,PQy`` shape, THE production 100 TB
+    ANN configuration and the flagship composition of the r13-r14 ANN
+    program: the inverted file cuts each query's candidates to the
+    nprobe=2 probed lists (exact quantized-cosine assignment, id
+    tie-breaks), then ONLY the survivors are scored from m=16 integer
+    PQ codes (ADC, 32x compression) — the corpus-wide scan never
+    touches a full vector. Integer sums and id tie-breaks end to end,
+    so the replay is bit-exact. The persisted-store production path is
+    query_ivf_pq_index (reads codes only, prunes to probed list
+    directories); this registry query replays codebook+encode in
+    session so the oracle reproduces it bit-exactly. Registered r15
+    from the oracle pinned by tests/test_ivf_pq_oracle_rehearsal.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return _sim.ivf_pq_topk(
+        emb,
+        queries_df,
+        k=_IVFPQ_K,
+        centroid_mod=_IVFPQ_CMOD,
+        centroid_rem=_IVFPQ_CREM,
+        nprobe=_IVFPQ_NPROBE,
+        m=_IVFPQ_M,
+    )
+
+
 _DRIVER_PRIORITY = [
-    # r14 rotation — the r13-written plan, swapped in per the r13
-    # verdict's #1, with the planned 2-slot swap executed: the 22
-    # r10-tier must-records head the cut, the backfills are the 26
-    # oldest r11-tier names (alphabetical), and the 2 queries
-    # REGISTERED THIS ROUND from their pinned rehearsal oracles take
-    # the last 2 slots, displacing the 2 alphabetically-last r11-tier
-    # backfills (market_share_by_year, neardup_cluster_sizes), which
-    # now head the r15 must-record backbone below.
+    # r15 rotation — the r14-written plan, swapped in per the r14
+    # verdict's #1, with the planned 2-slot swap executed: the 24
+    # r11-tier must-records head the cut (they hit MAX_AGE this
+    # round), the backfills are the 24 oldest r12-tier names
+    # (alphabetical), and the 2 queries REGISTERED THIS ROUND from
+    # their pinned rehearsal oracles take the last 2 slots, displacing
+    # the 2 alphabetically-last r12-tier backfills (doc_fingerprint,
+    # embedding_outliers), which now head the r16 must-record backbone
+    # below.
     #
     # REGISTRY CEILING DISCIPLINE (r12 verdict #6, restated per the
-    # r13 verdict's #5 on every registration): 174 names x 50 slots x
+    # r13/r14 verdicts on every registration): 176 names x 50 slots x
     # MAX_AGE 3 ==> the hard ceiling is 200; steady-state slot demand
     # is now ~44/round against 50. At most ~2 net new queries per
     # round are sustainable forever, each displacing a backfill slot;
     # prefer re-leading existing queries onto stores over net-new
-    # registrations.
+    # registrations; if a future operator genuinely needs a slot,
+    # retire a redundant near-duplicate query in the same commit.
     #
-    # (a) the 22 r10-tier must-records:
-    "mm_resize",
-    "pack_concat_split",
-    "pii_scrub",
-    "priority_returns_exists",
-    "quality_filter_chain",
-    "returned_item_revenue",
-    "revenue_pareto",
-    "rollup_country_status",
-    "semantic_decontam",
-    "session_window_stats",
-    "source_quality_profile",
-    "status_percentiles",
-    "temperature_mixture",
-    "temperature_mixture_sample",
-    "top_supplier",
-    "trailing_7d_users",
-    "url_canonical_dedup",
-    "value_trend_by_type",
-    "vocab_coverage",
-    "windowed_kmv_distinct",
-    "winnow_keep_canonical",
-    "zorder_events_layout",
-    # (b) 26 oldest r11-tier backfills (alphabetical):
-    "ann_topk_ivf_recall",
-    "ann_topk_ivf_sq8",
-    "ann_topk_sq8",
-    "ann_topk_sq8_recall",
-    "bilateral_trade_volume",
-    "bracket_revenue",
-    "cdc_merge_upsert",
-    "cheapest_supplier_per_part",
-    "components_store_apply",
-    "corpus_prep_summary",
-    "customer_order_distribution",
-    "dedup_pair_sources",
-    "doc_sentiment",
-    "event_gaps_leadlag",
-    "event_transitions",
-    "events_ohlc",
-    "idle_customers_balance",
-    "incremental_lm_quality",
-    "interpolated_lm_score",
-    "keep_best_quality",
-    "kneser_ney_lm_score",
-    "leakage_safe_split",
-    "length_quartiles_by_lang",
-    "linestatus_priority_class",
-    "lm_perplexity_buckets",
-    "lm_quality_score",
-    # (c) the 2 queries REGISTERED in r14 (each must take a slot the
-    # round it lands — the audit refuses never-recorded names outside
-    # the cut):
-    "ann_topk_pq",
-    "content_chunk_dedup",
-]
-
-# Planned r15 cut, written now per the r12-established discipline so
-# r15 never hits a saturation squeeze. After r14 records the list
-# above, the 24 r11-tier names below age to 4 in r15 — they MUST all
-# be in the r15 cut — and the 26 free slots go to the oldest r12-tier
-# names (alphabetical; the remaining 24 r12-tier queries age to 3
-# after r15, legal, and form the r16 must-record backbone).
-# scripts/rotation_audit.py --simulate-next checks this list.
-# r15 NEW-QUERY BUDGET: each new registry query must take a slot the
-# round it lands, ceding one r12-tier backfill below to the r16
-# backlog. REHEARSED AND READY for r15 (each a move-the-SQL edit +
-# the slot swap): `corpus_drift` (TV-distance drift monitor —
-# tests/test_drift_oracle_rehearsal.py) and `ann_topk_ivf_pq` (the
-# composed in-session IVF pruning x PQ/ADC scoring —
-# tests/test_ivf_pq_oracle_rehearsal.py). Registering both displaces
-# the 2 alphabetically-last backfills below (doc_fingerprint,
-# embedding_outliers), which then head the r16 backlog.
-_NEXT_ROUND_PLAN = [
-    # the 24 r11-tier must-records (market_share_by_year +
-    # neardup_cluster_sizes ceded their r14 slots to the two queries
-    # registered in r14):
+    # (a) the 24 r11-tier must-records:
     "market_share_by_year",
     "neardup_cluster_sizes",
     "oov_rate",
@@ -4868,7 +4861,9 @@ _NEXT_ROUND_PLAN = [
     "value_histogram",
     "value_outliers_by_type",
     "weighted_sample_by_length",
-    # 26 oldest r12-tier backfills (alphabetical):
+    # (b) 24 oldest r12-tier backfills (alphabetical; doc_fingerprint
+    # and embedding_outliers ceded their slots to the two r15
+    # registrations):
     "ann_topk_bruteforce",
     "ann_topk_ivf_kmeans",
     "ann_topk_lsh",
@@ -4893,8 +4888,81 @@ _NEXT_ROUND_PLAN = [
     "dedup_simhash",
     "dedup_simhash_cluster",
     "doc_chunks",
+    # (c) the 2 queries REGISTERED in r15 (each must take a slot the
+    # round it lands — the audit refuses never-recorded names outside
+    # the cut):
+    "corpus_drift",
+    "ann_topk_ivf_pq",
+]
+
+# Planned r16 cut, written now per the r12-established discipline so
+# r16 never hits a saturation squeeze. After r15 records the list
+# above, the 26 r12-tier names below age to 4 in r16 — they MUST all
+# be in the r16 cut — and the 24 free slots go to the oldest r13-tier
+# names (alphabetical; the remaining 26 r13-tier queries age to 3
+# after r16 and form the r17 must-record backbone).
+# scripts/rotation_audit.py --simulate-next checks this list.
+# r16 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands, ceding one r13-tier backfill below to the r17
+# backlog (which then has 26 must-records + the ceded names — still
+# within the 50-slot budget). No rehearsed-but-unregistered operators
+# remain after r15; any r16 registration needs its rehearsal oracle
+# pinned first (the PQ/content-chunk/drift/ivf-pq pattern).
+_NEXT_ROUND_PLAN = [
+    # the 26 r12-tier must-records (doc_fingerprint +
+    # embedding_outliers ceded their r15 slots to the two queries
+    # registered in r15):
     "doc_fingerprint",
     "embedding_outliers",
+    "filter_by_status",
+    "incremental_chunk_dedup",
+    "large_orders",
+    "late_ship_priority_check",
+    "lookup_latest_event",
+    "mixture_by_token_budget",
+    "multimodal_features",
+    "orders_profile",
+    "part_name_canonical",
+    "pit_state_at_purchase",
+    "pivot_status_by_priority",
+    "pricing_summary",
+    "project_cast",
+    "promo_revenue_share",
+    "quality_filter",
+    "rolling_fingerprint",
+    "salted_status_totals",
+    "sample_by_lang",
+    "semdedup_pairs",
+    "set_ops_customers",
+    "top_spenders",
+    "user_overlap_kmv",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    # 24 oldest r13-tier backfills (alphabetical):
+    "alter_row_flags",
+    "ann_topk_ivf",
+    "ann_topk_ivf_nprobe",
+    "anti_join_never_bought",
+    "asof_next_purchase_after_view",
+    "asof_view_within_tolerance",
+    "bloom_prune_effect",
+    "bloom_semi_join_orders",
+    "bm25_topk",
+    "boilerplate_strip",
+    "bpe_apply",
+    "cohort_retention",
+    "conditional_split_accepted",
+    "contrastive_negatives",
+    "cube_status_priority",
+    "dedup_containment",
+    "dedup_keep_canonical",
+    "distinct_users_kmv",
+    "diversity_sample_by_cluster",
+    "domain_capped_sample",
+    "dsir_select",
+    "events_hopping_agg",
+    "events_resample_ffill",
+    "events_windowed_agg",
 ]
 
 
