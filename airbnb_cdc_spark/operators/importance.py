@@ -484,9 +484,12 @@ def _monitor_and_land(
         _batch_drift_vs_counts(batch_df, ref, n_buckets, text_col),
         empty_is_disjoint=True,
     )
-    summary.select(
-        F.lit(epoch).cast("long").alias("batch_id"), "*"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    # batch_id comes from the batch_id=N directory alone (the
+    # _dsir_select_batch contract): ALSO writing it as a data column
+    # collides with partition discovery on read — Spark 4 emits
+    # COLUMN_ALREADY_EXISTS and silently shadows the written long with
+    # the inferred partition column (r14 ADVICE)
+    summary.coalesce(1).write.mode("overwrite").parquet(
         posixpath.join(out_dir, f"batch_id={epoch}")
     )
 

@@ -540,7 +540,7 @@ def append_sq8_index(
     import os
 
     scale = spark.read.parquet(os.path.join(path, "scale"))
-    _check_stored_width(
+    stored_d = _check_stored_width(
         spark.read.parquet(os.path.join(path, "codes")),
         new_vectors,
         vec_col,
@@ -555,6 +555,8 @@ def append_sq8_index(
     batch = persist_tracked(batch)
     n = batch.count()
     if n:
+        if stored_d is not None:
+            _check_batch_width_full(batch, "c8", stored_d, "append_sq8_index")
         _bounded_files(batch, n).write.mode("append").parquet(
             os.path.join(path, "codes")
         )
@@ -949,7 +951,7 @@ def append_ivf_index(
     stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
     # width guard (the _stored_pq_geometry class): a wrong-width batch
     # would assign via silently-truncated cosines and poison the lists
-    _check_stored_width(
+    stored_d = _check_stored_width(
         stored_cents, new_vectors, vec_col, code_col="__qc", full=False
     )
     cents = F.broadcast(stored_cents)
@@ -964,16 +966,17 @@ def append_ivf_index(
     )
     if skip_existing:
         touched = [r.cid for r in assigned.select("cid").distinct().collect()]
-        existing = (
-            spark.read.parquet(os.path.join(path, "lists"))
-            .filter(F.col("cid").isin(touched))
-            .select(id_col)
-        )
-        assigned = persist_tracked(
-            assigned.join(existing, id_col, "left_anti")
-        )
+        existing = _read_lists(spark, os.path.join(path, "lists"), touched)
+        if existing is not None:
+            assigned = persist_tracked(
+                assigned.join(existing.select(id_col), id_col, "left_anti")
+            )
     n = assigned.count()
     if n:
+        if stored_d is not None:
+            _check_batch_width_full(
+                assigned, "__q", stored_d, "append_ivf_index"
+            )
         # one file per touched list per batch (the IVF-PQ repartition
         # rationale): an unclustered partitioned write fragments each
         # cid= dir into up-to-#tasks files per append
@@ -1030,9 +1033,17 @@ def query_ivf_index(
     # (the expensive query-side stage) would execute twice
     probes = persist_tracked(probes)
     probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
-    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
-        F.col("cid").isin(probe_cids)
-    )
+    lists = _read_lists(spark, os.path.join(path, "lists"), probe_cids)
+    if lists is None:
+        # every probed list mid-swap/absent: empty top-k, right schema
+        joined = (
+            probes.select(
+                "query_id", F.col("query_id").alias("neighbor_id")
+            )
+            .limit(0)
+            .withColumn("cosine", F.lit(None).cast("double"))
+        )
+        return _rank_topk(joined, k)
     joined = (
         lists.join(F.broadcast(probes), on="cid")
         .filter(F.col("query_id") != F.col(id_col))
@@ -1200,20 +1211,84 @@ def _check_stored_width(
     vec_col: str,
     code_col: str = "c8",
     full: bool = True,
-) -> None:
+) -> int | None:
     """Guard an incoming frame's vector width against a persisted code
     table whose geometry has no sidecar (SQ8: the scale is a scalar):
     one limit-1 probe reads the stored code width, then ``_check_dim``
     checks the incoming frame (``full=True`` min/max-scans it — the
-    broadcast query side; ``full=False`` is the limit-1 probe for a
-    potentially large append batch)."""
+    broadcast query side; ``full=False`` is the limit-1 fail-fast probe
+    append paths run BEFORE doing any quantization work). Returns the
+    stored width so append paths can re-check the full batch post-
+    persist (``_check_batch_width_full``), or None on an empty store."""
     row = (
         stored_codes.select(F.size(F.col(code_col)).alias("d"))
         .limit(1)
         .collect()
     )
-    if row:
-        _check_dim(frame, vec_col, row[0].d, full=full)
+    if not row:
+        return None
+    _check_dim(frame, vec_col, row[0].d, full=full)
+    return row[0].d
+
+
+def _check_batch_width_full(
+    batch: DataFrame, arr_col: str, d: int, op: str
+) -> None:
+    """Append-side mixed-width guard: the limit-1 fail-fast probe
+    admits a mixed-width batch whose FIRST sampled row matches the
+    stored width — the quantize transform would then persist
+    plausible-but-wrong codes for the odd rows, the exact failure
+    class the width guards target. The batch is already persisted and
+    counted by every append path, so this min/max aggregation over the
+    CACHED frame is one cheap extra job before the write (the quantize
+    transforms are element-wise, so the code array width per row
+    equals the incoming vector width — a full check on the persisted
+    codes IS a full check on the batch, with no second source scan)."""
+    row = batch.agg(
+        F.min(F.size(F.col(arr_col))).alias("mn"),
+        F.max(F.size(F.col(arr_col))).alias("mx"),
+    ).collect()
+    if row and row[0].mn is not None and not (row[0].mn == row[0].mx == d):
+        raise ValueError(
+            f"{op}: mixed/mismatched vector widths in append batch "
+            f"({row[0].mn}..{row[0].mx} components vs stored {d}) — "
+            "nothing was written; fix the batch and re-run (appends "
+            "are idempotent)"
+        )
+
+
+def _read_lists(spark, lists_dir: str, cids) -> DataFrame | None:
+    """Read ONLY the given ``cid=`` list directories of an IVF/IVF-PQ
+    store (``basePath`` keeps the cid partition column). This replaces
+    a full-directory read + ``isin`` filter for two reasons:
+
+    - listing cost is proportional to the probed/touched lists, never
+      the store — at 100 TB an index holds thousands of lists and a
+      query probes a handful (Catalyst pruned the DATA read before,
+      but the discovery phase still LISTED every list directory);
+    - a parked ``cid=N.old`` directory (an in-flight or crashed
+      ``compact_ivf_pq_lists`` swap) is invisible. Full-directory
+      partition discovery SEES it, infers ``cid`` as string, and the
+      reader dies with CAST_INVALID_INPUT on the probe filter — the
+      compaction/reader race (pytest-pinned in test_ivf_pq_index.py).
+
+    A requested cid whose directory is missing entirely is skipped —
+    the documented one-list transient window of a compaction swap (the
+    per-list loop has at most one list mid-swap at any instant; it
+    reappears with bit-identical rows). Returns None when NO requested
+    list exists (callers substitute their empty-result shape)."""
+    import posixpath
+
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(lists_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    paths = [
+        p
+        for p in (posixpath.join(lists_dir, f"cid={c}") for c in cids)
+        if fs.exists(hadoop_path(p))
+    ]
+    if not paths:
+        return None
+    return spark.read.option("basePath", lists_dir).parquet(*paths)
 
 
 def _bounded_files(batch: DataFrame, n_rows: int, rows_per_file: int = 4_000_000):
@@ -1663,7 +1738,12 @@ def append_pq_index(
         new_vectors = new_vectors.repartition(want)
     stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
-    _check_dim(new_vectors, vec_col, dim)
+    # full=True (not the limit-1 probe): PQ encodes via F.slice, which
+    # silently truncates a WIDER row into plausible-but-wrong codes —
+    # undetectable post-encode, so the mixed-width check must scan the
+    # incoming batch itself (one batch-sized min/max agg at ingest
+    # cadence, nothing corpus-sized)
+    _check_dim(new_vectors, vec_col, dim, full=True)
     cb = F.broadcast(stored_cb)
     batch = pq_codes(new_vectors, cb, id_col, vec_col, m, dim)
     if skip_existing:
@@ -1844,7 +1924,10 @@ def append_ivf_pq_index(
     cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
     stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
-    _check_dim(new_vectors, vec_col, dim)
+    # full=True for the same reason as append_pq_index: the F.slice
+    # encode silently truncates wider rows, so only a pre-encode
+    # batch-sized min/max scan catches a mixed-width batch
+    _check_dim(new_vectors, vec_col, dim, full=True)
     cb = F.broadcast(stored_cb)
     base = _with_quant(new_vectors, id_col, vec_col, widen=False)
     assigned = _nearest_centroid(base, cents, id_col).select(F.col(id_col), "cid")
@@ -1855,12 +1938,11 @@ def append_ivf_pq_index(
     )
     if skip_existing:
         touched = [r.cid for r in batch.select("cid").distinct().collect()]
-        existing = (
-            spark.read.parquet(os.path.join(path, "lists"))
-            .filter(F.col("cid").isin(touched))
-            .select(id_col)
-        )
-        batch = persist_tracked(batch.join(existing, id_col, "left_anti"))
+        existing = _read_lists(spark, os.path.join(path, "lists"), touched)
+        if existing is not None:
+            batch = persist_tracked(
+                batch.join(existing.select(id_col), id_col, "left_anti")
+            )
     n = batch.count()
     if n:
         # one file per touched list per batch (the build's repartition
@@ -1893,50 +1975,69 @@ def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
     before compacting. Run in a maintenance window like any table
     compaction: a query racing the swap of exactly the list it probes
     can transiently miss it (the same caveat every
-    rewrite-in-place maintenance op carries)."""
+    rewrite-in-place maintenance op carries).
+
+    All listing/rename/delete goes through Hadoop's FileSystem API
+    (resolved from the store path's scheme), the same layer every
+    other operation on this layout uses — so compaction works wherever
+    the index lives (local, HDFS, s3a://, ...). The per-list swap is
+    atomic on filesystems with atomic directory rename (local, HDFS);
+    object stores emulate rename as copy+delete, which widens the
+    transient-miss window for a racing query but never corrupts the
+    list — a crash mid-rename still leaves the parked ``.old`` copy
+    for the recovery preamble."""
     import os
-    import shutil
 
     lists_dir = os.path.join(path, "lists")
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    lists_hp = hadoop_path(lists_dir)
+    fs = lists_hp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _rename(src, dst):
+        if not fs.rename(src, dst):
+            raise IOError(f"compact_ivf_pq_lists: rename {src} -> {dst} failed")
+
     # recovery preamble: restore lists parked by a crashed prior run
-    for d in os.listdir(lists_dir):
-        if d.endswith(".old"):
-            live = os.path.join(lists_dir, d[: -len(".old")])
-            parked = os.path.join(lists_dir, d)
-            if not os.path.exists(live):
-                os.rename(parked, live)
+    children = list(fs.listStatus(lists_hp))
+    for st in children:
+        name = st.getPath().getName()
+        if name.endswith(".old"):
+            live = hadoop_path(lists_hp, name[: -len(".old")])
+            if not fs.exists(live):
+                _rename(st.getPath(), live)
             else:
-                shutil.rmtree(parked)
+                fs.delete(st.getPath(), True)
     frag = []
-    for d in os.listdir(lists_dir):
-        if d.startswith("cid="):
+    for st in fs.listStatus(lists_hp):
+        name = st.getPath().getName()
+        if name.startswith("cid=") and st.isDirectory():
             n_files = sum(
                 1
-                for f in os.listdir(os.path.join(lists_dir, d))
-                if f.endswith(".parquet")
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
             )
             if n_files > max_files:
-                frag.append(int(d.split("=", 1)[1]))
+                frag.append(int(name.split("=", 1)[1]))
     if not frag:
         return 0
     tmp = os.path.join(path, ".lists_compact_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(hadoop_path(tmp), True)
     (
-        spark.read.parquet(lists_dir)
-        .filter(F.col("cid").isin(frag))
+        _read_lists(spark, lists_dir, frag)  # never None: frag just listed
         .repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(tmp)
     )
     for cid in frag:
-        src = os.path.join(tmp, f"cid={cid}")
-        dst = os.path.join(lists_dir, f"cid={cid}")
-        old = dst + ".old"
-        os.rename(dst, old)
-        os.rename(src, dst)
-        shutil.rmtree(old)
-    shutil.rmtree(tmp, ignore_errors=True)
+        src = hadoop_path(os.path.join(tmp, f"cid={cid}"))
+        dst = hadoop_path(os.path.join(lists_dir, f"cid={cid}"))
+        old = hadoop_path(os.path.join(lists_dir, f"cid={cid}.old"))
+        _rename(dst, old)
+        _rename(src, dst)
+        fs.delete(old, True)
+    fs.delete(hadoop_path(tmp), True)
     return len(frag)
 
 
@@ -1990,28 +2091,36 @@ def query_ivf_pq_index(
     probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
     cb = F.broadcast(stored_cb)
     lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
-    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
-        F.col("cid").isin(probe_cids)
-    )
-    cand = (
-        lists.join(F.broadcast(probes), "cid")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.posexplode("codes").alias("j", "code"),
+    lists = _read_lists(spark, os.path.join(path, "lists"), probe_cids)
+    if lists is None:
+        # every probed list mid-swap/absent: empty top-k, right schema
+        scored_pairs = (
+            probes.select(
+                "query_id", F.col("query_id").alias("neighbor_id")
+            )
+            .limit(0)
+            .withColumn("pq_score", F.lit(None).cast("long"))
         )
-    )
-    scored_pairs = (
-        cand.join(
-            F.broadcast(lut),
-            (cand["j"] == lut["j"])
-            & (cand["code"] == lut["cid"])
-            & (cand["query_id"] == lut["query_id"]),
+    else:
+        cand = (
+            lists.join(F.broadcast(probes), "cid")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.posexplode("codes").alias("j", "code"),
+            )
         )
-        .groupBy(cand["query_id"], "neighbor_id")
-        .agg(F.sum("__pdot").alias("pq_score"))
-    )
+        scored_pairs = (
+            cand.join(
+                F.broadcast(lut),
+                (cand["j"] == lut["j"])
+                & (cand["code"] == lut["cid"])
+                & (cand["query_id"] == lut["query_id"]),
+            )
+            .groupBy(cand["query_id"], "neighbor_id")
+            .agg(F.sum("__pdot").alias("pq_score"))
+        )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("pq_score").desc(), F.col("neighbor_id").asc()
     )

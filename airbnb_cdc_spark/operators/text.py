@@ -323,8 +323,12 @@ def _screen_and_land(
 
     if batch_df.isEmpty():
         return
+    # batch_id comes from the batch_id=N directory alone (the
+    # _dsir_select_batch contract): ALSO writing it as a data column
+    # collides with partition discovery on read — Spark 4 emits
+    # COLUMN_ALREADY_EXISTS and silently shadows the written long with
+    # the inferred partition column (r14 ADVICE)
     verdicts = _overlap_vs_hashes(batch_df, hashes, id_col, text_col, n).select(
-        F.lit(epoch).cast("long").alias("batch_id"),
         F.col(id_col),
         "n_shingles",
         "n_overlap",

@@ -73,8 +73,16 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   micro-batch screened against the persisted benchmark shingle store;
   a planted 10% verbatim-leak cohort must be flagged exactly.
 
+- ``mixed`` (r15, VERDICT r14 #7): store-program INTERFERENCE —
+  drift + decontam + ivfpq ingest each run solo, then all three
+  concurrently in the same session (fresh outputs/checkpoints/index),
+  with identical correctness assertions in both phases; the JSON
+  carries per-leg solo vs concurrent throughput and the interference
+  ratio. Production runs the store programs together; the solo legs
+  only measure each under suite load.
+
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify|drift|ivfpq|decontam] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify|drift|ivfpq|decontam|mixed] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -1065,10 +1073,212 @@ def bench_decontam(n_docs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_mixed(n_docs: int, n_files: int) -> None:
+    """Store-program interference (VERDICT r14 #7): production runs
+    the streaming store programs TOGETHER, while the solo legs measure
+    each only under incidental suite load. Runs drift + decontam +
+    ivfpq ingest each SOLO, then all three CONCURRENTLY in the same
+    session — fresh outputs, checkpoints, and a fresh ivfpq index per
+    phase (append idempotence would otherwise zero the concurrent
+    leg) — with identical correctness assertions in both phases, and
+    prints per-leg solo vs concurrent throughput plus the interference
+    ratio (solo/concurrent; 1.0 = no interference)."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.importance import (
+        streaming_drift_monitor,
+        token_buckets,
+        write_drift_reference,
+    )
+    from airbnb_cdc_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+    )
+    from airbnb_cdc_spark.operators.text import (
+        streaming_decontam,
+        write_benchmark_set,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-mixed")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_mixed_"))
+    n_vecs = max(n_docs // 2, n_files)
+    try:
+        doc_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        vec_schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        drift_feed = work / "drift_feed"
+        drift_feed.mkdir()
+        drift_total = write_docs_feed(drift_feed, n_docs, n_files)
+
+        dec_feed = work / "dec_feed"
+        dec_feed.mkdir()
+        bench_texts = [
+            " ".join(f"eval{q}_{t}" for t in range(30)) for q in range(200)
+        ]
+        per_file = n_docs // n_files
+        dec_total = 0
+        for fi in range(n_files):
+            with open(dec_feed / f"docs_{fi:03d}.json", "w") as f:
+                for j in range(per_file):
+                    i = fi * per_file + j
+                    if i % 10 == 7:  # planted leak: verbatim eval doc
+                        text = bench_texts[i % len(bench_texts)]
+                    else:
+                        text = " ".join(f"w{i}_{t}" for t in range(40))
+                    f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+                    dec_total += 1
+        expected_flagged = sum(1 for i in range(dec_total) if i % 10 == 7)
+
+        vec_feed = work / "vec_feed"
+        vec_feed.mkdir()
+        vec_total = write_vectors_feed(vec_feed, n_vecs, n_files)
+
+        # one-time fits, excluded from every timed region
+        model = str(work / "drift_model")
+        first_docs = spark.read.schema(doc_schema).json(
+            str(sorted(drift_feed.iterdir())[0])
+        )
+        write_drift_reference(token_buckets(first_docs, "text"), model)
+        store = str(work / "bench_store")
+        write_benchmark_set(
+            spark.createDataFrame(
+                list(enumerate(bench_texts)), "doc_id long, text string"
+            ),
+            store,
+            n=3,
+        )
+        first_vecs = spark.read.schema(vec_schema).json(
+            str(sorted(vec_feed.iterdir())[0])
+        )
+
+        def run_drift(tag: str) -> float:
+            out = str(work / f"drift_out_{tag}")
+            stream = (
+                spark.readStream.schema(doc_schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(drift_feed))
+            )
+            t0 = time.time()
+            q = streaming_drift_monitor(
+                stream, model, out,
+                checkpoint_dir=str(work / f"drift_ckpt_{tag}"),
+            )
+            q.processAllAvailable()
+            q.stop()
+            wall = time.time() - t0
+            assert spark.read.parquet(out).count() == n_files
+            return round(drift_total / wall, 1)
+
+        def run_decontam(tag: str) -> float:
+            out = str(work / f"dec_out_{tag}")
+            stream = (
+                spark.readStream.schema(doc_schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(dec_feed))
+            )
+            t0 = time.time()
+            q = streaming_decontam(
+                stream, store, out,
+                checkpoint_dir=str(work / f"dec_ckpt_{tag}"),
+            )
+            q.processAllAvailable()
+            q.stop()
+            wall = time.time() - t0
+            rows = spark.read.parquet(out)
+            assert rows.count() == dec_total
+            assert rows.filter("contaminated").count() == expected_flagged
+            return round(dec_total / wall, 1)
+
+        def run_ivfpq(tag: str) -> float:
+            index = str(work / f"ivfpq_{tag}")
+            build_ivf_pq_index(first_vecs, index, centroid_mod=None)
+            stream = (
+                spark.readStream.schema(vec_schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(vec_feed))
+            )
+
+            def _ingest(batch_df, batch_id):
+                append_ivf_pq_index(spark, index, batch_df)
+
+            t0 = time.time()
+            q = (
+                stream.writeStream.foreachBatch(_ingest)
+                .option("checkpointLocation", str(work / f"ivfpq_ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.time() - t0
+            n_rows = spark.read.parquet(index + "/lists").count()
+            assert n_rows == vec_total, (n_rows, vec_total)
+            return round(vec_total / wall, 1)
+
+        legs = {"drift": run_drift, "decontam": run_decontam,
+                "ivfpq": run_ivfpq}
+        solo = {name: fn("solo") for name, fn in legs.items()}
+
+        conc: dict[str, float] = {}
+        errs: list[tuple[str, Exception]] = []
+
+        def _wrap(name, fn):
+            try:
+                conc[name] = fn("conc")
+            except Exception as ex:  # noqa: BLE001 — re-raised below
+                errs.append((name, ex))
+
+        threads = [
+            threading.Thread(target=_wrap, args=(name, fn), daemon=True)
+            for name, fn in legs.items()
+        ]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_wall = time.time() - t0
+        if errs:
+            raise RuntimeError(f"concurrent legs failed: {errs}")
+
+        print(
+            json.dumps(
+                {
+                    "metric": "mixed_contention_stream_wall_sec",
+                    "value": round(conc_wall, 2),
+                    "unit": "sec",
+                    "feed_docs": n_docs,
+                    "feed_vecs": vec_total,
+                    "micro_batches": n_files,
+                    "solo": solo,
+                    "concurrent": conc,
+                    "interference": {
+                        name: round(solo[name] / conc[name], 2)
+                        for name in legs
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq", "decontam"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq", "decontam", "mixed"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -1107,6 +1317,9 @@ def main() -> None:
         return
     if leg == "decontam":
         bench_decontam(n_rows, n_files)
+        return
+    if leg == "mixed":
+        bench_mixed(n_rows, n_files)
         return
 
     from airbnb_cdc_spark.operators.merge import ParquetMergeTable

@@ -42,3 +42,33 @@ def test_wrong_width_frame_fails_loud(spark, tmp_path):
         query_ivf_index(spark, path, wide, k=3)
     with pytest.raises(ValueError, match="components"):
         append_ivf_index(spark, path, wide)
+
+
+def test_mixed_width_append_batch_fails_loud(spark, tmp_path):
+    """A mixed-width append batch whose FIRST row matches the stored
+    centroid width slipped past the limit-1 probe (r14 ADVICE); the
+    post-persist full min/max check over the quantized batch must
+    refuse the whole batch before any list is touched."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(_vecs(spark, range(60)), path)
+    n_before = spark.read.parquet(path + "/lists").count()
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    mixed = spark.createDataFrame(
+        [(100, [0.5] * 64), (101, [0.5] * 128)], schema
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="mixed|components"):
+        append_ivf_index(spark, path, mixed)
+    assert spark.read.parquet(path + "/lists").count() == n_before

@@ -62,21 +62,19 @@ def test_store_query_equals_in_session_and_prunes(spark, tmp_path):
     assert stored == insess
     assert len(stored) > 0
 
-    # partition pruning: the lists scan carries a static PartitionFilter
-    # over the probed cids (2 queries x nprobe 2 = at most 4 of the ~11
-    # list partitions). inputFiles() reflects the unpruned relation, so
-    # assert on the physical plan's scan node (the query_ivf_index
-    # technique in test_operators.py).
+    # partition pruning: the lists relation is BUILT from only the
+    # probed cid= directories (_read_lists: 2 queries x nprobe 2 = at
+    # most 4 of the ~11 list partitions), so inputFiles() itself now
+    # proves both the pruned data read AND the pruned LISTING.
     import os
     import re
 
     n_parts = len(
         [d for d in os.listdir(path + "/lists") if d.startswith("cid=")]
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    mm = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", plan)
-    assert mm, "lists scan has no static cid partition filter"
-    probed = {int(x) for x in mm.group(1).split(",")}
+    lists_files = [f for f in out.inputFiles() if "/lists/" in f]
+    assert lists_files, "lists scan reads no list directory"
+    probed = {re.search(r"cid=(\d+)", f).group(1) for f in lists_files}
     assert len(probed) <= 4 < n_parts, (sorted(probed), n_parts)
 
 
@@ -178,3 +176,119 @@ def test_compaction_recovers_a_parked_list(spark, tmp_path):
     assert compact_ivf_pq_lists(spark, path, max_files=4) == 0
     assert os.path.exists(live) and not os.path.exists(live + ".old")
     assert spark.read.parquet(lists_dir).count() == total_before
+
+
+def test_reader_survives_parked_old_dir_and_append_probe(spark, tmp_path):
+    """Compaction/reader race, window S2 (live dir swapped in, parked
+    ``cid=N.old`` not yet deleted — also the crashed-before-cleanup
+    state): a concurrent ``query_ivf_pq_index`` must return the
+    bit-identical answer and a replayed append's existence probe must
+    still see the list. Before the probed-paths read (_read_lists),
+    full-directory partition discovery saw the ``.old`` dir, inferred
+    ``cid`` as STRING, and the reader died with CAST_INVALID_INPUT."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    assert append_ivf_pq_index(spark, path, _vecs(spark, range(100, 110))) == 10
+    qs = _vecs(spark, [0, 105])
+    want = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                                nprobe=3).collect()))
+    lists_dir = os.path.join(path, "lists")
+    victim = sorted(d for d in os.listdir(lists_dir) if d.startswith("cid="))[0]
+    live = os.path.join(lists_dir, victim)
+    shutil.copytree(live, live + ".old")  # S2: live + parked both present
+
+    got = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                               nprobe=3).collect()))
+    assert got == want  # reader sees the live list, ignores the parked copy
+    # append replay's existence probe also ignores the parked copy
+    assert append_ivf_pq_index(spark, path, _vecs(spark, range(100, 110))) == 0
+    # the compactor's recovery preamble then clears the stale .old
+    from airbnb_cdc_spark.operators.similarity import compact_ivf_pq_lists
+
+    compact_ivf_pq_lists(spark, path, max_files=64)
+    assert not os.path.exists(live + ".old")
+    assert sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                                nprobe=3).collect())) == want
+
+
+def test_reader_mid_swap_sees_whole_lists_only(spark, tmp_path):
+    """Compaction/reader race, window S1 (victim list renamed to
+    ``.old``, replacement not yet in place): a concurrent query must
+    never see a PARTIAL list — it returns either the full answer (the
+    victim wasn't probed) or exactly the answer of a store without
+    that whole list. Afterwards the recovery preamble restores the
+    parked list and the original answer comes back bit-identical."""
+    import os
+    import shutil
+
+    from airbnb_cdc_spark.operators.similarity import compact_ivf_pq_lists
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    qs = _vecs(spark, [0, 33])
+    want = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                                nprobe=3).collect()))
+    lists_dir = os.path.join(path, "lists")
+    # pick a victim the query actually probes: take the cid of a
+    # returned neighbor's list by probing each dir until answers move
+    dirs = sorted(d for d in os.listdir(lists_dir) if d.startswith("cid="))
+    # reference: a sibling store with the victim's WHOLE list removed
+    for victim in dirs:
+        ref = str(tmp_path / f"ref_{victim.replace('=', '_')}")
+        shutil.copytree(path, ref)
+        shutil.rmtree(os.path.join(ref, "lists", victim))
+        want_without = sorted(
+            map(tuple, query_ivf_pq_index(spark, ref, qs, k=5,
+                                          nprobe=3).collect())
+        )
+        live = os.path.join(lists_dir, victim)
+        os.rename(live, live + ".old")  # S1: live missing, parked .old
+        got = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                                   nprobe=3).collect()))
+        # whole-list-or-nothing: identical answer, or exactly the
+        # no-victim-list answer — never a partial list
+        assert got in (want, want_without)
+        # recovery preamble restores the parked list
+        assert compact_ivf_pq_lists(spark, path, max_files=64) == 0
+        assert os.path.exists(live) and not os.path.exists(live + ".old")
+    assert sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                                nprobe=3).collect())) == want
+
+
+def test_mixed_width_append_batch_fails_loud(spark, tmp_path):
+    """Same as the PQ store: the F.slice encode silently truncates
+    wider rows, so the IVF-PQ append guard full-scans the incoming
+    batch (r14 ADVICE) — a mixed batch whose first row matches the
+    stored dim is refused whole, no list touched."""
+    import pytest
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    n_before = spark.read.parquet(path + "/lists").count()
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    mixed = spark.createDataFrame(
+        [(100, [0.5] * 64), (101, [0.5] * 128)], schema
+    ).coalesce(1)
+    import pytest
+
+    with pytest.raises(ValueError, match="components"):
+        append_ivf_pq_index(spark, path, mixed)
+    assert spark.read.parquet(path + "/lists").count() == n_before

@@ -452,19 +452,18 @@ def test_persisted_ivf_index_matches_in_session(spark, tmp_path):
         map(tuple, in_session.collect())
     )
 
-    # partition pruning: the lists scan carries a static PartitionFilter
-    # over the probed cids (2 queries x nprobe 2 = at most 4 of the ~14
-    # list partitions). inputFiles() reflects the unpruned relation, so
-    # assert on the physical plan's scan node instead.
+    # partition pruning: the lists relation is BUILT from only the
+    # probed cid= directories (_read_lists: 2 queries x nprobe 2 = at
+    # most 4 of the ~14 list partitions), so inputFiles() itself now
+    # proves both the pruned data read AND the pruned LISTING.
     import re
 
     n_parts = len(
         [d for d in os.listdir(idx + "/lists") if d.startswith("cid=")]
     )
-    plan = from_index._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", plan)
-    assert m, "lists scan has no static cid partition filter"
-    probed = {int(x) for x in m.group(1).split(",")}
+    lists_files = [f for f in from_index.inputFiles() if "/lists/" in f]
+    assert lists_files, "lists scan reads no list directory"
+    probed = {re.search(r"cid=(\d+)", f).group(1) for f in lists_files}
     assert len(probed) <= 4 < n_parts, (
         f"expected <=4 probed of {n_parts} partitions, got {sorted(probed)}"
     )

@@ -138,3 +138,33 @@ def test_wrong_width_query_frame_fails_loud(spark, tmp_path):
         query_pq_index(spark, path, wide, k=3)
     with pytest.raises(ValueError, match="components"):
         append_pq_index(spark, path, wide)
+
+
+def test_mixed_width_append_batch_fails_loud(spark, tmp_path):
+    """PQ encodes via F.slice, which silently truncates WIDER rows into
+    plausible-but-wrong codes — undetectable post-encode, so the append
+    guard full-scans the incoming batch (r14 ADVICE). A mixed batch
+    whose first row matches the stored dim must be refused whole."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    write_pq_index(_vecs(spark, range(60)), path, cb_mod=7, cb_rem=1)
+    n_before = spark.read.parquet(path + "/codes").count()
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    mixed = spark.createDataFrame(
+        [(100, [0.5] * 64), (101, [0.5] * 128)], schema
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="components"):
+        append_pq_index(spark, path, mixed)
+    assert spark.read.parquet(path + "/codes").count() == n_before

@@ -188,3 +188,34 @@ def test_wrong_width_frame_fails_loud(spark, tmp_path):
         query_sq8_index(spark, path, wide, k=3)
     with pytest.raises(ValueError, match="components"):
         append_sq8_index(spark, path, wide)
+
+
+def test_mixed_width_append_batch_fails_loud(spark, tmp_path):
+    """A mixed-width append batch whose FIRST row matches the stored
+    width slipped past the limit-1 probe (r14 ADVICE) — the transform
+    would persist plausible-but-wrong codes for the odd rows. The
+    post-persist full min/max check must refuse the whole batch and
+    write nothing."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_sq8_index,
+        write_sq8_index,
+    )
+
+    path = str(tmp_path / "sq8")
+    write_sq8_index(_vecs(spark, range(40)), path)
+    n_before = spark.read.parquet(path + "/codes").count()
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    mixed = spark.createDataFrame(
+        [(100, [0.5] * 64), (101, [0.5] * 128)], schema
+    ).coalesce(1)  # one partition: the limit-1 probe samples the good row
+    with pytest.raises(ValueError, match="mixed|components"):
+        append_sq8_index(spark, path, mixed)
+    assert spark.read.parquet(path + "/codes").count() == n_before
