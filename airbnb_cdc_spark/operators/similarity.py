@@ -1279,8 +1279,10 @@ def _read_lists(spark, lists_dir: str, cids) -> DataFrame | None:
     list exists (callers substitute their empty-result shape)."""
     import posixpath
 
+    from airbnb_cdc_spark.operators.merge import _fs
+
+    fs, _ = _fs(spark, lists_dir)
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = hadoop_path(lists_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     paths = [
         p
         for p in (posixpath.join(lists_dir, f"cid={c}") for c in cids)
@@ -1988,15 +1990,11 @@ def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
     for the recovery preamble."""
     import os
 
-    lists_dir = os.path.join(path, "lists")
-    jvm = spark._jvm
-    hadoop_path = jvm.org.apache.hadoop.fs.Path
-    lists_hp = hadoop_path(lists_dir)
-    fs = lists_hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    from airbnb_cdc_spark.operators.merge import _fs, _rename_or_raise
 
-    def _rename(src, dst):
-        if not fs.rename(src, dst):
-            raise IOError(f"compact_ivf_pq_lists: rename {src} -> {dst} failed")
+    lists_dir = os.path.join(path, "lists")
+    fs, lists_hp = _fs(spark, lists_dir)
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
 
     # recovery preamble: restore lists parked by a crashed prior run
     children = list(fs.listStatus(lists_hp))
@@ -2005,7 +2003,7 @@ def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
         if name.endswith(".old"):
             live = hadoop_path(lists_hp, name[: -len(".old")])
             if not fs.exists(live):
-                _rename(st.getPath(), live)
+                _rename_or_raise(fs, st.getPath(), live)
             else:
                 fs.delete(st.getPath(), True)
     frag = []
@@ -2034,8 +2032,8 @@ def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
         src = hadoop_path(os.path.join(tmp, f"cid={cid}"))
         dst = hadoop_path(os.path.join(lists_dir, f"cid={cid}"))
         old = hadoop_path(os.path.join(lists_dir, f"cid={cid}.old"))
-        _rename(dst, old)
-        _rename(src, dst)
+        _rename_or_raise(fs, dst, old)
+        _rename_or_raise(fs, src, dst)
         fs.delete(old, True)
     fs.delete(hadoop_path(tmp), True)
     return len(frag)
