@@ -4908,6 +4908,12 @@ _DRIVER_PRIORITY = [
 # within the 50-slot budget). No rehearsed-but-unregistered operators
 # remain after r15; any r16 registration needs its rehearsal oracle
 # pinned first (the PQ/content-chunk/drift/ivf-pq pattern).
+# REHEARSED RE-LEAD for r16 (costs NO slot — it swaps an existing
+# query's implementation, per the r14 verdict's #6): move
+# `ann_topk_ivf_pq` onto the persisted store (derive-once
+# build_ivf_pq_index + query_ivf_pq_index, the production amortized
+# path) — tests/test_ivf_pq_store_relead_rehearsal.py pins the
+# store-backed path bit-exact against the SAME oracle.
 _NEXT_ROUND_PLAN = [
     # the 26 r12-tier must-records (doc_fingerprint +
     # embedding_outliers ceded their r15 slots to the two queries
