@@ -1,0 +1,46 @@
+"""Rehearsal for a possible r16+ RE-LEAD of `ann_topk_sq8` onto the
+persisted SQ8 store (the `ann_topk_ivf_pq` re-lead pattern, VERDICT
+r14 #6: slot-free implementation swaps over net-new registrations):
+pins that ``write_sq8_index`` once + ``query_sq8_index`` with the
+registry query's exact probe set (vec_id % 50 == 0, k=5) reproduces
+the `ann_topk_sq8` DuckDB oracle value for value at sf0.001 — the
+store freezes the same corpus-derived scale the in-session
+``sq8_topk`` computes, and the integer dot scores replay exactly."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from airbnb_cdc_spark.operators.similarity import (
+    query_sq8_index,
+    write_sq8_index,
+)
+from airbnb_cdc_spark.oracles import _SQ8_ORACLE
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_store_backed_sq8_matches_registry_oracle(spark, tmp_path):
+    from airbnb_cdc_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "sq8")
+    write_sq8_index(emb, path)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score8)
+        for r in query_sq8_index(spark, path, queries, k=5).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = {
+        (row[0], row[3]): (row[1], row[2])
+        for row in con.execute(_SQ8_ORACLE).fetchall()
+    }
+    assert got == want  # bit-exact: the store replays the oracle
+    assert len(got) > 0
