@@ -140,6 +140,59 @@ def mixture_by_token_budget(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic shuffle-shard assignment — the training-export
+    step that turns a filtered/deduped corpus into ``n_shards``
+    pseudo-randomly ordered shards (the global shuffle every
+    pretraining run performs before writing its data files), with no
+    ``rand()`` and no global total sort: each row's key is hashed with
+    a seed (the family 60-bit md5 bucket over ``seed || ':' || key``),
+    ``shard = h % n_shards``, and the within-shard order is
+    ``(h, key)``. A new seed yields an entirely different permutation;
+    the same seed replays bit-identically on any engine and any input
+    partitioning (the sampling-family determinism stance).
+
+    Scale shape: ONE hash-shuffle on shard + a per-shard sort window —
+    never a single global order, so 100 TB exports shard-parallel.
+    This is exactly the frame ``pack_sequences`` consumes
+    (``shard_col="shard"``, ``order_col="shard_pos"``) — the two
+    compose into the complete shuffle-shard-pack export.
+
+    NULL keys have no stable identity and are dropped (the
+    ``stratified_sample`` convention). Output: every input column plus
+    ``(shard: int, shard_pos: long)``."""
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

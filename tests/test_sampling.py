@@ -36,3 +36,45 @@ def test_pack_concat_split_boundaries(spark):
 
     with pytest.raises(ValueError):
         pack_concat_split(df, seq_len=0)
+
+
+def test_shard_assign_plan_and_contracts(spark):
+    """shard_assign's load-bearing claims: (a) NO global sort — the
+    plan carries hash partitioning on shard, never a rangepartitioning
+    (a global total order would serialize the 100 TB export);
+    (b) NULL keys are dropped (no stable identity → no stable shard);
+    (c) n_shards must be positive, failing fast at call time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airbnb_cdc_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)], "doc_id long"
+    )
+    out = shard_assign(df, "doc_id", 4, seed="s")
+    rows = out.collect()
+    assert len(rows) == 100  # the NULL key is dropped
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    # within-shard positions are dense 1..len per shard
+    from collections import Counter
+
+    per = Counter(r.shard for r in rows)
+    for s, n in per.items():
+        assert sorted(r.shard_pos for r in rows if r.shard == s) == list(
+            range(1, n + 1)
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert "hashpartitioning" in plan.lower()
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assign(df, "doc_id", 0)
+
+    # determinism across partitionings: a 1-partition replay is
+    # bit-identical to the 32-partition run
+    again = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shard_assign(df.coalesce(1), "doc_id", 4, seed="s").collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.shard_pos) for r in rows}
