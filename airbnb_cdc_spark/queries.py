@@ -4905,9 +4905,14 @@ _DRIVER_PRIORITY = [
 # r16 NEW-QUERY BUDGET: each new registry query must take a slot the
 # round it lands, ceding one r13-tier backfill below to the r17
 # backlog (which then has 26 must-records + the ceded names — still
-# within the 50-slot budget). No rehearsed-but-unregistered operators
-# remain after r15; any r16 registration needs its rehearsal oracle
-# pinned first (the PQ/content-chunk/drift/ivf-pq pattern).
+# within the 50-slot budget). REHEARSED AND READY for r16 (the
+# PQ/content-chunk/drift/ivf-pq registration pattern, a move-the-SQL
+# edit + the slot swap): `shard_pack_export` — the deterministic
+# shuffle-shard + pack training-export tail
+# (tests/test_shard_export_rehearsal.py pins shard_assign composed
+# with pack_sequences bit-exact vs DuckDB). Registering it displaces
+# the alphabetically-last backfill below (events_windowed_agg), which
+# then heads the r17 backlog.
 # REHEARSED RE-LEAD for r16 (costs NO slot — it swaps an existing
 # query's implementation, per the r14 verdict's #6): move
 # `ann_topk_ivf_pq` onto the persisted store (derive-once
