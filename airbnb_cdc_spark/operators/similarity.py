@@ -1653,6 +1653,24 @@ def pq_refine_topk(
     shortlist = pq_topk(
         corpus, queries, id_col, vec_col, refine * k, m, dim, cb_mod, cb_rem
     ).select("query_id", "neighbor_id")
+    return _exact_refine(corpus, queries, shortlist, id_col, vec_col, k)
+
+
+def _exact_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact re-rank of a (query_id, neighbor_id) shortlist: broadcast
+    the shortlist against ONE corpus scan (no corpus shuffle), score
+    the surviving pairs with the exact quantized cosine, cut to top-k
+    with the shared (cosine desc, neighbor id) tie-break. The refine
+    stage of ``pq_refine_topk`` and of the store-backed
+    ``query_pq_index_refined`` — one definition so the in-session and
+    on-disk FAISS ``IndexRefineFlat`` shapes can never desynchronize."""
     c = _with_quant(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__q").alias("__qc"),
@@ -1677,6 +1695,36 @@ def pq_refine_topk(
         .select("query_id", "neighbor_id", "cosine")
     )
     return _rank_topk(scored, k)
+
+
+def query_pq_index_refined(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 10,
+    m: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """The on-disk FAISS ``IndexRefineFlat``: ADC shortlist from the
+    PERSISTED code table (``query_pq_index`` semantics — the
+    corpus-wide scan reads m bigint codes per vector, never a float),
+    then ONLY the refine*k shortlist is re-ranked with the exact
+    quantized cosine against the caller's float ``corpus`` frame (the
+    index deliberately stores no floats; the refine side reads them
+    from the primary table, which a production deployment keeps
+    anyway). Identical output contract and tie-breaks to the
+    in-session ``pq_refine_topk`` over the same logical corpus and
+    codebook — the amortized production path for the exact-quality ANN
+    configuration: build once, every query batch pays one code-table
+    scan plus refine*k exact scores per query."""
+    shortlist = query_pq_index(
+        spark, path, queries, id_col, vec_col, refine * k, m, dim
+    ).select("query_id", "neighbor_id")
+    return _exact_refine(corpus, queries, shortlist, id_col, vec_col, k)
 
 
 def write_pq_index(
