@@ -4816,113 +4816,99 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DRIVER_PRIORITY = [
-    # r15 rotation — the r14-written plan, swapped in per the r14
-    # verdict's #1, with the planned 2-slot swap executed: the 24
-    # r11-tier must-records head the cut (they hit MAX_AGE this
-    # round), the backfills are the 24 oldest r12-tier names
-    # (alphabetical), and the 2 queries REGISTERED THIS ROUND from
-    # their pinned rehearsal oracles take the last 2 slots, displacing
-    # the 2 alphabetically-last r12-tier backfills (doc_fingerprint,
-    # embedding_outliers), which now head the r16 must-record backbone
-    # below.
-    #
-    # REGISTRY CEILING DISCIPLINE (r12 verdict #6, restated per the
-    # r13/r14 verdicts on every registration): 176 names x 50 slots x
-    # MAX_AGE 3 ==> the hard ceiling is 200; steady-state slot demand
-    # is now ~44/round against 50. At most ~2 net new queries per
-    # round are sustainable forever, each displacing a backfill slot;
-    # prefer re-leading existing queries onto stores over net-new
-    # registrations; if a future operator genuinely needs a slot,
-    # retire a redundant near-duplicate query in the same commit.
-    #
-    # (a) the 24 r11-tier must-records:
-    "market_share_by_year",
-    "neardup_cluster_sizes",
-    "oov_rate",
-    "orders_expectations",
-    "outsized_supplier_share",
-    "pack_sequences",
-    "ppl_bucket_assign",
-    "price_deciles_distributed",
-    "repetition_filter",
-    "scd2_user_state_history",
-    "semdedup_keep_canonical",
-    "small_quantity_revenue",
-    "soft_dedup_weights",
-    "supplier_customer_pagerank",
-    "supplier_variety_by_part",
-    "supplier_wait_chain",
-    "target_fluency_gate",
-    "trailing_hour_activity",
-    "ts_profile_similarity",
-    "url_blocklist_filter",
-    "user_funnel",
-    "value_histogram",
-    "value_outliers_by_type",
-    "weighted_sample_by_length",
-    # (b) 24 oldest r12-tier backfills (alphabetical; doc_fingerprint
-    # and embedding_outliers ceded their slots to the two r15
-    # registrations):
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_kmeans",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "asof_last_view_before_purchase",
-    "bigram_pmi",
-    "bigram_vocab",
-    "booking_customer_aggregation",
-    "chunk_dedup_intervals",
-    "chunk_dedup_spans",
-    "chunk_dedup_summary",
-    "conditional_split_bad",
-    "customer_name_clean",
-    "dataset_split_counts",
-    "decontaminate_vs_benchmark",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "dedup_simhash_cluster",
-    "doc_chunks",
-    # (c) the 2 queries REGISTERED in r15 (each must take a slot the
-    # round it lands — the audit refuses never-recorded names outside
-    # the cut):
-    "corpus_drift",
-    "ann_topk_ivf_pq",
-]
+_SHARD_N = 8
+_SHARD_SEED = "r16"
+_SHARD_BUDGET = 512
 
-# Planned r16 cut, written now per the r12-established discipline so
-# r16 never hits a saturation squeeze. After r15 records the list
-# above, the 26 r12-tier names below age to 4 in r16 — they MUST all
-# be in the r16 cut — and the 24 free slots go to the oldest r13-tier
-# names (alphabetical; the remaining 26 r13-tier queries age to 3
-# after r16 and form the r17 must-record backbone).
-# scripts/rotation_audit.py --simulate-next checks this list.
-# r16 NEW-QUERY BUDGET: each new registry query must take a slot the
-# round it lands, ceding one r13-tier backfill below to the r17
-# backlog (which then has 26 must-records + the ceded names — still
-# within the 50-slot budget). REHEARSED AND READY for r16 (the
-# PQ/content-chunk/drift/ivf-pq registration pattern, a move-the-SQL
-# edit + the slot swap): `shard_pack_export` — the deterministic
-# shuffle-shard + pack training-export tail
-# (tests/test_shard_export_rehearsal.py pins shard_assign composed
-# with pack_sequences bit-exact vs DuckDB). Registering it displaces
-# the alphabetically-last backfill below (events_windowed_agg), which
-# then heads the r17 backlog.
-# REHEARSED RE-LEAD for r16 (costs NO slot — it swaps an existing
-# query's implementation, per the r14 verdict's #6): move
-# `ann_topk_ivf_pq` onto the persisted store (derive-once
-# build_ivf_pq_index + query_ivf_pq_index, the production amortized
-# path) — tests/test_ivf_pq_store_relead_rehearsal.py pins the
-# store-backed path bit-exact against the SAME oracle.
-_NEXT_ROUND_PLAN = [
-    # the 26 r12-tier must-records (doc_fingerprint +
-    # embedding_outliers ceded their r15 slots to the two queries
-    # registered in r15):
+_SHARD_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(concat_ws(':', '{_SHARD_SEED}',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h,
+           CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    tk -> tk <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE doc_id IS NOT NULL
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           CAST(h % {_SHARD_N} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {_SHARD_N}
+                                   ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+    FROM t
+)
+SELECT doc_id, shard, shard_pos, n_tokens,
+       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset,
+       CAST((SUM(n_tokens) OVER w - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS seq_id
+FROM s
+WINDOW w AS (PARTITION BY shard ORDER BY shard_pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("shard_pack_export", _SHARD_PACK_ORACLE)
+def q_shard_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-export tail (operators/sampling.py
+    shard_assign + pack_sequences): deterministic shuffle-shard — a
+    seeded 60-bit md5 hash, shard = h % n, within-shard order (h, key)
+    — composed with offset-based greedy packing into fixed
+    token-budget sequences (seq_id = running_offset div budget). This
+    is the step a pretraining pipeline runs LAST: after
+    filter/dedup/mixture, the corpus is pseudo-randomly sharded with
+    no rand() and no global sort, then packed per shard. Everything is
+    integer arithmetic over md5 prefixes, so the replay is bit-exact
+    on any engine and any input partitioning.
+
+    Scale shape: ONE hash shuffle on shard + per-shard sort windows
+    (hashpartitioning, never rangepartitioning — plan-pinned by
+    tests/test_shard_properties.py), so 100 TB exports shard-parallel;
+    the shard_pos join-back reuses the shard exchange. Registered r16
+    from the oracle pinned bit-exact by
+    tests/test_shard_export_rehearsal.py."""
+    from airbnb_cdc_spark.functions.textfns import token_count
+    from airbnb_cdc_spark.operators.sampling import (
+        pack_sequences,
+        shard_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shard_assign(
+        docs.select("doc_id", "text"), "doc_id", _SHARD_N, seed=_SHARD_SEED
+    )
+    packed = pack_sequences(
+        sharded, "shard", "shard_pos", token_count(F.col("text")), _SHARD_BUDGET
+    )
+    return packed.join(
+        sharded.select("doc_id", "shard_pos"), "doc_id"
+    ).select(
+        "doc_id", "shard", "shard_pos", "n_tokens", "token_offset", "seq_id"
+    )
+
+
+
+_DRIVER_PRIORITY = [
+    # r16 rotation — the r15-written plan, swapped in per the r15
+    # verdict's #1. The 26 r12-tier must-records head the cut (they
+    # hit MAX_AGE this round), and the backfills are the 24 oldest
+    # r13-tier names (alphabetical). NOTE (r16 registration swap,
+    # executed per the documented budget): `shard_pack_export`
+    # (registered this round from its pinned rehearsal oracle,
+    # tests/test_shard_export_rehearsal.py) takes the slot of the
+    # alphabetically-last r13-tier backfill (events_windowed_agg),
+    # which now heads the r17 must-record backbone below — it is
+    # r13-tier, so deferring it one round puts it exactly at MAX_AGE
+    # in r17, where the plan below guarantees its slot.
+    #
+    # REGISTRY CEILING DISCIPLINE (r12 verdict #6, restated every
+    # round): 177 names x 50 slots x MAX_AGE 3 ==> the hard ceiling
+    # is 200; steady-state slot demand is ~44/round against 50. At
+    # most ~2 net new queries per round are sustainable forever, each
+    # displacing a backfill slot; prefer re-leading existing queries
+    # onto stores over net-new registrations; if a future operator
+    # genuinely needs a slot, retire a redundant near-duplicate query
+    # in the same commit.
+    #
+    # (a) the 26 r12-tier must-records:
     "doc_fingerprint",
     "embedding_outliers",
     "filter_by_status",
@@ -4949,7 +4935,9 @@ _NEXT_ROUND_PLAN = [
     "user_overlap_kmv",
     "winnow_fingerprints",
     "winnow_pairs",
-    # 24 oldest r13-tier backfills (alphabetical):
+    # (b) 23 oldest r13-tier backfills (alphabetical;
+    # events_windowed_agg ceded its slot to the r16 registration and
+    # heads the r17 backbone):
     "alter_row_flags",
     "ann_topk_ivf",
     "ann_topk_ivf_nprobe",
@@ -4973,7 +4961,78 @@ _NEXT_ROUND_PLAN = [
     "dsir_select",
     "events_hopping_agg",
     "events_resample_ffill",
+    # (c) the query REGISTERED in r16 from its pinned rehearsal
+    # oracle (must take a slot the round it lands — the audit refuses
+    # never-recorded names outside the cut):
+    "shard_pack_export",
+]
+
+# Planned r17 cut, written now per the r12-established discipline so
+# r17 never hits a saturation squeeze. After r16 records the list
+# above, the 26 r13-tier names below age to 4 in r17 (25 never made
+# the r16 cut + events_windowed_agg, which ceded its r16 slot to the
+# shard_pack_export registration) — they MUST all be in the r17 cut
+# — and the 23 free slots go to the oldest r14-tier names
+# (alphabetical; the remaining 26 r14-tier queries age to 3 after r17
+# and form the r18 must-record backbone).
+# scripts/rotation_audit.py --simulate-next checks this list.
+# r17 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands, ceding one r14-tier backfill below to the r18
+# backlog. Prefer re-leads (cost no slot): remaining rehearsed
+# re-leads after r16 are tracked in COVERAGE.md.
+_NEXT_ROUND_PLAN = [
+    # the 27 r13-tier must-records:
     "events_windowed_agg",
+    "forecast_revenue_change",
+    "fuzzy_link_part_names",
+    "important_parts_share",
+    "incremental_dedup_new_docs",
+    "incremental_dsir_select",
+    "incremental_minhash_neardup",
+    "interval_join_attribution",
+    "json_extract_agg",
+    "kmv_range_rollup",
+    "knn_label_vote",
+    "language_id",
+    "length_bucket_stats",
+    "local_supplier_revenue",
+    "mm_frame_sample",
+    "orders_by_month",
+    "pii_report",
+    "quality_classifier_topk",
+    "running_customer_spend",
+    "semi_join_buyers",
+    "shipping_priority",
+    "text_stats",
+    "token_count_cms",
+    "token_counts",
+    "top_terms_per_doc",
+    "user_sessions",
+    "winnow_components",
+    # 23 oldest r14-tier backfills (alphabetical):
+    "ann_topk_ivf_recall",
+    "ann_topk_ivf_sq8",
+    "ann_topk_pq",
+    "ann_topk_sq8",
+    "ann_topk_sq8_recall",
+    "bilateral_trade_volume",
+    "bracket_revenue",
+    "cdc_merge_upsert",
+    "cheapest_supplier_per_part",
+    "components_store_apply",
+    "content_chunk_dedup",
+    "corpus_prep_summary",
+    "customer_order_distribution",
+    "dedup_pair_sources",
+    "doc_sentiment",
+    "event_gaps_leadlag",
+    "event_transitions",
+    "events_ohlc",
+    "idle_customers_balance",
+    "incremental_lm_quality",
+    "interpolated_lm_score",
+    "keep_best_quality",
+    "kneser_ney_lm_score",
 ]
 
 
