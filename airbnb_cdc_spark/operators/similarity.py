@@ -1965,9 +1965,18 @@ def append_ivf_pq_index(
     batch probes its centroid spread). ``skip_existing`` replays are
     append-zero (the insert-only contract). Returns rows appended.
     ``m``/``dim`` default to the STORED geometry
-    (``_stored_pq_geometry``); an explicit value must match it."""
+    (``_stored_pq_geometry``); an explicit value must match it.
+
+    Runs the ``_recover_parked_lists`` preamble first: an append must
+    never land while a crashed compaction has a list parked at
+    ``.old`` with its live directory missing — the existence probe
+    would miss the parked rows (double-write) and the next recovery
+    would drop them (row loss). Live compaction and appends belong in
+    separate maintenance windows (the compactor's documented caveat);
+    the preamble makes the CRASHED-compactor interleavings safe."""
     import os
 
+    _recover_parked_lists(spark, os.path.join(path, "lists"))
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
@@ -2004,6 +2013,34 @@ def append_ivf_pq_index(
             "cid"
         ).parquet(os.path.join(path, "lists"))
     return n
+
+
+def _recover_parked_lists(spark, lists_dir: str) -> None:
+    """Recovery preamble shared by the compactor and the append path:
+    restore any list parked at ``cid=N.old`` by a CRASHED compaction
+    whose live directory is missing (crash between the two swap
+    renames), and drop stale ``.old`` copies whose live directory
+    exists (crash before cleanup). Appends MUST run this before their
+    existence probe: a parked-only list is invisible to the probe, so
+    an append would re-insert ids the parked list already holds
+    (double-write) and the next compaction's preamble — seeing a live
+    directory recreated by that very append — would delete the parked
+    original (row loss). Pinned by
+    tests/test_ivf_pq_index.py::test_append_mid_compaction_crash_*."""
+    from airbnb_cdc_spark.operators.merge import _fs, _rename_or_raise
+
+    fs, lists_hp = _fs(spark, lists_dir)
+    if not fs.exists(lists_hp):
+        return
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    for st in list(fs.listStatus(lists_hp)):
+        name = st.getPath().getName()
+        if name.endswith(".old"):
+            live = hadoop_path(lists_hp, name[: -len(".old")])
+            if not fs.exists(live):
+                _rename_or_raise(fs, st.getPath(), live)
+            else:
+                fs.delete(st.getPath(), True)
 
 
 def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
@@ -2044,16 +2081,7 @@ def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
     fs, lists_hp = _fs(spark, lists_dir)
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
 
-    # recovery preamble: restore lists parked by a crashed prior run
-    children = list(fs.listStatus(lists_hp))
-    for st in children:
-        name = st.getPath().getName()
-        if name.endswith(".old"):
-            live = hadoop_path(lists_hp, name[: -len(".old")])
-            if not fs.exists(live):
-                _rename_or_raise(fs, st.getPath(), live)
-            else:
-                fs.delete(st.getPath(), True)
+    _recover_parked_lists(spark, lists_dir)
     frag = []
     for st in fs.listStatus(lists_hp):
         name = st.getPath().getName()

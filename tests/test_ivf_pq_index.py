@@ -292,3 +292,101 @@ def test_mixed_width_append_batch_fails_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="components"):
         append_ivf_pq_index(spark, path, mixed)
     assert spark.read.parquet(path + "/lists").count() == n_before
+
+
+def test_append_mid_compaction_crash_s1_no_loss_no_dup(spark, tmp_path):
+    """Append landing after a compaction CRASHED at window S1 (victim
+    list parked at ``cid=N.old``, live dir missing — r15 VERDICT #5):
+    without the append-side recovery preamble the existence probe
+    cannot see the parked rows, so a replayed id is re-inserted
+    (double-write) and the NEXT compaction's preamble — finding a live
+    dir recreated by that very append — deletes the parked original
+    (row loss). The preamble in append_ivf_pq_index must restore the
+    parked list FIRST, making the append replay-zero for existing ids
+    and the store bit-identical to the never-crashed path."""
+    import os
+
+    from airbnb_cdc_spark.operators.similarity import compact_ivf_pq_lists
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    lists_dir = os.path.join(path, "lists")
+    # victim = the most populated list; its ids are the replayed half
+    # of the append batch
+    by_cid = (
+        spark.read.parquet(lists_dir)
+        .groupBy("cid")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    )
+    victim = max(by_cid, key=lambda r: len(r.ids))
+    replayed = sorted(victim.ids)[:3]
+    assert replayed, "victim list unexpectedly empty"
+    live = os.path.join(lists_dir, f"cid={victim.cid}")
+    os.rename(live, live + ".old")  # S1 crash: parked, live missing
+
+    batch = _vecs(spark, replayed + [500, 501])
+    # only the two genuinely-new ids append: the preamble restored the
+    # parked list before the existence probe ran
+    assert append_ivf_pq_index(spark, path, batch) == 2
+    assert os.path.exists(live) and not os.path.exists(live + ".old")
+
+    # no double-write anywhere in the store...
+    ids = [r.vec_id for r in spark.read.parquet(lists_dir).collect()]
+    assert len(ids) == len(set(ids))
+    # ...and no row loss: every built id + both new ids, nothing else
+    assert set(ids) == set(range(60)) | {500, 501}
+    # a later compaction run stays a no-op recovery-wise and answers
+    # replay bit-identically vs a never-crashed sibling store
+    compact_ivf_pq_lists(spark, path, max_files=64)
+    ref = str(tmp_path / "ref")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), ref, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    assert append_ivf_pq_index(spark, ref, batch) == 2
+    qs = _vecs(spark, [0, 33, 500])
+    got = sorted(map(tuple, query_ivf_pq_index(spark, path, qs, k=5,
+                                               nprobe=3).collect()))
+    want = sorted(map(tuple, query_ivf_pq_index(spark, ref, qs, k=5,
+                                                nprobe=3).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_append_mid_compaction_crash_s2_no_loss_no_dup(spark, tmp_path):
+    """Append landing after a compaction CRASHED at window S2 (live
+    dir swapped in, stale ``cid=N.old`` not yet deleted): the append's
+    preamble drops the stale copy, the existence probe sees the live
+    list, and the append is replay-zero for existing ids — no row from
+    the live list is lost, nothing double-writes."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    lists_dir = os.path.join(path, "lists")
+    by_cid = (
+        spark.read.parquet(lists_dir)
+        .groupBy("cid")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    )
+    victim = max(by_cid, key=lambda r: len(r.ids))
+    replayed = sorted(victim.ids)[:3]
+    live = os.path.join(lists_dir, f"cid={victim.cid}")
+    n_before = spark.read.parquet(lists_dir).count()
+    shutil.copytree(live, live + ".old")  # S2 crash: both present
+
+    assert append_ivf_pq_index(
+        spark, path, _vecs(spark, replayed + [600, 601])
+    ) == 2
+    assert os.path.exists(live) and not os.path.exists(live + ".old")
+    ids = [r.vec_id for r in spark.read.parquet(lists_dir).collect()]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == n_before + 2
