@@ -164,7 +164,13 @@ def shard_assign(
     compose into the complete shuffle-shard-pack export.
 
     NULL keys have no stable identity and are dropped (the
-    ``stratified_sample`` convention). Output: every input column plus
+    ``stratified_sample`` convention); DUPLICATE keys have no
+    deterministic within-shard position (they tie exactly on (h, key))
+    and fail LOUD at action time — ``key_col`` must be unique, i.e.
+    shard a DEDUPED corpus (run exact dedup first). The guard is free:
+    duplicate keys are adjacent in the existing (h, key) sort, so a
+    ``lag`` over the same window spec catches them with no extra
+    exchange and no extra sort. Output: every input column plus
     ``(shard: int, shard_pos: long)``."""
     from pyspark.sql import Window
 
@@ -184,11 +190,26 @@ def shard_assign(
     w = Window.partitionBy("shard").orderBy(
         F.col("__h").asc(), F.col(key_col).asc()
     )
+    dup = F.lag(F.col(key_col)).over(w) == F.col(key_col)
+    pos = F.when(
+        dup,
+        F.raise_error(
+            F.concat(
+                F.lit("shard_assign: duplicate key "),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    f" in {key_col} — within-shard order is (hash, key),"
+                    " so duplicate keys have no deterministic shard_pos;"
+                    " dedup the corpus on the key first"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.row_number().over(w).cast("long"))
     return (
         df.filter(F.col(key_col).isNotNull())
         .withColumn("__h", h)
         .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
-        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .withColumn("shard_pos", pos)
         .drop("__h")
     )
 

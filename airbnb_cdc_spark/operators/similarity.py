@@ -1276,21 +1276,41 @@ def _read_lists(spark, lists_dir: str, cids) -> DataFrame | None:
     the documented one-list transient window of a compaction swap (the
     per-list loop has at most one list mid-swap at any instant; it
     reappears with bit-identical rows). Returns None when NO requested
-    list exists (callers substitute their empty-result shape)."""
+    list exists (callers substitute their empty-result shape).
+
+    The skip covers directories absent at LISTING time; a directory
+    that passes the existence probe but is renamed away before the
+    read resolves it (check-then-read, r15 ADVICE) surfaces as an
+    analysis-time missing-path error — re-filter existence and retry
+    ONCE, which converges because a compaction swap parks each list
+    only transiently. A list vanishing mid-SCAN (after analysis)
+    stays under the compactor's maintenance-window caveat: failing
+    there is correct, because silently dropping the already-read part
+    of a list would break the whole-list-or-nothing guarantee."""
     import posixpath
 
     from airbnb_cdc_spark.operators.merge import _fs
 
     fs, _ = _fs(spark, lists_dir)
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
-    paths = [
-        p
-        for p in (posixpath.join(lists_dir, f"cid={c}") for c in cids)
-        if fs.exists(hadoop_path(p))
-    ]
+
+    def _existing():
+        return [
+            p
+            for p in (posixpath.join(lists_dir, f"cid={c}") for c in cids)
+            if fs.exists(hadoop_path(p))
+        ]
+
+    paths = _existing()
     if not paths:
         return None
-    return spark.read.option("basePath", lists_dir).parquet(*paths)
+    try:
+        return spark.read.option("basePath", lists_dir).parquet(*paths)
+    except Exception:
+        paths = _existing()
+        if not paths:
+            return None
+        return spark.read.option("basePath", lists_dir).parquet(*paths)
 
 
 def _bounded_files(batch: DataFrame, n_rows: int, rows_per_file: int = 4_000_000):

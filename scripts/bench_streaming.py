@@ -1163,6 +1163,15 @@ def bench_mixed(n_docs: int, n_files: int) -> None:
         first_vecs = spark.read.schema(vec_schema).json(
             str(sorted(vec_feed.iterdir())[0])
         )
+        # per-tag IVF-PQ base indexes, built HERE with the other
+        # one-time fits (r15 ADVICE): building inside run_ivfpq put an
+        # untimed index build concurrent with the OTHER legs' timed
+        # windows, inflating their solo/concurrent interference ratios
+        # beyond pure store-program interference
+        for _tag in ("solo", "conc"):
+            build_ivf_pq_index(
+                first_vecs, str(work / f"ivfpq_{_tag}"), centroid_mod=None
+            )
 
         def run_drift(tag: str) -> float:
             out = str(work / f"drift_out_{tag}")
@@ -1203,8 +1212,7 @@ def bench_mixed(n_docs: int, n_files: int) -> None:
             return round(dec_total / wall, 1)
 
         def run_ivfpq(tag: str) -> float:
-            index = str(work / f"ivfpq_{tag}")
-            build_ivf_pq_index(first_vecs, index, centroid_mod=None)
+            index = str(work / f"ivfpq_{tag}")  # prebuilt in setup
             stream = (
                 spark.readStream.schema(vec_schema)
                 .option("maxFilesPerTrigger", 1)

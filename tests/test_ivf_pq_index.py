@@ -390,3 +390,62 @@ def test_append_mid_compaction_crash_s2_no_loss_no_dup(spark, tmp_path):
     ids = [r.vec_id for r in spark.read.parquet(lists_dir).collect()]
     assert len(ids) == len(set(ids))
     assert len(ids) == n_before + 2
+
+
+def test_read_lists_retries_check_then_read_race(spark, tmp_path, monkeypatch):
+    """Check-then-read race (r15 ADVICE): a list directory that passes
+    the existence probe but is renamed away before the parquet read
+    resolves must NOT kill the query with PATH_NOT_FOUND — _read_lists
+    re-filters existence and retries once, returning the surviving
+    lists (the documented missing-list skip)."""
+    import os
+
+    from airbnb_cdc_spark.operators import merge as merge_mod
+    from airbnb_cdc_spark.operators import similarity as sim
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        _vecs(spark, range(60)), path, centroid_mod=11, centroid_rem=3,
+        cb_mod=7, cb_rem=1,
+    )
+    lists_dir = os.path.join(path, "lists")
+    real = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(lists_dir)
+        if d.startswith("cid=")
+    )
+    phantom = 99999  # never built; the fake fs claims it exists ONCE
+    real_fs = merge_mod._fs
+
+    class _LyingFS:
+        def __init__(self, fs):
+            self._fs = fs
+            self.lied = False
+
+        def exists(self, p):
+            if str(p).endswith(f"cid={phantom}") and not self.lied:
+                self.lied = True  # stale positive, exactly once
+                return True
+            return self._fs.exists(p)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    lying = {}
+
+    def _fake_fs(spark_, p):
+        fs, hp = real_fs(spark_, p)
+        w = lying.setdefault(p, _LyingFS(fs))
+        return w, hp
+
+    monkeypatch.setattr(merge_mod, "_fs", _fake_fs)
+    out = sim._read_lists(spark, lists_dir, [real[0], phantom])
+    assert lying[lists_dir].lied  # the race actually happened
+    got = sorted(r.vec_id for r in out.collect())
+    want = sorted(
+        r.vec_id
+        for r in spark.read.option("basePath", lists_dir)
+        .parquet(os.path.join(lists_dir, f"cid={real[0]}"))
+        .collect()
+    )
+    assert got == want and got

@@ -85,3 +85,35 @@ def test_shard_pack_matches_python_reference(spark, case):
             want_packed[key] = (off, off // budget)
             off += tok[key]
     assert packed == want_packed
+
+
+def test_shard_assign_duplicate_keys_fail_loud(spark):
+    """Duplicate keys tie exactly on (h, key), so their within-shard
+    positions would be engine-dependent — the determinism claim's one
+    hole (r15 ADVICE). The guard must fail the action LOUDLY instead
+    of silently emitting a nondeterministic permutation, and it must
+    not cost a second exchange (it rides the existing window sort)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, "d")], ["doc_id", "text"]
+    )
+    out = shard_assign(df, "doc_id", 4, seed="s")
+    with pytest.raises(Exception, match="duplicate key"):
+        out.collect()
+    # the guard adds no exchange: still exactly ONE hashpartitioning
+    # (AQE prints the plan twice — Current + Initial — so count within
+    # the first section only) and ONE window over one sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Exchange hashpartitioning") == 1, plan
+    assert head.count("+- Window ") == 1, plan
+    assert "rangepartitioning" not in plan
+    # unique keys pass untouched
+    ok = shard_assign(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"]),
+        "doc_id",
+        2,
+        seed="s",
+    )
+    assert ok.count() == 2
