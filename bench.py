@@ -45,6 +45,29 @@ def main() -> None:
             pass
         release_cached()
 
+    # Target-SF warm-up (r15 verdict #6): after every rotation-order
+    # change the first ~22 TIMED positions showed 1.2-1.6x phantom
+    # movers — cold OS page cache for the target-SF parquet plus
+    # first-at-SF executor memory growth, not code, and four rounds
+    # spent A/B cycles acquitting exactly this class. Two
+    # position-independent warmers: one full scan per table primes the
+    # page cache for every downstream query, then one DISCARDED rep of
+    # the first queries in execution order absorbs the residual
+    # early-position effect where the artifact has always appeared.
+    from airbnb_cdc_spark.session import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+    for name in HEADLINE[:25]:
+        try:
+            q.QUERIES[name](spark, sf_dir).count()
+        except Exception:
+            pass
+        release_cached()
+
     # min-of-2 runs per query: wall-clock on a busy shared box is noisy;
     # the min is the honest steady-state figure. A failing query records
     # an error entry and the suite keeps going — one broken query must
