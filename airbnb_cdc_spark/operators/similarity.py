@@ -697,6 +697,57 @@ def _nearest_centroid(base: DataFrame, cents_b, id_col: str) -> DataFrame:
     )
 
 
+def _lloyd_refine(
+    base: DataFrame, cents_df: DataFrame, iters: int, id_col: str
+) -> DataFrame:
+    """``iters`` deterministic Lloyd (k-means) iterations over a
+    quantized corpus frame (``_with_quant`` output, persisted by the
+    caller): assign every vector to its nearest centroid, then new
+    centroid = element-wise ``floor(sum/count)`` of its members.
+    Integer means keep the refinement bit-reproducible across engines
+    (floor of an exact double division). Each iteration is one
+    broadcast assignment pass + one (cid, dim)-keyed aggregation —
+    linear in corpus size, no pairwise work; posexplode → groupBy(cid,
+    pos) partial-combines map-side, so shuffle volume is
+    ~n_centroids×dim regardless of corpus size (the collect_list
+    alternative shuffled every member vector uncombined and measured
+    1.7x slower at sf0.1, r3). Shared by ``ivf_topk`` (in-session) and
+    ``build_ivf_index(refine_iters=...)`` (persisted store), so the
+    stored k-means centroids replay the in-session refinement
+    bit-exactly."""
+    for _ in range(iters):
+        members = _nearest_centroid(
+            base, F.broadcast(cents_df), id_col
+        ).select("cid", F.posexplode(F.col("__q")).alias("pos", "val"))
+        dim_means = members.groupBy("cid", "pos").agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+        cents_df = (
+            dim_means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("__qc")
+            )
+            .withColumn(
+                "__nc",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__qc"), F.col("__qc"), lambda a, b: a * b
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).cast("double")
+                ),
+            )
+        )
+    return cents_df
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -798,43 +849,7 @@ def ivf_topk(
             )
         )
 
-    for _ in range(refine_iters):
-        # posexplode → groupBy(cid, pos) looks like a corpus×dim fan-out,
-        # but hash-aggregate PARTIAL combine runs map-side: each task
-        # emits at most n_centroids×dim (cid, pos, partial_sum) rows, so
-        # shuffle volume is ~sqrt(n)×dim regardless of corpus size. The
-        # element-wise array accumulator alternative (collect_list +
-        # zip_with fold) shuffles every full member vector uncombined
-        # and ran 1.7x SLOWER at sf0.1 (3.08s vs 1.85s) — measured
-        # round 3, keep the partial-agg shape.
-        members = assign_to(F.broadcast(cents_df), base, "vec_id_m", 1).select(
-            "cid", F.posexplode(F.col("__q_vec_id_m")).alias("pos", "val")
-        )
-        dim_means = members.groupBy("cid", "pos").agg(
-            F.floor(
-                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
-            ).alias("m")
-        )
-        cents_df = (
-            dim_means.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("__qc")
-            )
-            .withColumn(
-                "__nc",
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(F.col("__qc"), F.col("__qc"), lambda a, b: a * b),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).cast("double")
-                ),
-            )
-        )
-
+    cents_df = _lloyd_refine(base, cents_df, refine_iters, id_col)
     cents = F.broadcast(cents_df)
 
     assigned = assign_to(cents, base, "neighbor_id", 1)
@@ -870,6 +885,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroid_mod: int | None = 37,
     centroid_rem: int = 3,
+    refine_iters: int = 0,
 ) -> None:
     """Materialize the IVF inverted file as a DISK LAYOUT: quantized
     vectors written as parquet partitioned by their nearest-centroid id
@@ -882,7 +898,12 @@ def build_ivf_index(
 
     Same deterministic centroid choice as ``ivf_topk`` (vec_id ≡ rem
     mod m; ``None`` derives ~sqrt(n)), so recall characteristics match
-    the benchmarked in-session variants."""
+    the benchmarked in-session variants. ``refine_iters`` runs that
+    many deterministic Lloyd iterations on the seeds before freezing
+    the centroids (``_lloyd_refine`` — the SAME refinement
+    ``ivf_topk(refine_iters=...)`` computes per run), so a store built
+    with it replays the k-means variant bit-exactly while paying the
+    refinement once instead of per query."""
     from pyspark.sql import Window
     import os
 
@@ -891,6 +912,10 @@ def build_ivf_index(
 
         centroid_mod = max(2, int(math.sqrt(corpus.count())))
     base = _with_quant(corpus, id_col, vec_col)
+    if refine_iters:
+        # the refinement re-scans the quantized corpus once per
+        # iteration plus the final assignment pass — persist it
+        base = persist_tracked(base)
     cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
         F.col(id_col).alias("cid"),
         F.col("__q").alias("__qc"),
@@ -905,6 +930,7 @@ def build_ivf_index(
             f"{centroid_rem}; pass a smaller centroid_mod (or None to "
             "derive ~sqrt(n) from the corpus size)"
         )
+    cents = _lloyd_refine(base, cents, refine_iters, id_col)
     assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
         F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid")
     )

@@ -1292,13 +1292,34 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- IVF ANN (inverted-file variant; centroids = deterministic sample) ------
+#
+# RE-LED r16 onto the persisted store (the pq/sq8/ivf-pq pattern, r15
+# verdict #4): ONE build_ivf_index store per (sf_dir, refine_iters)
+# serves every nprobe recall point via query_ivf_index — assignment
+# runs once per corpus version, each query prunes to its probed cid=
+# directories at the scan. Pre-pinned bit-exact against the unchanged
+# oracles by tests/test_ivf_store_relead_rehearsal.py (all four).
+_IVF_INDEX_PATHS: dict = {}
+
+
+def _ivf_store(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
+    return _derive_once(
+        _IVF_INDEX_PATHS,
+        (str(sf_dir), refine_iters),
+        "airbnb_cdc_ivf_",
+        lambda p: _sim.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), p, refine_iters=refine_iters
+        ),
+    )
 
 
 @query("ann_topk_ivf", _IVF_ORACLE)
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.ivf_topk(emb, queries_df, k=5)
+    return _sim.query_ivf_index(
+        spark, _ivf_store(spark, sf_dir), queries_df, k=5
+    )
 
 
 # nprobe>1 variants: queries probe their N nearest centroids' lists —
@@ -1310,7 +1331,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.ivf_topk(emb, queries_df, k=5, nprobe=2)
+    return _sim.query_ivf_index(
+        spark, _ivf_store(spark, sf_dir), queries_df, k=5, nprobe=2
+    )
 
 
 @query("ann_topk_ivf_recall", _ivf_nprobe_sql(8))
@@ -1321,21 +1344,32 @@ def q_ann_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2, just 4x the probed lists per query."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.ivf_topk(emb, queries_df, k=5, nprobe=8)
+    return _sim.query_ivf_index(
+        spark, _ivf_store(spark, sf_dir), queries_df, k=5, nprobe=8
+    )
 
 
 # k-means-refined IVF: one deterministic Lloyd iteration (element-wise
 # floor(sum/count) integer means — bit-reproducible across engines),
 # then the usual inverted-file probe at nprobe=2. On this near-uniform
 # synthetic data refinement doesn't improve recall (see COVERAGE.md);
-# the query proves the refinement pipeline is exact cross-engine.
+# the query proves the refinement pipeline is exact cross-engine. The
+# store (build_ivf_index(refine_iters=1)) freezes the SAME _lloyd_refine
+# centroids the in-session form recomputed per run — the refinement now
+# costs once per corpus version instead of per query.
 
 
 @query("ann_topk_ivf_kmeans", _IVF_KMEANS_ORACLE)
 def q_ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.ivf_topk(emb, queries_df, k=5, nprobe=2, refine_iters=1)
+    return _sim.query_ivf_index(
+        spark,
+        _ivf_store(spark, sf_dir, refine_iters=1),
+        queries_df,
+        k=5,
+        nprobe=2,
+    )
 
 
 # --------------------------------------------------------------------------
