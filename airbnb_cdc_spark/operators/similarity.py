@@ -974,6 +974,11 @@ def append_ivf_index(
 
     from pyspark.sql import Window
 
+    # same crash-window contract as append_ivf_pq_index: restore any
+    # list parked by a crashed compact_ivf_lists BEFORE the existence
+    # probe, or a replayed id double-writes and the next recovery
+    # deletes the parked original (row loss)
+    _recover_parked_lists(spark, os.path.join(path, "lists"))
     stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
     # width guard (the _stored_pq_geometry class): a wrong-width batch
     # would assign via silently-truncated cosines and poison the lists
@@ -2089,9 +2094,13 @@ def _recover_parked_lists(spark, lists_dir: str) -> None:
                 fs.delete(st.getPath(), True)
 
 
-def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
-    """Compact fragmented inverted lists in a ``build_ivf_pq_index``
-    layout: every append lands one file per touched ``cid=`` (the
+def compact_ivf_lists(spark, path: str, max_files: int = 4) -> int:
+    """Compact fragmented inverted lists in any ``lists/cid=N``
+    layout — ``build_ivf_index`` (quantized vectors) and
+    ``build_ivf_pq_index`` (PQ codes) share the directory contract,
+    and compaction never interprets the rows, so one implementation
+    serves both (``compact_ivf_pq_lists`` is the historical alias).
+    Every append lands one file per touched ``cid=`` (the
     repartition contract), so after B batches a hot list holds up to B
     files and every probe/existence scan pays the file count. This
     rewrites ONLY the lists whose file count exceeds ``max_files`` —
@@ -2159,6 +2168,11 @@ def compact_ivf_pq_lists(spark, path: str, max_files: int = 4) -> int:
         fs.delete(old, True)
     fs.delete(hadoop_path(tmp), True)
     return len(frag)
+
+
+# Historical name (the function predates the plain-IVF store gaining
+# append-driven fragmentation); the implementation is layout-generic.
+compact_ivf_pq_lists = compact_ivf_lists
 
 
 def query_ivf_pq_index(
