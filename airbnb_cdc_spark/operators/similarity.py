@@ -1087,6 +1087,207 @@ def query_ivf_index(
     return _rank_topk(joined, k)
 
 
+def build_ivf_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int | None = 37,
+    centroid_rem: int = 3,
+) -> None:
+    """The IVF×SQ8 composition as a DISK LAYOUT — ``ivf_sq8_topk``'s
+    production form, completing the persisted-store family (IVF, SQ8,
+    PQ, IVF-PQ): int8 code rows (``id, c8``) written as parquet
+    PARTITIONED by nearest-IVF-centroid id (``lists/cid=N/``), with
+    ``centroids/`` (quantized probe vectors) and the 1-row quantizer
+    ``scale/`` alongside. A query prunes to its probed ``cid=``
+    directories at the scan and integer-dot-scores 4x-smaller codes —
+    at 100 TB a top-k reads ~nprobe/n_centroids of a 4x-compressed
+    corpus, the product of both cuts. Centroids AND scale freeze at
+    build (the frozen-geometry contract shared by every store);
+    appends encode against both, rebuild cadence owns drift.
+
+    Same deterministic centroid rule and integer scoring as
+    ``ivf_sq8_topk``, so the store replays it bit-exactly
+    (rehearsal-pinned in tests/test_ivf_sq8_store_relead_rehearsal.py
+    against the `ann_topk_ivf_sq8` DuckDB oracle)."""
+    import os
+
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(2, int(math.sqrt(corpus.count())))
+    base = persist_tracked(_with_quant(corpus, id_col, vec_col))
+    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+        F.col(id_col).alias("cid"),
+        F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
+    )
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
+            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
+            "derive ~sqrt(n) from the corpus size)"
+        )
+    scale = _sq8_max_abs(corpus, vec_col)
+    # eager degenerate-scale check (the write_sq8_index rationale): an
+    # empty/all-zero corpus must fail the BUILD, not the first append
+    mx = scale.collect()[0]["__mx"]
+    if mx is None or mx <= 0:
+        raise ValueError(
+            "build_ivf_sq8_index: degenerate quantizer scale"
+            f" (max_abs={mx!r}) — empty or all-zero corpus"
+        )
+    assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
+        F.col(id_col), "cid"
+    )
+    codes = sq8_codes(corpus, scale, id_col, vec_col)
+    assigned.join(codes, id_col).repartition("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(os.path.join(path, "lists"))
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    scale.write.mode("overwrite").parquet(os.path.join(path, "scale"))
+
+
+def append_ivf_sq8_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a ``build_ivf_sq8_index`` layout: assign each
+    new vector to its nearest FROZEN centroid and encode it against the
+    FROZEN scale, then append into the matching ``cid=`` partitions.
+    Same contract as the sibling appends: partition-pruned existence
+    probe over only the TOUCHED lists, ``skip_existing`` replays are
+    append-zero, full-batch width guard before anything is written, one
+    file per touched list per batch, and the ``_recover_parked_lists``
+    preamble makes crashed-compaction interleavings safe. Returns rows
+    appended."""
+    import os
+
+    _recover_parked_lists(spark, os.path.join(path, "lists"))
+    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    stored_d = _check_stored_width(
+        stored_cents, new_vectors, vec_col, code_col="__qc", full=False
+    )
+    scale = spark.read.parquet(os.path.join(path, "scale"))
+    cents = F.broadcast(stored_cents)
+    base = _with_quant(new_vectors, id_col, vec_col)
+    assigned = persist_tracked(
+        _nearest_centroid(base, cents, id_col)
+        .select(F.col(id_col), "cid")
+        .join(sq8_codes(new_vectors, scale, id_col, vec_col), id_col)
+    )
+    if skip_existing:
+        touched = [r.cid for r in assigned.select("cid").distinct().collect()]
+        existing = _read_lists(spark, os.path.join(path, "lists"), touched)
+        if existing is not None:
+            assigned = persist_tracked(
+                assigned.join(existing.select(id_col), id_col, "left_anti")
+            )
+    n = assigned.count()
+    if n:
+        if stored_d is not None:
+            _check_batch_width_full(
+                assigned, "c8", stored_d, "append_ivf_sq8_index"
+            )
+        assigned.repartition("cid").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(os.path.join(path, "lists"))
+    return n
+
+
+def query_ivf_sq8_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Integer-SQ8 top-k over a ``build_ivf_sq8_index`` layout: the
+    probe set (query → nprobe nearest stored centroids by exact
+    quantized cosine) is |queries|·nprobe ints, collected and pushed
+    into the lists scan as a STATIC partition filter (the family's
+    driver-side-metadata trade), so only the probed ``cid=``
+    directories are listed or read; the survivors' int8 codes are
+    scored against the broadcast query codes with the exact integer
+    dot product. Identical semantics and output contract
+    (query_id, neighbor_id, score8, rank) to ``ivf_sq8_topk`` over the
+    same logical corpus and parameters."""
+    import os
+
+    from pyspark.sql import Window
+
+    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    _check_stored_width(stored_cents, queries, vec_col, code_col="__qc")
+    scale = spark.read.parquet(os.path.join(path, "scale"))
+    cents = F.broadcast(stored_cents)
+    qs = _with_quant(queries, id_col, vec_col, widen=False)
+    scored = qs.crossJoin(cents).withColumn(
+        "__cos",
+        _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    qcodes = persist_tracked(
+        probes.join(
+            sq8_codes(queries, scale, id_col, vec_col, widen=False).select(
+                F.col(id_col).alias("query_id"), F.col("c8").alias("__cq")
+            ),
+            "query_id",
+        )
+    )
+    probe_cids = [r.cid for r in qcodes.select("cid").distinct().collect()]
+    lists = _read_lists(spark, os.path.join(path, "lists"), probe_cids)
+    if lists is None:
+        empty = (
+            qcodes.select(
+                "query_id", F.col("query_id").alias("neighbor_id")
+            )
+            .limit(0)
+            .withColumn("score8", F.lit(None).cast("long"))
+            .withColumn("rank", F.lit(None).cast("int"))
+        )
+        return empty
+    score = F.aggregate(
+        F.zip_with(
+            F.col("__cq"),
+            F.col("__cc"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        lists.select(
+            "cid", F.col(id_col).alias("neighbor_id"), F.col("c8").alias("__cc")
+        )
+        .join(F.broadcast(qcodes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score8", score)
+        .select("query_id", "neighbor_id", "score8")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score8", "rank")
+    )
+
+
 def semantic_decontam(
     corpus: DataFrame,
     eval_set: DataFrame,
