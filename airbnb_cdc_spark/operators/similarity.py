@@ -389,6 +389,162 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = 4,
+    dim: int = 64,
+) -> None:
+    """The sign-LSH bucket table as a DISK LAYOUT — ``lsh_topk``'s
+    production form: quantized vectors written as parquet PARTITIONED
+    by their sign-LSH bucket (``lists/bucket=N/``), with a 1-row
+    ``meta/`` (bits, dim) alongside. The hyperplanes are a
+    deterministic function of (j, dim) (``hyperplane``), so persisting
+    (bits, dim) IS persisting the hash family — queries re-derive the
+    planes and land in identical buckets on any engine. A query prunes
+    to its probed ``bucket=`` directories at the scan (nprobe
+    multi-probe fans out only the broadcast query side; the corpus is
+    bucketed exactly once — the 100 TB recall knob). ``bits=None``
+    derives the width from the corpus size, then freezes it."""
+    import os
+
+    if bits is None:
+        bits = auto_bits(corpus.count())
+    _check_dim(corpus, vec_col, dim)
+    planes = [hyperplane(j, dim) for j in range(bits)]
+    c = _with_quant(corpus, id_col, vec_col).select(
+        F.col(id_col),
+        F.col("__q"),
+        F.col("__norm"),
+        lsh_bucket(F.col("__q"), planes).alias("bucket"),
+    )
+    c.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "lists"))
+    corpus.sparkSession.createDataFrame(
+        [(int(bits), int(dim))], "bits int, dim int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def append_lsh_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a ``build_lsh_index`` layout: hash each new
+    vector with the FROZEN (bits, dim) family and append into the
+    matching ``bucket=`` partitions. Same contract as the IVF-family
+    appends: partition-pruned existence probe over only the TOUCHED
+    buckets, ``skip_existing`` replays are append-zero, full-batch
+    width guard before anything is written, one file per touched
+    bucket per batch, and the ``_recover_parked_lists`` preamble makes
+    crashed-compaction interleavings safe. Returns rows appended."""
+    import os
+
+    _recover_parked_lists(spark, os.path.join(path, "lists"))
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    bits, dim = meta.bits, meta.dim
+    _check_dim(new_vectors, vec_col, dim, full=True)
+    planes = [hyperplane(j, dim) for j in range(bits)]
+    batch = persist_tracked(
+        _with_quant(new_vectors, id_col, vec_col).select(
+            F.col(id_col),
+            F.col("__q"),
+            F.col("__norm"),
+            lsh_bucket(F.col("__q"), planes).alias("bucket"),
+        )
+    )
+    if skip_existing:
+        touched = [
+            r.bucket for r in batch.select("bucket").distinct().collect()
+        ]
+        existing = _read_lists(
+            spark, os.path.join(path, "lists"), touched, part_col="bucket"
+        )
+        if existing is not None:
+            batch = persist_tracked(
+                batch.join(existing.select(id_col), id_col, "left_anti")
+            )
+    n = batch.count()
+    if n:
+        batch.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, "lists"))
+    return n
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k over a ``build_lsh_index`` layout: queries hash with the
+    stored (bits, dim) family, their probe buckets (|queries|·nprobe
+    ints) are collected and pushed into the lists scan as a STATIC
+    partition filter — only the probed ``bucket=`` directories are
+    listed or read — and the survivors re-rank by exact quantized
+    cosine. Identical semantics and output contract
+    (query_id, neighbor_id, cosine, rank) to ``lsh_topk`` over the
+    same logical corpus and (bits, nprobe)."""
+    import os
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    bits, dim = meta.bits, meta.dim
+    nprobe = max(1, min(nprobe, bits + 1))
+    _check_dim(queries, vec_col, dim, full=True)
+    planes = [hyperplane(j, dim) for j in range(bits)]
+    qbase = _with_quant(queries, id_col, vec_col, widen=False).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__nq"),
+        lsh_probe_buckets(F.col("__q"), planes, nprobe).alias("__probes"),
+    )
+    q = persist_tracked(
+        qbase.select(
+            "query_id", "__qq", "__nq",
+            F.explode(F.col("__probes")).alias("bucket"),
+        )
+    )
+    probe_buckets = [r.bucket for r in q.select("bucket").distinct().collect()]
+    lists = _read_lists(
+        spark, os.path.join(path, "lists"), probe_buckets, part_col="bucket"
+    )
+    if lists is None:
+        empty = (
+            q.select("query_id", F.col("query_id").alias("neighbor_id"))
+            .limit(0)
+            .withColumn("cosine", F.lit(None).cast("double"))
+        )
+        return _rank_topk(empty, k)
+    scored = (
+        lists.select(
+            "bucket",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__q").alias("__qc"),
+            F.col("__norm").alias("__nc"),
+        )
+        .join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _pair_cosine(
+                F.col("__qq"), F.col("__qc"), F.col("__nq"), F.col("__nc")
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _rank_topk(scored, k)
+
+
 def ivf_sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1489,9 +1645,11 @@ def _check_batch_width_full(
         )
 
 
-def _read_lists(spark, lists_dir: str, cids) -> DataFrame | None:
-    """Read ONLY the given ``cid=`` list directories of an IVF/IVF-PQ
-    store (``basePath`` keeps the cid partition column). This replaces
+def _read_lists(spark, lists_dir: str, cids, part_col: str = "cid") -> DataFrame | None:
+    """Read ONLY the given ``{part_col}=`` list directories of a
+    partitioned ANN store (``basePath`` keeps the partition column) —
+    ``cid=`` for the IVF-family layouts, ``bucket=`` for the LSH
+    layout. This replaces
     a full-directory read + ``isin`` filter for two reasons:
 
     - listing cost is proportional to the probed/touched lists, never
@@ -1529,7 +1687,9 @@ def _read_lists(spark, lists_dir: str, cids) -> DataFrame | None:
     def _existing():
         return [
             p
-            for p in (posixpath.join(lists_dir, f"cid={c}") for c in cids)
+            for p in (
+                posixpath.join(lists_dir, f"{part_col}={c}") for c in cids
+            )
             if fs.exists(hadoop_path(p))
         ]
 
@@ -2295,7 +2455,9 @@ def _recover_parked_lists(spark, lists_dir: str) -> None:
                 fs.delete(st.getPath(), True)
 
 
-def compact_ivf_lists(spark, path: str, max_files: int = 4) -> int:
+def compact_ivf_lists(
+    spark, path: str, max_files: int = 4, part_col: str = "cid"
+) -> int:
     """Compact fragmented inverted lists in any ``lists/cid=N``
     layout — ``build_ivf_index`` (quantized vectors) and
     ``build_ivf_pq_index`` (PQ codes) share the directory contract,
@@ -2341,7 +2503,7 @@ def compact_ivf_lists(spark, path: str, max_files: int = 4) -> int:
     frag = []
     for st in fs.listStatus(lists_hp):
         name = st.getPath().getName()
-        if name.startswith("cid=") and st.isDirectory():
+        if name.startswith(f"{part_col}=") and st.isDirectory():
             n_files = sum(
                 1
                 for f in fs.listStatus(st.getPath())
@@ -2354,16 +2516,17 @@ def compact_ivf_lists(spark, path: str, max_files: int = 4) -> int:
     tmp = os.path.join(path, ".lists_compact_tmp")
     fs.delete(hadoop_path(tmp), True)
     (
-        _read_lists(spark, lists_dir, frag)  # never None: frag just listed
-        .repartition("cid")
+        # never None: frag just listed
+        _read_lists(spark, lists_dir, frag, part_col)
+        .repartition(part_col)
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy(part_col)
         .parquet(tmp)
     )
     for cid in frag:
-        src = hadoop_path(os.path.join(tmp, f"cid={cid}"))
-        dst = hadoop_path(os.path.join(lists_dir, f"cid={cid}"))
-        old = hadoop_path(os.path.join(lists_dir, f"cid={cid}.old"))
+        src = hadoop_path(os.path.join(tmp, f"{part_col}={cid}"))
+        dst = hadoop_path(os.path.join(lists_dir, f"{part_col}={cid}"))
+        old = hadoop_path(os.path.join(lists_dir, f"{part_col}={cid}.old"))
         _rename_or_raise(fs, dst, old)
         _rename_or_raise(fs, src, dst)
         fs.delete(old, True)
