@@ -605,12 +605,51 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"band_size must divide k: k={k}, band_size={band_size}"
         )
-    sets = _hashed_shingle_sets(df, id_col, text_col, n, max_doc_freq)
     combined = persist_tracked(
-        sets.select(
-            "id", "hs", F.size("hs").alias("sz"), *_minhash_cols(k)
-        ).filter(F.col("sz") > 0)
+        minhash_signature_sets(df, id_col, text_col, n, k, max_doc_freq)
     )
+    return minhash_lsh_pairs_from_signatures(
+        combined, k=k, band_size=band_size, threshold=threshold
+    )
+
+
+def minhash_signature_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    max_doc_freq: int | str | None = AUTO,
+) -> DataFrame:
+    """The per-doc MinHash signature frame ``(id, hs, sz, mh0..mhk-1)``
+    — the derive-once artifact of the MinHash pipeline. Everything
+    downstream (banding, bucket join, exact verify) consumes THIS
+    frame and never rescans text, so persisting it per corpus snapshot
+    turns every later near-dup pass into signature-table work (the
+    signature-store stance the incremental/streaming variants already
+    take). Derivation is deterministic (hash shingles + frequency cap
+    + k column-wise mins), so a persisted copy is value-identical to a
+    recompute on any engine or partitioning."""
+    sets = _hashed_shingle_sets(df, id_col, text_col, n, max_doc_freq)
+    # sz > 0: a doc whose every shingle was frequency-capped has no
+    # signature (an empty set would band on all-null minhashes and
+    # verify as 0/0)
+    return sets.select(
+        "id", "hs", F.size("hs").alias("sz"), *_minhash_cols(k)
+    ).filter(F.col("sz") > 0)
+
+
+def minhash_lsh_pairs_from_signatures(
+    combined: DataFrame,
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banding + bucket join + exact-Jaccard verify over a
+    ``minhash_signatures`` frame (in-session or read back from a
+    persisted store). Split from ``minhash_lsh_pairs`` so a
+    signature store can feed the same banded plan without re-deriving
+    signatures."""
     n_bands = k // band_size
     bands = combined.select(
         "id",
