@@ -5078,8 +5078,16 @@ _DRIVER_PRIORITY = [
 # scripts/rotation_audit.py --simulate-next checks this list.
 # r17 NEW-QUERY BUDGET: each new registry query must take a slot the
 # round it lands, ceding one r14-tier backfill below to the r18
-# backlog. Prefer re-leads (cost no slot): remaining rehearsed
-# re-leads after r16 are tracked in COVERAGE.md.
+# backlog. Prefer re-leads (cost no slot). REHEARSED AND READY for
+# r17 (each pinned bit-exact against its unchanged registry oracle):
+#   - ann_topk_ivf_sq8 -> build/query_ivf_sq8_index
+#     (tests/test_ivf_sq8_store_relead_rehearsal.py)
+#   - ann_topk_lsh + ann_topk_lsh_multiprobe -> ONE shared
+#     build/query_lsh_index store, nprobe 1 and 3
+#     (tests/test_lsh_store_relead_rehearsal.py)
+# With those three, every ANN registry query runs on its persisted
+# store (the r16 re-leads covered ivf/nprobe/recall/kmeans, sq8, pq,
+# ivf_pq, plus dedup_minhash_lsh's signature store).
 _NEXT_ROUND_PLAN = [
     # the 27 r13-tier must-records:
     "events_windowed_agg",
