@@ -73,6 +73,12 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   micro-batch screened against the persisted benchmark shingle store;
   a planted 10% verbatim-leak cohort must be flagged exactly.
 
+- ``lsh`` (r16): streaming sign-LSH bucket-table ingest vecs/sec —
+  the store is built from the first file (freezing the (bits, dim)
+  hash family), each micro-batch hashes against the frozen family and
+  appends into the touched ``bucket=`` partitions, replay-zero on the
+  build file.
+
 - ``mixed`` (r15, VERDICT r14 #7): store-program INTERFERENCE —
   drift + decontam + ivfpq ingest each run solo, then all three
   concurrently in the same session (fresh outputs/checkpoints/index),
@@ -82,7 +88,7 @@ micro-batch — per-batch cost is what's measured, not one giant batch):
   only measure each under suite load.
 
 Usage: python scripts/bench_streaming.py
-           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify|drift|ivfpq|decontam|mixed] [n_rows] [n_files]
+           [merge|session|minhash|dsir|quality|lm|sq8|pq|buckets|classify|drift|ivfpq|decontam|mixed|lsh] [n_rows] [n_files]
 """
 
 from __future__ import annotations
@@ -914,6 +920,81 @@ def bench_ivfpq(n_vecs: int, n_files: int) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_lsh(n_vecs: int, n_files: int) -> None:
+    """Streaming sign-LSH ingest vectors/sec — the bucket table's
+    production growth path: the store is built from the first file
+    (freezing the (bits, dim) hash family), then every micro-batch
+    hashes against the frozen family and appends into the touched
+    ``bucket=`` partitions via the partition-pruned existence probe.
+    Batch 0 replays the first file and must append zero."""
+    from pyspark.sql import types as T
+
+    from airbnb_cdc_spark.operators.similarity import (
+        append_lsh_index,
+        build_lsh_index,
+    )
+    from airbnb_cdc_spark.session import get_spark
+
+    spark = get_spark("bench-streaming-lsh")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_lsh_"))
+    try:
+        feed = work / "feed"
+        feed.mkdir()
+        total = write_vectors_feed(feed, n_vecs, n_files)
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        index = str(work / "lsh")
+        first = spark.read.schema(schema).json(
+            str(sorted(feed.iterdir())[0])
+        )
+        build_lsh_index(first, index, bits=None)  # derive from count
+
+        appended = []
+
+        def _ingest(batch_df, batch_id):
+            appended.append(append_lsh_index(spark, index, batch_df))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        n_rows = spark.read.parquet(index + "/lists").count()
+        assert n_rows == total, (n_rows, total)
+        assert appended.count(0) == 1, appended
+        assert sum(appended) == total - (total // n_files), appended
+        print(
+            json.dumps(
+                {
+                    "metric": "lsh_ingest_stream_vecs_per_sec",
+                    "value": round(total / wall, 1),
+                    "unit": "vecs/sec",
+                    "feed_vecs": total,
+                    "micro_batches": n_files,
+                    "bucket_rows": n_rows,
+                    "appended_per_batch": appended,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_drift(n_docs: int, n_files: int) -> None:
     """Streaming drift-monitor docs/sec: the reference model is fitted
     from the first file (dense n_buckets-row store, frozen), then
@@ -1286,7 +1367,7 @@ def bench_mixed(n_docs: int, n_files: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     leg = "merge"
-    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq", "decontam", "mixed"):
+    if args and args[0] in ("merge", "session", "minhash", "dsir", "quality", "lm", "sq8", "pq", "buckets", "classify", "drift", "ivfpq", "decontam", "mixed", "lsh"):
         leg = args.pop(0)
     n_rows = int(args[0]) if args else 150_000
     n_files = int(args[1]) if len(args) > 1 else 10
@@ -1322,6 +1403,9 @@ def main() -> None:
         return
     if leg == "ivfpq":
         bench_ivfpq(n_rows, n_files)
+        return
+    if leg == "lsh":
+        bench_lsh(n_rows, n_files)
         return
     if leg == "decontam":
         bench_decontam(n_rows, n_files)
