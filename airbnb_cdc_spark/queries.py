@@ -3553,6 +3553,9 @@ def q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_DSIR_SCORE_PATHS: dict[str, str] = {}
+
+
 @query("incremental_dsir_select", _INCR_DSIR_ORACLE)
 def q_incremental_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DSIR ingest: the bucket models are fitted on the
@@ -3561,11 +3564,18 @@ def q_incremental_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fitted score table — the corpus is never rescanned per batch
     (the store contract: write_dsir_scores persists the n_buckets-row
     model; scoring cost is O(batch)). Every new doc is scored
-    regardless of its own source — true arrival semantics."""
+    regardless of its own source — true arrival semantics. RE-LED r16
+    onto the derive-once discipline (the incremental_lm_quality /
+    incremental_minhash_neardup pattern): the n_buckets-row score
+    store fits ONCE per sf_dir via _derive_once + write_dsir_scores
+    (deterministic fit, store read value-identical to a refit); per
+    run only the arriving half is scored."""
     from airbnb_cdc_spark.operators.importance import (
         dsir_bucket_scores,
         dsir_select,
+        read_dsir_scores,
         token_buckets,
+        write_dsir_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3573,19 +3583,29 @@ def q_incremental_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
     )
     with_cut = docs.join(F.broadcast(cut))
-    corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
-        "doc_id", "source", "text"
-    )
     batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
         "doc_id", "text"
     )
-    tok = token_buckets(corpus, "text", _DSIR_BUCKETS)
-    scores = dsir_bucket_scores(
-        tok.filter(F.col("source") == _DSIR_TARGET),
-        tok,
-        _DSIR_BUCKETS,
-        _DSIR_SCALE,
+
+    def _derive(p: str) -> None:
+        corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+            "doc_id", "source", "text"
+        )
+        tok = token_buckets(corpus, "text", _DSIR_BUCKETS)
+        write_dsir_scores(
+            dsir_bucket_scores(
+                tok.filter(F.col("source") == _DSIR_TARGET),
+                tok,
+                _DSIR_BUCKETS,
+                _DSIR_SCALE,
+            ),
+            p,
+        )
+
+    path = _derive_once(
+        _INCR_DSIR_SCORE_PATHS, str(sf_dir), "airbnb_cdc_incdsir_", _derive
     )
+    scores = read_dsir_scores(spark, path)
     return dsir_select(batch, scores, "text", "doc_id", _DSIR_K, _DSIR_BUCKETS)
 
 
