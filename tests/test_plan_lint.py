@@ -48,3 +48,17 @@ def test_no_plan_antipatterns(spark, qname):
         release_cached()
     for node, why in FORBIDDEN.items():
         assert node not in plan, f"{qname}: plan contains {node} ({why})"
+
+
+def test_minhash_store_query_never_rescans_text(spark):
+    """The r16 re-lead contract for dedup_minhash_lsh: banding + bucket
+    join + exact verify consume the PERSISTED signature store only —
+    the plan must read zero bytes of documents.parquet (the signature
+    derivation runs once per corpus via _derive_once, not per pass)."""
+    try:
+        df = Q.QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+        files = df.inputFiles()
+    finally:
+        release_cached()
+    assert files, "query reads no input at all?"
+    assert not any("documents.parquet" in f for f in files), files
