@@ -42,9 +42,10 @@ SNAPS = [
     ),
     (
         "dedup_minhash_lsh",
-        "zero-shuffle signature derivation: per-row hash sets + k affine "
-        "minhashes as array transforms; one-row broadcast hot-shingle "
-        "cap; band bucket self-join generates candidates",
+        "r16 store re-lead: banding + bucket self-join + exact verify "
+        "over the PERSISTED signature table only — the plan reads zero "
+        "bytes of documents.parquet (derivation runs once per corpus "
+        "via _derive_once)",
     ),
     (
         "decontaminate_vs_benchmark",
@@ -268,8 +269,9 @@ SNAPS = [
     ),
     (
         "ann_topk_sq8",
-        "SQ8 codes: 1-row scale broadcast, tinyint code arrays, "
-        "broadcast query side against a single codes-only corpus scan",
+        "r16 store re-lead: queries quantize with the STORED scale and "
+        "broadcast; the corpus side is one codes-only scan of the "
+        "persisted SQ8 table — no float embedding materialized",
     ),
     (
         "ann_topk_ivf_sq8",
@@ -285,11 +287,11 @@ SNAPS = [
     ),
     (
         "ann_topk_pq",
-        "PQ shortlist + exact refine (registered r14): broadcast "
-        "codebook join with map-side min_by encode, ADC scoring from "
-        "the broadcast LUT, then the refine stage re-scores only the "
-        "broadcast shortlist against one corpus scan — no corpus "
-        "shuffle in the refine",
+        "r16 store re-lead (IndexRefineFlat): ADC shortlist from the "
+        "STORED code table (m bigint codes per vector, no encode per "
+        "run), then the refine stage re-scores only the broadcast "
+        "shortlist against one float corpus scan — no corpus shuffle "
+        "in the refine",
     ),
     (
         "content_chunk_dedup",
