@@ -646,10 +646,16 @@ def minhash_lsh_pairs_from_signatures(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Banding + bucket join + exact-Jaccard verify over a
-    ``minhash_signatures`` frame (in-session or read back from a
+    ``minhash_signature_sets`` frame (in-session or read back from a
     persisted store). Split from ``minhash_lsh_pairs`` so a
     signature store can feed the same banded plan without re-deriving
-    signatures."""
+    signatures. Enforces the same band_size-divides-k contract as the
+    composed entry point — a store consumer must not silently band
+    only a prefix of the k signature columns."""
+    if band_size <= 0 or k % band_size != 0:
+        raise ValueError(
+            f"band_size must divide k: k={k}, band_size={band_size}"
+        )
     n_bands = k // band_size
     bands = combined.select(
         "id",

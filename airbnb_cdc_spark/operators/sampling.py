@@ -221,6 +221,7 @@ def pack_sequences(
     tokens_col,
     budget: int,
     id_col: str = "doc_id",
+    keep_order_col: bool = False,
 ) -> DataFrame:
     """Offset-based greedy sequence packing: walk each shard's
     documents in a deterministic order and assign each to the training
@@ -256,9 +257,14 @@ def pack_sequences(
     # and double division loses exactness once a shard's running offset
     # exceeds 2^53 tokens — unreachable today, but the exact-integer
     # discipline costs nothing here.
+    # keep_order_col lets shard_assign-composed callers carry shard_pos
+    # through instead of paying a join-back on id (shard_pack_export's
+    # full contract) — the column is already in the window's sort.
+    cols = [F.col(id_col), F.col(shard_col)]
+    if keep_order_col:
+        cols.append(F.col(order_col))
     return df.select(
-        F.col(id_col),
-        F.col(shard_col),
+        *cols,
         n_tok.alias("n_tokens"),
         offset.alias("token_offset"),
     ).withColumn("seq_id", F.expr(f"token_offset div {int(budget)}"))

@@ -19,6 +19,7 @@ integer-valued pseudo-random projections, so bucket ids are exact too.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +93,25 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _rank_topk_score8(scored: DataFrame, k: int) -> DataFrame:
+    """`_rank_topk`'s integer-score sibling for the SQ8 family: rank
+    (score8 desc, neighbor_id asc) per query, keep k. One definition
+    so the in-session variants (sq8_topk, ivf_sq8_topk) and the store
+    queries (query_sq8_index, query_ivf_sq8_index) can never
+    desynchronize their tie-break or k semantics — the bit-exact
+    replay contract the store rehearsals pin."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score8", "rank")
     )
 
 
@@ -230,16 +250,7 @@ def sq8_topk(
         .withColumn("score8", score)
         .select("query_id", "neighbor_id", "score8")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score8").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score8", "rank")
-    )
+    return _rank_topk_score8(scored, k)
 
 
 def auto_bits(n_rows: int, target_bucket: int = 256, lo: int = 2, hi: int = 16) -> int:
@@ -447,6 +458,12 @@ def append_lsh_index(
     import os
 
     _recover_parked_lists(spark, os.path.join(path, "lists"))
+    # single-partition-batch guard (the family contract): hashing is
+    # per-row, but the persisted batch then feeds the existence probe
+    # and the bucket-clustered write — widen a one-file batch first
+    want = spark.sparkContext.defaultParallelism
+    if new_vectors.rdd.getNumPartitions() < want:
+        new_vectors = new_vectors.repartition(want)
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     bits, dim = meta.bits, meta.dim
     _check_dim(new_vectors, vec_col, dim, full=True)
@@ -568,11 +585,7 @@ def ivf_sq8_topk(
 
     base = persist_tracked(_with_quant(corpus, id_col, vec_col))
     cents = F.broadcast(
-        base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-            F.col(id_col).alias("cid"),
-            F.col("__q").alias("__qc"),
-            F.col("__norm").alias("__nc"),
-        )
+        _seed_centroids(corpus, base, id_col, centroid_mod, centroid_rem)
     )
 
     def nearest(side: DataFrame, out_id: str, n: int) -> DataFrame:
@@ -633,14 +646,7 @@ def ivf_sq8_topk(
         .withColumn("score8", score)
         .select("query_id", "neighbor_id", "score8")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score8").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score8", "rank")
-    )
+    return _rank_topk_score8(scored, k)
 
 
 def write_sq8_index(
@@ -659,19 +665,7 @@ def write_sq8_index(
     value range drifts needs a rebuild, exactly like centroid drift."""
     import os
 
-    scale = _sq8_max_abs(corpus, vec_col)
-    # Validate the 1-row scale frame EAGERLY: sq8_codes' in-plan guard
-    # is per-row, so an EMPTY corpus streams zero rows through it and
-    # would silently freeze a NULL scale into scale/ — deferring the
-    # failure to the first append instead of the build. One driver-side
-    # row; the build is corpus-scale anyway.
-    mx = scale.collect()[0]["__mx"]
-    if mx is None or mx <= 0:
-        raise ValueError(
-            "write_sq8_index: degenerate quantizer scale"
-            f" (max_abs={mx!r}) — empty or all-zero corpus; an index"
-            " built from it would poison every later append and query"
-        )
+    scale = _validated_sq8_scale(corpus, vec_col, "write_sq8_index")
     sq8_codes(corpus, scale, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "codes"))
@@ -734,8 +728,6 @@ def query_sq8_index(
     asserted), so in-session results carry over to the stored form."""
     import os
 
-    from pyspark.sql import Window
-
     scale = spark.read.parquet(os.path.join(path, "scale"))
     stored_codes = spark.read.parquet(os.path.join(path, "codes"))
     # the scale is a scalar (max_abs), so the stored WIDTH lives in the
@@ -765,14 +757,7 @@ def query_sq8_index(
         .withColumn("score8", score)
         .select("query_id", "neighbor_id", "score8")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score8").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score8", "rank")
-    )
+    return _rank_topk_score8(scored, k)
 
 
 def cosine_neardup_pairs(
@@ -851,6 +836,68 @@ def _nearest_centroid(base: DataFrame, cents_b, id_col: str) -> DataFrame:
         )
         .select(id_col, "__best.*")
     )
+
+
+def _seed_centroids(
+    raw: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    centroid_mod: int | None,
+    centroid_rem: int,
+) -> DataFrame:
+    """Deterministic centroid seeds ``(cid, __qc, __nc)``: every
+    ``id ≡ rem (mod m)`` row of the quantized frame ``base``;
+    ``centroid_mod=None`` derives ~sqrt(n) from ``raw``'s count. ONE
+    definition shared by the in-session variants (ivf_topk,
+    ivf_sq8_topk) and every store build (IVF, IVF-SQ8, IVF-PQ), so the
+    centroid rule and its empty-residue fail-fast can never
+    desynchronize between the forms the store rehearsals pin
+    bit-exact. The fail-fast probes the RAW frame with only the id
+    column selected — column pruning + CollectLimit stop at the first
+    match (measured ~0.16s/call cheaper than probing the quantized
+    frame at sf0.1); an in-plan raise_error is NOT an option because
+    AQE's empty-side propagation removes the probe side of the inner
+    join before the guard expression ever evaluates."""
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(2, int(math.sqrt(raw.count())))
+    if (
+        raw.select(F.col(id_col))
+        .filter((F.col(id_col) % centroid_mod) == centroid_rem)
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise ValueError(
+            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
+            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
+            "derive ~sqrt(n) from the corpus size)"
+        )
+    return base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+        F.col(id_col).alias("cid"),
+        F.col("__q").alias("__qc"),
+        F.col("__norm").alias("__nc"),
+    )
+
+
+def _validated_sq8_scale(corpus: DataFrame, vec_col: str, op: str) -> DataFrame:
+    """The 1-row SQ8 quantizer scale, validated EAGERLY: sq8_codes'
+    in-plan guard is per-row, so an EMPTY corpus streams zero rows
+    through it and would silently freeze a NULL scale into ``scale/``
+    — deferring the failure to the first append instead of the build.
+    One driver-side row; the build is corpus-scale anyway. Shared by
+    write_sq8_index and build_ivf_sq8_index so the degenerate-corpus
+    contract stays identical across the SQ8 stores."""
+    scale = _sq8_max_abs(corpus, vec_col)
+    mx = scale.collect()[0]["__mx"]
+    if mx is None or mx <= 0:
+        raise ValueError(
+            f"{op}: degenerate quantizer scale (max_abs={mx!r}) — empty"
+            " or all-zero corpus; an index built from it would poison"
+            " every later append and query"
+        )
+    return scale
 
 
 def _lloyd_refine(
@@ -939,38 +986,8 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    if centroid_mod is None:
-        import math
-
-        centroid_mod = max(2, int(math.sqrt(corpus.count())))
-
     base = persist_tracked(_with_quant(corpus, id_col, vec_col))
-    cents_df = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"),
-        F.col("__q").alias("__qc"),
-        F.col("__norm").alias("__nc"),
-    )
-    # Empty-centroid fail-fast (same silent-empty harm build_ivf_index
-    # guards: no centroid → no assignments → every query "has no
-    # neighbors" with no error). Probed on the RAW corpus with only the
-    # id column selected — column pruning keeps the scan to the id
-    # column and CollectLimit stops at the first match — instead of on
-    # the quantized persisted frame, whose limit(1).count() decoded
-    # embedding arrays and cost a measured ~0.16s per call at sf0.1.
-    # An in-plan raise_error guard is NOT an option: AQE's empty-side
-    # propagation removes the probe side of the inner join before the
-    # guard expression ever evaluates.
-    if (
-        corpus.select(F.col(id_col))
-        .filter((F.col(id_col) % centroid_mod) == centroid_rem)
-        .limit(1)
-        .count()
-        == 0
-    ):
-        raise ValueError(
-            f"no vec id satisfies id % {centroid_mod} == {centroid_rem}; "
-            "pass centroid_mod=None to derive centroids from corpus size"
-        )
+    cents_df = _seed_centroids(corpus, base, id_col, centroid_mod, centroid_rem)
 
     def assign_to(cents_b, side: DataFrame, out_id: str, n: int) -> DataFrame:
         scored = side.crossJoin(cents_b).withColumn(
@@ -1063,29 +1080,12 @@ def build_ivf_index(
     from pyspark.sql import Window
     import os
 
-    if centroid_mod is None:
-        import math
-
-        centroid_mod = max(2, int(math.sqrt(corpus.count())))
     base = _with_quant(corpus, id_col, vec_col)
     if refine_iters:
         # the refinement re-scans the quantized corpus once per
         # iteration plus the final assignment pass — persist it
         base = persist_tracked(base)
-    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"),
-        F.col("__q").alias("__qc"),
-        F.col("__norm").alias("__nc"),
-    )
-    # A sparsely-keyed or tiny corpus can leave the residue class empty;
-    # without this guard the index writes zero lists and every later
-    # query silently returns nothing.
-    if cents.limit(1).count() == 0:
-        raise ValueError(
-            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
-            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
-            "derive ~sqrt(n) from the corpus size)"
-        )
+    cents = _seed_centroids(corpus, base, id_col, centroid_mod, centroid_rem)
     cents = _lloyd_refine(base, cents, refine_iters, id_col)
     assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
         F.col(id_col), F.col("__q"), F.col("__norm"), F.col("cid")
@@ -1269,31 +1269,9 @@ def build_ivf_sq8_index(
     against the `ann_topk_ivf_sq8` DuckDB oracle)."""
     import os
 
-    if centroid_mod is None:
-        import math
-
-        centroid_mod = max(2, int(math.sqrt(corpus.count())))
     base = persist_tracked(_with_quant(corpus, id_col, vec_col))
-    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"),
-        F.col("__q").alias("__qc"),
-        F.col("__norm").alias("__nc"),
-    )
-    if cents.limit(1).count() == 0:
-        raise ValueError(
-            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
-            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
-            "derive ~sqrt(n) from the corpus size)"
-        )
-    scale = _sq8_max_abs(corpus, vec_col)
-    # eager degenerate-scale check (the write_sq8_index rationale): an
-    # empty/all-zero corpus must fail the BUILD, not the first append
-    mx = scale.collect()[0]["__mx"]
-    if mx is None or mx <= 0:
-        raise ValueError(
-            "build_ivf_sq8_index: degenerate quantizer scale"
-            f" (max_abs={mx!r}) — empty or all-zero corpus"
-        )
+    cents = _seed_centroids(corpus, base, id_col, centroid_mod, centroid_rem)
+    scale = _validated_sq8_scale(corpus, vec_col, "build_ivf_sq8_index")
     assigned = _nearest_centroid(base, F.broadcast(cents), id_col).select(
         F.col(id_col), "cid"
     )
@@ -1325,6 +1303,12 @@ def append_ivf_sq8_index(
     import os
 
     _recover_parked_lists(spark, os.path.join(path, "lists"))
+    # same single-partition-batch guard as append_ivf_index /
+    # append_ivf_pq_index: a one-file batch would serialize the
+    # batch x centroids scoring onto one core (the r6-measured 2.4x)
+    want = spark.sparkContext.defaultParallelism
+    if new_vectors.rdd.getNumPartitions() < want:
+        new_vectors = new_vectors.repartition(want)
     stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
     stored_d = _check_stored_width(
         stored_cents, new_vectors, vec_col, code_col="__qc", full=False
@@ -1434,14 +1418,7 @@ def query_ivf_sq8_index(
         .withColumn("score8", score)
         .select("query_id", "neighbor_id", "score8")
     )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("score8").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        out.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score8", "rank")
-    )
+    return _rank_topk_score8(out, k)
 
 
 def semantic_decontam(
@@ -1536,22 +1513,7 @@ def semdedup_pairs(
         centroid_mod = max(2, int(math.sqrt(df.count())))
     _check_dim(df, vec_col, dim)
     base = persist_tracked(_with_quant(df, id_col, vec_col))
-    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"),
-        F.col("__q").alias("__qc"),
-        F.col("__norm").alias("__nc"),
-    )
-    if (
-        df.select(F.col(id_col))
-        .filter((F.col(id_col) % centroid_mod) == centroid_rem)
-        .limit(1)
-        .count()
-        == 0
-    ):
-        raise ValueError(
-            f"no vec id satisfies id % {centroid_mod} == {centroid_rem}; "
-            "pass centroid_mod=None to derive centroids from corpus size"
-        )
+    cents = _seed_centroids(df, base, id_col, centroid_mod, centroid_rem)
     # map-side-combined argmax (see _nearest_centroid): one shuffled
     # row per vector instead of one per (vector, centroid) — same
     # (cosine desc, cid asc) total order, so cluster structure (and
@@ -1698,7 +1660,10 @@ def _read_lists(spark, lists_dir: str, cids, part_col: str = "cid") -> DataFrame
         return None
     try:
         return spark.read.option("basePath", lists_dir).parquet(*paths)
-    except Exception:
+    except AnalysisException:
+        # scoped to analysis-time failures (PATH_NOT_FOUND is one):
+        # a corrupt footer or any executor-side failure should surface
+        # with its original context, not a pointless re-listing
         paths = _existing()
         if not paths:
             return None
@@ -2297,22 +2262,8 @@ def build_ivf_pq_index(
     against both, rebuild cadence owns drift."""
     import os
 
-    if centroid_mod is None:
-        import math
-
-        centroid_mod = max(2, int(math.sqrt(corpus.count())))
     base = persist_tracked(_with_quant(corpus, id_col, vec_col))
-    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"),
-        F.col("__q").alias("__qc"),
-        F.col("__norm").alias("__nc"),
-    )
-    if cents.limit(1).count() == 0:
-        raise ValueError(
-            f"no corpus {id_col} satisfies {id_col} % {centroid_mod} == "
-            f"{centroid_rem}; pass a smaller centroid_mod (or None to "
-            "derive ~sqrt(n) from the corpus size)"
-        )
+    cents = _seed_centroids(corpus, base, id_col, centroid_mod, centroid_rem)
     cb = persist_tracked(
         pq_codebook(corpus, id_col, vec_col, m, dim, cb_mod, cb_rem)
     )

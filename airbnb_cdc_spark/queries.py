@@ -5042,12 +5042,17 @@ def q_shard_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = shard_assign(
         docs.select("doc_id", "text"), "doc_id", _SHARD_N, seed=_SHARD_SEED
     )
+    # keep_order_col carries shard_pos through the packing select —
+    # no join-back, no second evaluation of the shard window lineage
     packed = pack_sequences(
-        sharded, "shard", "shard_pos", token_count(F.col("text")), _SHARD_BUDGET
+        sharded,
+        "shard",
+        "shard_pos",
+        token_count(F.col("text")),
+        _SHARD_BUDGET,
+        keep_order_col=True,
     )
-    return packed.join(
-        sharded.select("doc_id", "shard_pos"), "doc_id"
-    ).select(
+    return packed.select(
         "doc_id", "shard", "shard_pos", "n_tokens", "token_offset", "seq_id"
     )
 
