@@ -1507,12 +1507,9 @@ def semdedup_pairs(
     centroids) expected cluster size is ~sqrt(n), keeping Σ|c|² ≈
     n^1.5 — the paper's regime; skewed clusters are the caller's
     signal to raise the centroid count."""
-    if centroid_mod is None:
-        import math
-
-        centroid_mod = max(2, int(math.sqrt(df.count())))
     _check_dim(df, vec_col, dim)
     base = persist_tracked(_with_quant(df, id_col, vec_col))
+    # None -> ~sqrt(n) is derived inside _seed_centroids
     cents = _seed_centroids(df, base, id_col, centroid_mod, centroid_rem)
     # map-side-combined argmax (see _nearest_centroid): one shuffled
     # row per vector instead of one per (vector, centroid) — same
