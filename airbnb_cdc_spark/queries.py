@@ -5059,17 +5059,11 @@ def q_shard_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY = [
-    # r16 rotation — the r15-written plan, swapped in per the r15
-    # verdict's #1. The 26 r12-tier must-records head the cut (they
-    # hit MAX_AGE this round), and the backfills are the 24 oldest
-    # r13-tier names (alphabetical). NOTE (r16 registration swap,
-    # executed per the documented budget): `shard_pack_export`
-    # (registered this round from its pinned rehearsal oracle,
-    # tests/test_shard_export_rehearsal.py) takes the slot of the
-    # alphabetically-last r13-tier backfill (events_windowed_agg),
-    # which now heads the r17 must-record backbone below — it is
-    # r13-tier, so deferring it one round puts it exactly at MAX_AGE
-    # in r17, where the plan below guarantees its slot.
+    # r17 rotation — the r16-written plan, swapped in per the r16
+    # verdict's #1. The 27 r13-tier must-records head the cut (they
+    # hit MAX_AGE this round; events_windowed_agg leads, having ceded
+    # its r16 slot to the shard_pack_export registration), and the
+    # backfills are the 23 oldest r14-tier names (alphabetical).
     #
     # REGISTRY CEILING DISCIPLINE (r12 verdict #6, restated every
     # round): 177 names x 50 slots x MAX_AGE 3 ==> the hard ceiling
@@ -5080,88 +5074,7 @@ _DRIVER_PRIORITY = [
     # genuinely needs a slot, retire a redundant near-duplicate query
     # in the same commit.
     #
-    # (a) the 26 r12-tier must-records:
-    "doc_fingerprint",
-    "embedding_outliers",
-    "filter_by_status",
-    "incremental_chunk_dedup",
-    "large_orders",
-    "late_ship_priority_check",
-    "lookup_latest_event",
-    "mixture_by_token_budget",
-    "multimodal_features",
-    "orders_profile",
-    "part_name_canonical",
-    "pit_state_at_purchase",
-    "pivot_status_by_priority",
-    "pricing_summary",
-    "project_cast",
-    "promo_revenue_share",
-    "quality_filter",
-    "rolling_fingerprint",
-    "salted_status_totals",
-    "sample_by_lang",
-    "semdedup_pairs",
-    "set_ops_customers",
-    "top_spenders",
-    "user_overlap_kmv",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    # (b) 23 oldest r13-tier backfills (alphabetical;
-    # events_windowed_agg ceded its slot to the r16 registration and
-    # heads the r17 backbone):
-    "alter_row_flags",
-    "ann_topk_ivf",
-    "ann_topk_ivf_nprobe",
-    "anti_join_never_bought",
-    "asof_next_purchase_after_view",
-    "asof_view_within_tolerance",
-    "bloom_prune_effect",
-    "bloom_semi_join_orders",
-    "bm25_topk",
-    "boilerplate_strip",
-    "bpe_apply",
-    "cohort_retention",
-    "conditional_split_accepted",
-    "contrastive_negatives",
-    "cube_status_priority",
-    "dedup_containment",
-    "dedup_keep_canonical",
-    "distinct_users_kmv",
-    "diversity_sample_by_cluster",
-    "domain_capped_sample",
-    "dsir_select",
-    "events_hopping_agg",
-    "events_resample_ffill",
-    # (c) the query REGISTERED in r16 from its pinned rehearsal
-    # oracle (must take a slot the round it lands — the audit refuses
-    # never-recorded names outside the cut):
-    "shard_pack_export",
-]
-
-# Planned r17 cut, written now per the r12-established discipline so
-# r17 never hits a saturation squeeze. After r16 records the list
-# above, the 26 r13-tier names below age to 4 in r17 (25 never made
-# the r16 cut + events_windowed_agg, which ceded its r16 slot to the
-# shard_pack_export registration) — they MUST all be in the r17 cut
-# — and the 23 free slots go to the oldest r14-tier names
-# (alphabetical; the remaining 26 r14-tier queries age to 3 after r17
-# and form the r18 must-record backbone).
-# scripts/rotation_audit.py --simulate-next checks this list.
-# r17 NEW-QUERY BUDGET: each new registry query must take a slot the
-# round it lands, ceding one r14-tier backfill below to the r18
-# backlog. Prefer re-leads (cost no slot). REHEARSED AND READY for
-# r17 (each pinned bit-exact against its unchanged registry oracle):
-#   - ann_topk_ivf_sq8 -> build/query_ivf_sq8_index
-#     (tests/test_ivf_sq8_store_relead_rehearsal.py)
-#   - ann_topk_lsh + ann_topk_lsh_multiprobe -> ONE shared
-#     build/query_lsh_index store, nprobe 1 and 3
-#     (tests/test_lsh_store_relead_rehearsal.py)
-# With those three, every ANN registry query runs on its persisted
-# store (the r16 re-leads covered ivf/nprobe/recall/kmeans, sq8, pq,
-# ivf_pq, plus dedup_minhash_lsh's signature store).
-_NEXT_ROUND_PLAN = [
-    # the 27 r13-tier must-records:
+    # (a) the 27 r13-tier must-records:
     "events_windowed_agg",
     "forecast_revenue_change",
     "fuzzy_link_part_names",
@@ -5189,7 +5102,7 @@ _NEXT_ROUND_PLAN = [
     "top_terms_per_doc",
     "user_sessions",
     "winnow_components",
-    # 23 oldest r14-tier backfills (alphabetical):
+    # (b) 23 oldest r14-tier backfills (alphabetical):
     "ann_topk_ivf_recall",
     "ann_topk_ivf_sq8",
     "ann_topk_pq",
@@ -5213,6 +5126,71 @@ _NEXT_ROUND_PLAN = [
     "interpolated_lm_score",
     "keep_best_quality",
     "kneser_ney_lm_score",
+]
+
+# Planned r18 cut, written now per the r12-established discipline so
+# r18 never hits a saturation squeeze. After r17 records the list
+# above, the 27 r14-tier names below age to 4 in r18 — they MUST all
+# be in the r18 cut — and the 23 free slots go to the oldest r15-tier
+# names (alphabetical; the remaining r15-tier queries age to 3 after
+# r18 and form the r19 must-record backbone).
+# scripts/rotation_audit.py --simulate-next checks this list.
+# r18 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands, ceding one r15-tier backfill below to the r19
+# backlog. Prefer re-leads (cost no slot).
+_NEXT_ROUND_PLAN = [
+    # the 27 r14-tier must-records:
+    "leakage_safe_split",
+    "length_quartiles_by_lang",
+    "linestatus_priority_class",
+    "lm_perplexity_buckets",
+    "lm_quality_score",
+    "mm_resize",
+    "pack_concat_split",
+    "pii_scrub",
+    "priority_returns_exists",
+    "quality_filter_chain",
+    "returned_item_revenue",
+    "revenue_pareto",
+    "rollup_country_status",
+    "semantic_decontam",
+    "session_window_stats",
+    "source_quality_profile",
+    "status_percentiles",
+    "temperature_mixture",
+    "temperature_mixture_sample",
+    "top_supplier",
+    "trailing_7d_users",
+    "url_canonical_dedup",
+    "value_trend_by_type",
+    "vocab_coverage",
+    "windowed_kmv_distinct",
+    "winnow_keep_canonical",
+    "zorder_events_layout",
+    # 23 oldest r15-tier backfills (alphabetical):
+    "ann_topk_bruteforce",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivf_pq",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "asof_last_view_before_purchase",
+    "bigram_pmi",
+    "bigram_vocab",
+    "booking_customer_aggregation",
+    "chunk_dedup_intervals",
+    "chunk_dedup_spans",
+    "chunk_dedup_summary",
+    "conditional_split_bad",
+    "corpus_drift",
+    "customer_name_clean",
+    "dataset_split_counts",
+    "decontaminate_vs_benchmark",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
 ]
 
 
