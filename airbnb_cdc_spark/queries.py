@@ -592,11 +592,33 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted sign-LSH bucket table per sf_dir (the r17 re-lead): ONE
+# build_lsh_index store (bits=4, the registry parameter) serves both
+# the single-bucket and multi-probe recall points via query_lsh_index
+# — the corpus is hashed once per snapshot, each query reads only its
+# probed bucket= directories. Pre-pinned bit-exact against both
+# unchanged oracles by tests/test_lsh_store_relead_rehearsal.py.
+_LSH_INDEX_PATHS: dict[str, str] = {}
+
+
+def _lsh_store(spark: SparkSession, sf_dir: str) -> str:
+    return _derive_once(
+        _LSH_INDEX_PATHS,
+        str(sf_dir),
+        "airbnb_cdc_lsh_",
+        lambda p: _sim.build_lsh_index(
+            load_table(spark, sf_dir, "embeddings"), p, bits=4
+        ),
+    )
+
+
 @query("ann_topk_lsh", _ANN_LSH_ORACLE)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.lsh_topk(emb, queries_df, k=5, bits=4)
+    return _sim.query_lsh_index(
+        spark, _lsh_store(spark, sf_dir), queries_df, k=5
+    )
 
 
 @query("ann_topk_lsh_multiprobe", _ANN_LSH_MP_ORACLE)
@@ -605,10 +627,14 @@ def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_probe_buckets): each query searches its own bucket plus the two
     buckets behind its least-confident hyperplanes. Recall rises toward
     brute force while the corpus is still hashed exactly once — the
-    100 TB-friendly recall knob (only the broadcast query side fans out)."""
+    100 TB-friendly recall knob (only the broadcast query side fans out).
+    Shares ONE persisted bucket table with ann_topk_lsh; only the probed
+    bucket list per query differs (nprobe 3 vs 1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.lsh_topk(emb, queries_df, k=5, bits=4, nprobe=3)
+    return _sim.query_lsh_index(
+        spark, _lsh_store(spark, sf_dir), queries_df, k=5, nprobe=3
+    )
 
 
 @query("dedup_embedding_cosine", _NEARDUP_ORACLE)
@@ -4640,16 +4666,30 @@ def q_ann_topk_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SQ8_INDEX_PATHS: dict[str, str] = {}
+
+
 @query("ann_topk_ivf_sq8", _IVF_SQ8_ORACLE)
 def q_ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed scale path: IVF pruning (probe 2 lists per query)
     x SQ8 candidate scanning (4x fewer bytes through the bandwidth-
     bound leg). Assignment/probing use the exact quantized cosine,
     candidate scores are exact integer SQ8 dot products — the whole
-    result is integer-ranked and bit-replayable."""
+    result is integer-ranked and bit-replayable. RE-LED r17 onto the
+    persisted store (build_ivf_sq8_index once per sf_dir freezes the
+    deterministic centroids + corpus-derived scale; query_ivf_sq8_index
+    reads codes from only the probed cid= list dirs) per the r16
+    verdict's #2, pre-pinned bit-exact against the SAME oracle by
+    tests/test_ivf_sq8_store_relead_rehearsal.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    path = _derive_once(
+        _IVF_SQ8_INDEX_PATHS,
+        str(sf_dir),
+        "airbnb_cdc_ivfsq8_",
+        lambda p: _sim.build_ivf_sq8_index(emb, p),
+    )
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return _sim.ivf_sq8_topk(emb, queries_df, k=5, nprobe=2)
+    return _sim.query_ivf_sq8_index(spark, path, queries_df, k=5, nprobe=2)
 
 
 @query("outsized_supplier_share", _DOMINANT_SUPP_ORACLE)

@@ -1,15 +1,16 @@
-"""Rehearsal for a planned r17 RE-LEAD of `ann_topk_ivf_sq8` onto the
-persisted IVF×SQ8 store (the ivf/pq/sq8/ivf-pq re-lead pattern, VERDICT
-r14 #6 / r15 #4: slot-free implementation swaps over net-new
-registrations): pins that ``build_ivf_sq8_index`` (registry defaults:
+"""Pins `ann_topk_ivf_sq8`'s SHIPPED store-backed registry path (the
+re-lead landed in r17; this file started as its rehearsal and now
+guards the live path against the unchanged registry oracle): pins
+that ``build_ivf_sq8_index`` (registry defaults:
 centroid_mod=37/rem=3, frozen corpus-derived scale) +
 ``query_ivf_sq8_index`` with the registry query's exact probe set
 (vec_id % 50 == 0, k=5, nprobe=2) reproduces the `ann_topk_ivf_sq8`
 DuckDB oracle value for value at sf0.001 — the store freezes the same
 deterministic centroids and SQ8 scale the in-session ``ivf_sq8_topk``
 recomputes per run, and the integer dot scores replay exactly. With
-this green, the r17 re-lead is a move-the-implementation edit with a
-pre-pinned bit-exact oracle."""
+this green, the live store-backed registry implementation is
+value-identical to the oracle the in-session form was recorded
+against."""
 
 from __future__ import annotations
 

@@ -1,8 +1,8 @@
-"""Rehearsal for the planned r17 RE-LEAD of the plain-IVF ANN family
+"""Pins the plain-IVF ANN family's SHIPPED store-backed registry path
 (`ann_topk_ivf`, `ann_topk_ivf_nprobe`, `ann_topk_ivf_recall`,
-`ann_topk_ivf_kmeans`) onto the persisted store (the
-ivf-pq/pq/sq8 re-lead pattern, VERDICT r14 #6 / r15 #4: slot-free
-implementation swaps over net-new registrations): pins that
+`ann_topk_ivf_kmeans` were RE-LED onto build_ivf_index/query_ivf_index
+in r16 — this file started as that re-lead's rehearsal and now guards
+the live path against the unchanged registry oracles): pins that
 
 - ``build_ivf_index`` (registry defaults) + ``query_ivf_index`` at
   nprobe 1/2/8 reproduces the `ann_topk_ivf` / `_nprobe` / `_recall`
@@ -15,9 +15,10 @@ implementation swaps over net-new registrations): pins that
   most expensive in-session IVF leg collapses to the amortized
   read-the-lists path.
 
-With these green, the r17 re-leads are move-the-implementation edits
-with pre-pinned bit-exact oracles (the registration pattern every
-r14-r16 first record followed)."""
+With these green, the live store-backed registry implementations are
+value-identical to the oracles the in-session forms were recorded
+against (the registration pattern every r14-r16 first record
+followed)."""
 
 from __future__ import annotations
 

@@ -1,13 +1,14 @@
-"""Rehearsal for a planned r17 RE-LEAD of `ann_topk_lsh` and
-`ann_topk_lsh_multiprobe` onto the persisted sign-LSH bucket table
-(the store re-lead pattern, VERDICT r14 #6 / r15 #4): pins that ONE
+"""Pins the SHIPPED store-backed registry path of `ann_topk_lsh` and
+`ann_topk_lsh_multiprobe` (the shared-store re-lead landed in r17;
+this file started as its rehearsal and now guards the live path
+against the unchanged registry oracles): pins that ONE
 ``build_lsh_index`` store (bits=4, the registry parameter) +
 ``query_lsh_index`` at nprobe=1 and nprobe=3 reproduces both DuckDB
 oracles value for value at sf0.001 — the store freezes (bits, dim),
 the hyperplanes re-derive deterministically, and the exact-cosine
-re-rank replays bit-exactly. With this green, both r17 re-leads are
-move-the-implementation edits with pre-pinned bit-exact oracles, and
-every ANN registry query has an amortized persisted-store path."""
+re-rank replays bit-exactly. With this green, both live
+store-backed registry implementations are value-identical to their
+oracles, and every ANN registry query runs on a persisted store."""
 
 from __future__ import annotations
 
