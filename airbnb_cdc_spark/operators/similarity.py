@@ -418,11 +418,23 @@ def build_lsh_index(
     to its probed ``bucket=`` directories at the scan (nprobe
     multi-probe fans out only the broadcast query side; the corpus is
     bucketed exactly once — the 100 TB recall knob). ``bits=None``
-    derives the width from the corpus size, then freezes it."""
+    derives the width from the corpus size, then freezes it.
+
+    Fails fast on an empty corpus (the _validated_sq8_scale /
+    _seed_centroids build-time contract): freezing a hash family over
+    zero list rows would make every later query/append silently return
+    empty instead of surfacing the broken build."""
     import os
 
+    n = corpus.count()
+    if n == 0:
+        raise ValueError(
+            "build_lsh_index: empty corpus — refusing to freeze a hash "
+            "family over zero list rows (queries/appends against such a "
+            "store would silently return empty)"
+        )
     if bits is None:
-        bits = auto_bits(corpus.count())
+        bits = auto_bits(n)
     _check_dim(corpus, vec_col, dim)
     planes = [hyperplane(j, dim) for j in range(bits)]
     c = _with_quant(corpus, id_col, vec_col).select(
@@ -454,7 +466,14 @@ def append_lsh_index(
     buckets, ``skip_existing`` replays are append-zero, full-batch
     width guard before anything is written, one file per touched
     bucket per batch, and the ``_recover_parked_lists`` preamble makes
-    crashed-compaction interleavings safe. Returns rows appended."""
+    crashed-compaction interleavings safe. Returns rows appended.
+
+    INSERT-ONLY contract (the IVF-family frozen-geometry caveat): the
+    existence probe sees only the buckets the NEW batch hashes into,
+    so re-appending an id whose embedding CHANGED lands a second row
+    in its new bucket while the stale row persists in the old one —
+    updated vectors require a rebuild (the rebuild-cadence answer the
+    IVF appends document), not an append."""
     import os
 
     _recover_parked_lists(spark, os.path.join(path, "lists"))
@@ -1657,10 +1676,13 @@ def _read_lists(spark, lists_dir: str, cids, part_col: str = "cid") -> DataFrame
         return None
     try:
         return spark.read.option("basePath", lists_dir).parquet(*paths)
-    except AnalysisException:
-        # scoped to analysis-time failures (PATH_NOT_FOUND is one):
-        # a corrupt footer or any executor-side failure should surface
-        # with its original context, not a pointless re-listing
+    except AnalysisException as e:
+        # retry ONLY the missing-path race (check-then-read): any other
+        # analysis failure (corrupt footer, schema merge) is
+        # deterministic — re-attempting it once would just delay the
+        # same error and bury its original context
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
         paths = _existing()
         if not paths:
             return None

@@ -449,3 +449,47 @@ def test_read_lists_retries_check_then_read_race(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert got == want and got
+
+
+def test_read_lists_deterministic_failure_not_retried(
+    spark, tmp_path, monkeypatch
+):
+    """The retry is scoped to the missing-path race ONLY (r16 ADVICE):
+    a deterministic analysis failure — here a list directory that
+    EXISTS but holds no parquet to infer a schema from
+    (UNABLE_TO_INFER_SCHEMA) — must surface with its original context
+    on the FIRST attempt, not after a pointless re-listing that would
+    bury it."""
+    import os
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from airbnb_cdc_spark.operators import merge as merge_mod
+    from airbnb_cdc_spark.operators import similarity as sim
+
+    lists_dir = str(tmp_path / "lists")
+    os.makedirs(os.path.join(lists_dir, "cid=7"))  # exists, zero files
+
+    real_fs = merge_mod._fs
+    exists_calls = []
+
+    def _counting_fs(spark_, p):
+        fs, hp = real_fs(spark_, p)
+
+        class _W:
+            def exists(self, q):
+                exists_calls.append(str(q))
+                return fs.exists(q)
+
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+        return _W(), hp
+
+    monkeypatch.setattr(merge_mod, "_fs", _counting_fs)
+    with pytest.raises(AnalysisException) as exc:
+        sim._read_lists(spark, lists_dir, [7])
+    assert exc.value.getCondition() != "PATH_NOT_FOUND"
+    # one existence probe per requested cid, no second listing pass
+    assert len(exists_calls) == 1, exists_calls

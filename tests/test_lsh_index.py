@@ -90,6 +90,16 @@ def test_append_frozen_family_and_replay_zero(spark, tmp_path):
     assert got == want and got
 
 
+def test_empty_corpus_build_fails_loud(spark, tmp_path):
+    """Freezing a hash family over zero rows would make every later
+    query/append silently return empty — build refuses instead (the
+    _validated_sq8_scale build-time contract, r16 ADVICE)."""
+    empty = _vecs(spark, [])
+    for bits in (4, None):  # explicit width AND the auto_bits path
+        with pytest.raises(ValueError, match="empty corpus"):
+            build_lsh_index(empty, str(tmp_path / f"lsh{bits}"), bits=bits)
+
+
 def test_wrong_width_fails_loud(spark, tmp_path):
     path = str(tmp_path / "lsh")
     build_lsh_index(_vecs(spark, range(60)), path, bits=4)
