@@ -1394,6 +1394,23 @@ def winnow_pairs(
     return winnow_pairs_from_posts(posts, total, id_col, min_shared)
 
 
+def capped_winnow_posts(posts: DataFrame, total: DataFrame) -> DataFrame:
+    """Drop hot fingerprints above the AUTO doc-frequency cap
+    (``max(2, n/100)`` — the Jaccard-family rule) from an (id, fp)
+    posting frame; ``total`` is a one-row ``__n`` doc-count frame.
+    The shared pre-join guard of every winnow consumer: candidate
+    instances stay Σ C(df,2) over capped postings, never all-pairs."""
+    cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
+    keep = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .join(F.broadcast(total))
+        .filter(F.col("__df") <= cap)
+        .select("fp")
+    )
+    return posts.join(keep, "fp")
+
+
 def winnow_pairs_from_posts(
     posts: DataFrame,
     total: DataFrame,
@@ -1406,15 +1423,7 @@ def winnow_pairs_from_posts(
     fingerprint derivation be shared between the fingerprint report
     and the pair derivation (store-not-rescan: the corpus is
     fingerprinted once per snapshot)."""
-    cap = F.greatest(F.lit(2), F.floor(F.col("__n") / 100).cast("long"))
-    keep = (
-        posts.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .join(F.broadcast(total))
-        .filter(F.col("__df") <= cap)
-        .select("fp")
-    )
-    capped = posts.join(keep, "fp")
+    capped = capped_winnow_posts(posts, total)
     a = capped.select(F.col("fp"), F.col(id_col).alias("id_a"))
     b = capped.select(F.col("fp"), F.col(id_col).alias("id_b"))
     return (
@@ -1423,6 +1432,57 @@ def winnow_pairs_from_posts(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def incremental_winnow_neardup(
+    batch: DataFrame,
+    store_posts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-substring detection for a NEW batch against the ingested
+    corpus using only the corpus's stored winnow fingerprints — the
+    MOSS-style analog of ``incremental_minhash_neardup``: the corpus
+    text is NEVER rescanned. ``store_posts`` is a persisted (id, fp)
+    posting frame (``winnowed_fingerprints`` output, hot-fp-capped at
+    ingest via ``capped_winnow_posts`` — the cap is computed ONCE over
+    the frozen corpus snapshot, so it cannot drift between batches the
+    way a per-batch cap would); the batch fingerprints itself per run
+    (per-row window minima, zero shuffles), candidates come from the
+    fp equi-join, and the verify IS the join: the shared-fingerprint
+    count is exact, unlike the minhash leg's signature-agreement
+    estimate, because winnow fingerprints are content hashes, not
+    sketches.
+
+    Returns one row per near-dup batch doc: ``(id, match_id,
+    shared_fps)`` — the corpus doc sharing the most fingerprints (ties
+    to the smallest id), only where ``shared_fps >= min_shared``.
+    Shuffles: the fp join (capped-posting-sized) and the per-batch-doc
+    argmax — nothing corpus-sized moves."""
+    bposts = winnowed_fingerprints(batch, id_col, text_col, k=k, w=w)
+    shared = (
+        bposts.select(F.col(id_col).alias("__bid"), "fp")
+        .join(store_posts.select(F.col(id_col).alias("__cid"), "fp"), "fp")
+        .groupBy("__bid", "__cid")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+    )
+    best = shared.groupBy("__bid").agg(
+        F.min(
+            F.struct(
+                (-F.col("__shared")).alias("d"),
+                F.col("__cid").alias("c"),
+            )
+        ).alias("__best")
+    )
+    return best.select(
+        F.col("__bid").alias(id_col),
+        F.col("__best.c").alias("match_id"),
+        (-F.col("__best.d")).alias("shared_fps"),
     )
 
 

@@ -28,7 +28,7 @@ _ZORDER_BITS, _ZORDER_FILE_BITS = 8, 6
 # shared by the chunk-dedup oracles AND their Spark query bodies
 _CHUNK_W, _CHUNK_S = 64, 48
 
-__all__ = ['_TRADE_VOLUME_ORACLE', '_SEMDEDUP_KEEPER_ORACLE', '_SOFT_DEDUP_ORACLE', '_PRIORITY_RETURNS_ORACLE', '_ASOF_TOLERANCE_SEC', '_ASOF_TOL_ORACLE', '_KMV_WINDOWED_ORACLE', '_FORECAST_REV_ORACLE', '_SOURCE_PROFILE_ORACLE', '_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE', '_LM_BUCKETS', '_LM_SCALE', '_LM_K', '_LM_TARGET', '_LM_ORACLE', '_INCR_LM_ORACLE', '_ORDER_DIST_ORACLE', '_IDLE_CUSTOMERS_ORACLE', '_WAIT_CHAIN_ORACLE', '_JOINT_GATE_ORACLE', '_IDLE_CUTOFF', '_INTERP_LM_ORACLE', '_SMALL_QTY_ORACLE', '_BRACKET_REV_ORACLE', '_MKT_SHARE_ORACLE', '_CHEAPEST_SUPP_ORACLE', '_SUPP_VARIETY_SIZES', '_SUPP_VARIETY_ORACLE', '_SQ8_ORACLE', '_PPL_BUCKETS_ORACLE', '_SQ8_RECALL_ORACLE', '_IVF_SQ8_ORACLE', '_DOMINANT_SUPP_ORACLE', '_KN_LM_ORACLE', '_BLOCKLIST_RULES', '_BLOCKLIST_ORACLE', '_PPL_ASSIGN_ORACLE', '_CLF_BUCKETS', '_CLF_SCALE', '_CLF_K', '_CLF_TARGET', '_CLF_TOPK_ORACLE', '_BPE_SEP', '_BPE_RULES', '_BPE_APPLY_ORACLE']
+__all__ = ['_TRADE_VOLUME_ORACLE', '_SEMDEDUP_KEEPER_ORACLE', '_SOFT_DEDUP_ORACLE', '_PRIORITY_RETURNS_ORACLE', '_ASOF_TOLERANCE_SEC', '_ASOF_TOL_ORACLE', '_KMV_WINDOWED_ORACLE', '_FORECAST_REV_ORACLE', '_SOURCE_PROFILE_ORACLE', '_temp_mixture_sql', '_TEMP_SAMPLE_BUDGET', '_TEMP_SAMPLE_ORACLE', '_INCR_DSIR_ORACLE', '_BEST_KEEPER_ORACLE', '_PART_SHARE_ORACLE', '_RETURNED_REV_ORACLE', '_TOP_SUPPLIER_ORACLE', '_CLUSTER_SIZE_ORACLE', '_TEMP_BUDGET', '_TEMP_WSCALE', '_TEMP_MIXTURE_ORACLE', '_VOCAB_SIZES', '_VOCAB_COVERAGE_ORACLE', '_DSIR_BUCKETS', '_DSIR_SCALE', '_DSIR_K', '_DSIR_TARGET', '_DSIR_ORACLE', '_LEAKAGE_SPLIT_ORACLE', '_length_bucket_oracle', '_DECON_MOD', '_DECON_REM', '_DECON_TAU', '_SEM_DECONTAM_ORACLE', '_quality_chain_oracle', '_BM25_TERMS', '_BM25_K', '_bm25_oracle', '_BOILER_W', '_BOILER_MIN_DF', '_BOILERPLATE_ORACLE', '_PACK_CONCAT_LEN', '_PACK_CONCAT_ORACLE', '_incr_minhash_oracle', '_KMV_ROLLUP_K', '_KMV_ROLLUP_LO', '_KMV_ROLLUP_HI', '_KMV_ROLLUP_ORACLE', '_ZORDER_BITS', '_ZORDER_FILE_BITS', '_PII_SCRUB_EXPR', '_PII_COUNT_EXPRS', '_CHUNK_W', '_CHUNK_S', '_BLOOM_BITS', '_BLOOM_K', '_BLOOM_BAL', '_NEG_K', '_NEG_B', '_AGG_ORACLE', '_LOOKUP_ORACLE', '_FLAGS_ORACLE', '_MERGE_ORACLE', '_TOKS_CTE', '_SH_CTE', '_SH_CAP_CTE', '_stop_list', '_TEXT_STATS_ORACLE', '_QUALITY_ORACLE', '_TOP_TERMS_ORACLE', '_lang_oracle', '_FINGERPRINT_ORACLE', '_DEDUP_EXACT_ORACLE', '_JACCARD_VERIFY', '_NGRAM_JACCARD_ORACLE', '_CONTAINMENT_ORACLE', '_INCREMENTAL_ORACLE', '_minhash_bands_sql', '_MINHASH_ORACLE', '_simhash_oracle', '_QUANT_CTE', '_cos_sql', '_COS', '_ANN_BF_ORACLE', '_KNN_VOTE_ORACLE', '_NEG_ORACLE', '_bucket_sql', '_ANN_LSH_ORACLE', '_PROJS_SQL', '_ANN_LSH_MP_ORACLE', '_NEARDUP_ORACLE', '_SEMDEDUP_ORACLE', '_MM_ORACLE', '_MM_RESIZE_ORACLE', '_MM_FRAMES_ORACLE', '_WINDOW_ORACLE', '_CMS_ORACLE', '_KMV_ORACLE', '_KMV_OVERLAP_ORACLE', '_COHORT_ORACLE', '_TRAIL7_ORACLE', '_HOPPING_ORACLE', '_SESSION_WINDOW_ORACLE', '_ATTRIB_ORACLE', '_BPE_ORACLE', '_SESSION_ORACLE', '_ROLLUP_ORACLE', '_TOPN_ORACLE', '_bloom_pos_sql', '_BLOOM_EFFECT_ORACLE', '_BLOOM_SEMI_ORACLE', '_JSON_ORACLE', '_PRICING_ORACLE', '_SHIPPING_ORACLE', '_LOCAL_SUPPLIER_ORACLE', '_ROLLING_ORACLE', '_IVF_ORACLE', '_ivf_nprobe_sql', '_IVF_KMEANS_ORACLE', '_ASOF_ORACLE', '_PRIORITIES', '_PRIORITY_ALIASES', '_pivot_oracle', '_TRAILING_ORACLE', '_LEADLAG_ORACLE', '_SETOPS_ORACLE', '_CHUNKS_CTE', '_CHUNKS_ORACLE', '_CHUNK_KEEPER_CTE', '_CHUNK_DEDUP_ORACLE', '_CHUNK_DEDUP_SUMMARY_ORACLE', '_CHUNK_INTERVALS_ORACLE', '_INCR_CHUNK_ORACLE', '_H60_SQL', '_WINNOW_CTE', '_WINNOW_FP_ORACLE', '_WINNOW_PAIRS_ORACLE', '_WINNOW_COMPONENTS_ORACLE', '_WINNOW_CANONICAL_ORACLE', '_INCR_WINNOW_ORACLE', '_pii_sql_exprs', '_PII_SCRUB_ORACLE', '_PII_REPORT_ORACLE', '_BUCKET_SQL', '_SAMPLE_ORACLE', '_SPLIT_ORACLE', '_NTILE_ORACLE', '_OOV_ORACLE', '_PREP_ORACLE', '_REPETITION_ORACLE', '_PACK_ORACLE', '_PAIR_SOURCES_ORACLE', '_simhash_cluster_oracle', '_diversity_oracle', '_FUNNEL_ORACLE', '_PROFILE_COLS', '_profile_oracle', '_LATE_SHIP_ORACLE', '_LINESTATUS_ORACLE', '_LARGE_ORDERS_ORACLE', '_H60_SQL', '_DECONTAM_ORACLE', '_BIGRAM_ORACLE', '_OHLC_ORACLE', '_HIST_ORACLE', '_SCD2_ORACLE', '_OUTLIER_ORACLE', '_COMPONENTS_ORACLE', '_PIT_ORACLE', '_CANON_ORACLE', '_FUZZY_LINK_ORACLE', '_PROMO_ORACLE', '_CANONICAL_ORACLE', '_PMI_ORACLE', '_MIXTURE_ORACLE', '_ASOF_FWD_ORACLE', '_RESAMPLE_ORACLE', '_TREND_ORACLE', '_zorder_oracle', '_WEIGHTED_SAMPLE_ORACLE', '_EXPECTATIONS_ORACLE', '_TRANSITIONS_ORACLE', '_TS_SIM_ORACLE', '_sentiment_oracle', '_DECILES_ORACLE', '_PAGERANK_ORACLE', '_VALUE_OUTLIER_ORACLE', '_PARETO_ORACLE', '_RAW_URL_SQL', '_CANON_URL_SQL', '_URL_DEDUP_ORACLE', '_DOMAIN_CAP', '_DOMAIN_CAP_ORACLE', '_LM_BUCKETS', '_LM_SCALE', '_LM_K', '_LM_TARGET', '_LM_ORACLE', '_INCR_LM_ORACLE', '_ORDER_DIST_ORACLE', '_IDLE_CUSTOMERS_ORACLE', '_WAIT_CHAIN_ORACLE', '_JOINT_GATE_ORACLE', '_IDLE_CUTOFF', '_INTERP_LM_ORACLE', '_SMALL_QTY_ORACLE', '_BRACKET_REV_ORACLE', '_MKT_SHARE_ORACLE', '_CHEAPEST_SUPP_ORACLE', '_SUPP_VARIETY_SIZES', '_SUPP_VARIETY_ORACLE', '_SQ8_ORACLE', '_PPL_BUCKETS_ORACLE', '_SQ8_RECALL_ORACLE', '_IVF_SQ8_ORACLE', '_DOMINANT_SUPP_ORACLE', '_KN_LM_ORACLE', '_BLOCKLIST_RULES', '_BLOCKLIST_ORACLE', '_PPL_ASSIGN_ORACLE', '_CLF_BUCKETS', '_CLF_SCALE', '_CLF_K', '_CLF_TARGET', '_CLF_TOPK_ORACLE', '_BPE_SEP', '_BPE_RULES', '_BPE_APPLY_ORACLE']
 
 _AGG_ORACLE = """
 WITH fact AS (
@@ -1329,6 +1329,37 @@ LEFT JOIN comp c ON d.doc_id = c.node AND c.node = c.component
 WHERE NOT EXISTS (
     SELECT 1 FROM comp x WHERE x.node = d.doc_id AND x.node <> x.component
 )
+"""
+
+
+# Incremental winnow near-dup: the NEW half of the corpus against the
+# ingested half's (hot-fp-capped) fingerprint store — the cap counts
+# CORPUS-half doc frequency over CORPUS-half docs only (frozen at
+# ingest; a per-batch cap would drift). Best match per batch doc by
+# shared-fingerprint count, ties to the smallest corpus id.
+_INCR_WINNOW_ORACLE = f"""
+WITH {_WINNOW_CTE.format(toks=_TOKS_CTE)},
+split AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cut FROM documents),
+p AS (SELECT doc_id, unnest(wf) AS fp FROM wn),
+sp AS (SELECT p.doc_id, p.fp FROM p, split WHERE p.doc_id <= cut),
+keep AS (
+    SELECT fp FROM sp GROUP BY fp
+    HAVING count(*) <= (SELECT greatest(2, count(*) // 100)
+                        FROM documents, split WHERE doc_id <= cut)
+),
+sc AS (SELECT sp.doc_id, sp.fp FROM sp JOIN keep USING (fp)),
+bp AS (SELECT p.doc_id, p.fp FROM p, split WHERE p.doc_id > cut),
+shared AS (
+    SELECT b.doc_id AS doc_id, s.doc_id AS match_id,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM bp b JOIN sc s ON b.fp = s.fp
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_id, match_id, shared_fps FROM (
+    SELECT shared.*, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY shared_fps DESC, match_id) AS rn
+    FROM shared
+) WHERE rn = 1
 """
 
 

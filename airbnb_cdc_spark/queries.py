@@ -1821,6 +1821,50 @@ def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp
 
 
+# Incremental winnow near-dup (registered r17, the last dedup family
+# without an incremental leg): the growing-corpus shape over winnow
+# fingerprints — batch (upper half of doc ids) joined against the
+# ingested half's PERSISTED hot-fp-capped posting store. The cap is
+# computed once over the frozen corpus snapshot (a per-batch cap
+# would drift, the same reason the incremental minhash signatures are
+# uncapped); per run only the arriving half is fingerprinted.
+_INCR_WINNOW_POSTS_PATHS: dict[str, str] = {}
+
+
+@query("incremental_winnow_neardup", _INCR_WINNOW_ORACLE)
+def q_incremental_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-substring detection for NEW docs against the ingested
+    corpus from stored winnow fingerprints only — the corpus text is
+    never rescanned (dedup.py incremental_winnow_neardup). Same
+    half-split convention as incremental_dedup_new_docs; the verify IS
+    the fp join (exact shared-fingerprint counts, not a sketch
+    estimate), so the oracle replays every md5-h60 hash bit-for-bit.
+    Registered from its pre-pinned rehearsal oracle
+    (tests/test_incremental_winnow_rehearsal.py), the r16
+    shard_pack_export template."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
+    with_cut = docs.join(F.broadcast(cut))
+    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
+        "doc_id", "text"
+    )
+
+    def _derive(p: str) -> None:
+        corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+            "doc_id", "text"
+        )
+        posts = _dedup.winnowed_fingerprints(corpus)
+        total = corpus.select(F.count(F.lit(1)).alias("__n"))
+        _dedup.capped_winnow_posts(posts, total).select(
+            "doc_id", "fp"
+        ).write.mode("overwrite").parquet(p)
+
+    path = _derive_once(
+        _INCR_WINNOW_POSTS_PATHS, str(sf_dir), "airbnb_cdc_incwin_", _derive
+    )
+    return _dedup.incremental_winnow_neardup(batch, spark.read.parquet(path))
+
+
 _INCR_CHUNK_STORE_PATHS: dict[str, str] = {}
 
 
@@ -5142,7 +5186,7 @@ _DRIVER_PRIORITY = [
     "top_terms_per_doc",
     "user_sessions",
     "winnow_components",
-    # (b) 23 oldest r14-tier backfills (alphabetical):
+    # (b) 22 oldest r14-tier backfills (alphabetical; see (c)):
     "ann_topk_ivf_recall",
     "ann_topk_ivf_sq8",
     "ann_topk_pq",
@@ -5165,21 +5209,32 @@ _DRIVER_PRIORITY = [
     "incremental_lm_quality",
     "interpolated_lm_score",
     "keep_best_quality",
-    "kneser_ney_lm_score",
+    # (c) the query REGISTERED in r17 from its pinned rehearsal
+    # oracle (must take a slot the round it lands — the audit refuses
+    # never-recorded names outside the cut). It takes the slot of the
+    # alphabetically-last r14-tier backfill (kneser_ney_lm_score),
+    # which is r14-tier, so deferring it one round puts it exactly at
+    # MAX_AGE in r18, where the plan below guarantees its slot:
+    "incremental_winnow_neardup",
 ]
 
 # Planned r18 cut, written now per the r12-established discipline so
 # r18 never hits a saturation squeeze. After r17 records the list
-# above, the 27 r14-tier names below age to 4 in r18 — they MUST all
-# be in the r18 cut — and the 23 free slots go to the oldest r15-tier
-# names (alphabetical; the remaining r15-tier queries age to 3 after
-# r18 and form the r19 must-record backbone).
+# above, the 28 r14-tier names below age to 4 in r18 (27 never made
+# the r17 cut + kneser_ney_lm_score, which ceded its r17 slot to the
+# incremental_winnow_neardup registration) — they MUST all be in the
+# r18 cut — and the 22 free slots go to the oldest r15-tier names
+# (alphabetical; dedup_ngram_jaccard_prefix cedes to the r19 backlog,
+# where it hits exactly MAX_AGE and heads the r19 backbone; the
+# remaining r15-tier queries age to 3 after r18 alongside it).
 # scripts/rotation_audit.py --simulate-next checks this list.
 # r18 NEW-QUERY BUDGET: each new registry query must take a slot the
 # round it lands, ceding one r15-tier backfill below to the r19
 # backlog. Prefer re-leads (cost no slot).
 _NEXT_ROUND_PLAN = [
-    # the 27 r14-tier must-records:
+    # the 28 r14-tier must-records (kneser_ney_lm_score deferred from
+    # the r17 cut by the incremental_winnow_neardup registration):
+    "kneser_ney_lm_score",
     "leakage_safe_split",
     "length_quartiles_by_lang",
     "linestatus_priority_class",
@@ -5207,7 +5262,8 @@ _NEXT_ROUND_PLAN = [
     "windowed_kmv_distinct",
     "winnow_keep_canonical",
     "zorder_events_layout",
-    # 23 oldest r15-tier backfills (alphabetical):
+    # 22 oldest r15-tier backfills (alphabetical;
+    # dedup_ngram_jaccard_prefix ceded to the r19 backbone):
     "ann_topk_bruteforce",
     "ann_topk_ivf_kmeans",
     "ann_topk_ivf_pq",
@@ -5230,7 +5286,6 @@ _NEXT_ROUND_PLAN = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
 ]
 
 
