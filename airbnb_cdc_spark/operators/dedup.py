@@ -1443,6 +1443,7 @@ def incremental_winnow_neardup(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    batch_posts: DataFrame | None = None,
 ) -> DataFrame:
     """Near-substring detection for a NEW batch against the ingested
     corpus using only the corpus's stored winnow fingerprints — the
@@ -1462,8 +1463,16 @@ def incremental_winnow_neardup(
     shared_fps)`` — the corpus doc sharing the most fingerprints (ties
     to the smallest id), only where ``shared_fps >= min_shared``.
     Shuffles: the fp join (capped-posting-sized) and the per-batch-doc
-    argmax — nothing corpus-sized moves."""
-    bposts = winnowed_fingerprints(batch, id_col, text_col, k=k, w=w)
+    argmax — nothing corpus-sized moves.
+
+    ``batch_posts`` lets a caller that also needs the batch postings
+    (the streaming leg appends keepers' postings to the store) pass
+    the precomputed frame so the fingerprint pass runs once."""
+    bposts = (
+        batch_posts
+        if batch_posts is not None
+        else winnowed_fingerprints(batch, id_col, text_col, k=k, w=w)
+    )
     shared = (
         bposts.select(F.col(id_col).alias("__bid"), "fp")
         .join(store_posts.select(F.col(id_col).alias("__cid"), "fp"), "fp")
@@ -1484,6 +1493,153 @@ def incremental_winnow_neardup(
         F.col("__best.c").alias("match_id"),
         (-F.col("__best.d")).alias("shared_fps"),
     )
+
+
+def streaming_winnow_neardup(
+    stream_docs: DataFrame,
+    store,
+    report_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming near-substring ingest against a PERSISTENT winnow
+    posting store — the MOSS-style sibling of
+    ``streaming_minhash_neardup``: each micro-batch is checked with
+    ``incremental_winnow_neardup`` (stored postings only, no corpus
+    rescan), its near-dup report lands idempotently in
+    ``report_dir/batch_id=N``, and the KEEPERS' postings (batch docs
+    with no store match) are appended so any earlier batch or run
+    suppresses later recurrences. Intra-batch near-dups are NOT
+    cross-checked (run ``winnow_pairs`` where that matters) — the
+    store is the dedup authority, exactly like the chunk store.
+
+    The hot-fp cap is applied at QUERY time over the store snapshot a
+    batch sees (``capped_winnow_posts`` with the store's own doc
+    count): the corpus grows between batches, so no build-time cap
+    exists to freeze, and the snapshot-at-batch-start is deterministic
+    under replay — the ``(run_id, batch_id)`` exclusion restores the
+    exact pre-crash snapshot, so the cap (and the marking) replays
+    bit-for-bit.
+
+    ``store`` is a ``ParquetMergeTable`` keyed on ``(id_col, fp)``
+    holding posting rows plus ``(run_id, batch_id)`` provenance; the
+    same replay-exclusion protocol as ``_chunk_dedup_batch`` applies.
+
+    Returns the started StreamingQuery; await/stop is the caller's."""
+    import hashlib
+    import uuid as _uuid
+
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    if not isinstance(store, ParquetMergeTable):
+        raise TypeError(
+            f"store must be a ParquetMergeTable, got {type(store).__name__}"
+        )
+    if store.keys != [id_col, "fp"]:
+        raise ValueError(
+            f"store must be keyed on [{id_col!r}, 'fp'], got {store.keys}"
+        )
+
+    run_id = (
+        hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()
+        if checkpoint_dir is not None
+        else _uuid.uuid4().hex
+    )
+
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        _winnow_neardup_batch(
+            batch_df,
+            epoch,
+            store,
+            report_dir,
+            id_col,
+            text_col,
+            k,
+            w,
+            min_shared,
+            run_id=run_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def _winnow_neardup_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    store,
+    report_dir: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    min_shared: int,
+    run_id: str = "",
+) -> None:
+    """One ``streaming_winnow_neardup`` micro-batch, replay-idempotent
+    under the ``(run_id, batch_id)`` exclusion protocol (see
+    ``_chunk_dedup_batch`` — identical reasoning). Module-level so the
+    replay and cross-run properties are directly testable."""
+    import posixpath
+
+    from airbnb_cdc_spark.session import cache_scope
+
+    with cache_scope():
+        if store.exists():
+            seen = store.read()
+            if "batch_id" in seen.columns:
+                same_run = F.coalesce(
+                    F.col("run_id") if "run_id" in seen.columns else F.lit(None),
+                    F.lit(""),
+                ) == F.lit(run_id)
+                same_epoch = (
+                    F.coalesce(F.col("batch_id"), F.lit(-1)) == F.lit(epoch)
+                )
+                seen = seen.filter(~(same_run & same_epoch))
+            seen = persist_tracked(seen.select(id_col, "fp"))
+            # snapshot-time hot-fp cap: doc count and fp frequencies
+            # come from the SAME frozen seen-frame, so the capped
+            # postings are a pure function of the store snapshot
+            total = seen.select(
+                F.count_distinct(F.col(id_col)).alias("__n")
+            )
+            seen = capped_winnow_posts(seen, total)
+        else:
+            seen = batch_df.sparkSession.createDataFrame(
+                [], f"{id_col} long, fp bigint"
+            )
+        # persisted: consumed twice (match join + keeper append) —
+        # without the barrier the fingerprint pass would run per use
+        bposts = persist_tracked(
+            winnowed_fingerprints(batch_df, id_col, text_col, k=k, w=w)
+        )
+        matches = persist_tracked(
+            incremental_winnow_neardup(
+                batch_df,
+                seen,
+                id_col,
+                text_col,
+                k,
+                w,
+                min_shared,
+                batch_posts=bposts,
+            )
+        )
+        matches.write.mode("overwrite").parquet(
+            posixpath.join(report_dir, f"batch_id={epoch}")
+        )
+        fresh = (
+            bposts.join(matches.select(id_col), id_col, "left_anti")
+            .withColumn("batch_id", F.lit(epoch).cast("long"))
+            .withColumn("run_id", F.lit(run_id))
+        )
+        store.merge(fresh, allow_schema_evolution=True)
 
 
 def _sig_band_buckets(

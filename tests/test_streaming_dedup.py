@@ -333,3 +333,201 @@ def test_chunk_dedup_store_safe_across_runs(spark, tmp_path):
     assert {
         (r.chunk_hash, r.batch_id, r.run_id) for r in store.read().collect()
     } == store_a
+
+
+# -- streaming winnow near-dup (the MOSS-style streaming leg) --------------
+#
+# Shared fixture geometry: winnow defaults k=3/w=4, so docs sharing a
+# substring of >= w+k-1 = 6 tokens share fingerprints; BOILER is 8
+# tokens, giving multiple shared fps (>= min_shared 2).
+_WBOILER = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_streaming_winnow_neardup_against_store(spark, tmp_path):
+    """A document ingested in batch 0 suppresses a near-substring
+    recurrence in batch 1 (cross-batch, via the persistent posting
+    store) and in a restarted query (store state); near-dup reports
+    land idempotently per micro-batch and keepers' postings append."""
+    import os
+    import time
+
+    from airbnb_cdc_spark.operators.dedup import streaming_winnow_neardup
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b0 = [
+        {"doc_id": 1, "text": f"{_WBOILER} one two three"},
+        {"doc_id": 2, "text": "unrelated words only here now yes"},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": f"{_WBOILER} four five six"},  # near-dup of 1
+        {"doc_id": 4, "text": "other fresh tokens appear here too"},
+    ]
+    with open(feed / "b0.json", "w") as f:
+        for r in b0:
+            f.write(json.dumps(r) + "\n")
+    with open(feed / "b1.json", "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(feed / "b0.json", (now - 60, now - 60))
+    os.utime(feed / "b1.json", (now, now))
+
+    schema = "doc_id long, text string"
+    store = ParquetMergeTable(
+        spark, str(tmp_path / "store"), ["doc_id", "fp"]
+    )
+    report_dir = str(tmp_path / "report")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = streaming_winnow_neardup(
+            stream,
+            store,
+            report_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    matches = {
+        (r.doc_id, r.match_id)
+        for r in spark.read.parquet(report_dir).collect()
+    }
+    assert matches == {(3, 1)}  # doc 3 matched against the store
+    # store holds keepers' postings only (docs 1, 2, 4 — not 3)
+    assert {
+        r.doc_id for r in store.read().select("doc_id").distinct().collect()
+    } == {1, 2, 4}
+
+    # restart over the same feed: checkpoint skips consumed files; a
+    # NEW file re-sending the boilerplate run is matched against the
+    # STORE (not stream state)
+    b2 = [{"doc_id": 9, "text": f"{_WBOILER} nine ten"}]
+    with open(feed / "b2.json", "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+    run()
+    matches = {
+        (r.doc_id, r.match_id)
+        for r in spark.read.parquet(report_dir).collect()
+    }
+    assert matches == {(3, 1), (9, 1)}
+    assert {
+        r.doc_id for r in store.read().select("doc_id").distinct().collect()
+    } == {1, 2, 4}  # nothing new to insert
+
+
+def test_winnow_neardup_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch's crash contract: replaying an epoch whose
+    store.merge already landed must reproduce the original marking —
+    the batch's own keeper postings are excluded from the seen-set, so
+    keepers stay keepers — and leave the store unchanged (the
+    _chunk_dedup_batch protocol)."""
+    from airbnb_cdc_spark.operators.dedup import _winnow_neardup_batch
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    store = ParquetMergeTable(
+        spark, str(tmp_path / "store"), ["doc_id", "fp"]
+    )
+    report_dir = str(tmp_path / "report")
+
+    def batch_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = batch_df(
+        [
+            (1, f"{_WBOILER} one two three"),
+            (2, "unrelated words only here now yes"),
+        ]
+    )
+    _winnow_neardup_batch(b0, 0, store, report_dir, "doc_id", "text", 3, 4, 2)
+    b1 = batch_df(
+        [
+            (3, f"{_WBOILER} four five six"),
+            (4, "other fresh tokens appear here too"),
+        ]
+    )
+    _winnow_neardup_batch(b1, 1, store, report_dir, "doc_id", "text", 3, 4, 2)
+
+    def snapshot():
+        matches = {
+            (r.doc_id, r.match_id, r.shared_fps)
+            for r in spark.read.parquet(report_dir).collect()
+        }
+        st = {
+            (r.doc_id, r.fp, r.batch_id) for r in store.read().collect()
+        }
+        return matches, st
+
+    m1, s1 = snapshot()
+    assert {(d, m) for d, m, _ in m1} == {(3, 1)}
+    assert {d for d, _, _ in s1} == {1, 2, 4}
+    assert {b for _, _, b in s1} == {0, 1}
+
+    # Crash-replay epoch 1: same data, same epoch, store already holds
+    # epoch 1's keeper postings. Must be a no-op.
+    _winnow_neardup_batch(b1, 1, store, report_dir, "doc_id", "text", 3, 4, 2)
+    assert snapshot() == (m1, s1)
+
+    # And replaying epoch 0 (a lagging restart) is equally safe.
+    _winnow_neardup_batch(b0, 0, store, report_dir, "doc_id", "text", 3, 4, 2)
+    assert snapshot() == (m1, s1)
+
+
+def test_winnow_neardup_store_safe_across_runs(spark, tmp_path):
+    """(run_id, batch_id) exclusion, not batch_id alone: a second run
+    restarting at epoch 0 must be matched AGAINST the first run's
+    history, and must not rewrite its rows."""
+    from airbnb_cdc_spark.operators.dedup import _winnow_neardup_batch
+    from airbnb_cdc_spark.operators.merge import ParquetMergeTable
+
+    store = ParquetMergeTable(
+        spark, str(tmp_path / "store"), ["doc_id", "fp"]
+    )
+    rep_a = str(tmp_path / "rep_a")
+    rep_b = str(tmp_path / "rep_b")
+
+    def batch_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = batch_df([(1, f"{_WBOILER} one two three")])
+    _winnow_neardup_batch(
+        b0, 0, store, rep_a, "doc_id", "text", 3, 4, 2, run_id="runA"
+    )
+    store_a = {
+        (r.doc_id, r.fp, r.batch_id, r.run_id)
+        for r in store.read().collect()
+    }
+    assert {rid for _, _, _, rid in store_a} == {"runA"}
+
+    # Run B (fresh checkpoint -> epoch 0) re-sends the boilerplate run:
+    # matched against run A's history, store rows untouched.
+    b0b = batch_df([(9, f"{_WBOILER} nine ten")])
+    _winnow_neardup_batch(
+        b0b, 0, store, rep_b, "doc_id", "text", 3, 4, 2, run_id="runB"
+    )
+    matches_b = {
+        (r.doc_id, r.match_id)
+        for r in spark.read.parquet(rep_b).collect()
+    }
+    assert matches_b == {(9, 1)}
+    assert {
+        (r.doc_id, r.fp, r.batch_id, r.run_id)
+        for r in store.read().collect()
+    } == store_a
+
+    # Run A's own crash-replay of epoch 0 is still idempotent.
+    _winnow_neardup_batch(
+        b0, 0, store, rep_a, "doc_id", "text", 3, 4, 2, run_id="runA"
+    )
+    assert {
+        (r.doc_id, r.fp, r.batch_id, r.run_id)
+        for r in store.read().collect()
+    } == store_a
