@@ -298,7 +298,12 @@ def ngram_jaccard_pairs(
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     szc = F.col("sz")
     plen = (szc - F.ceil(F.lit(threshold) * szc) + 1).cast("int")
-    p = (
+    # persisted (r17): the self-join below consumes p TWICE — without
+    # the cache the whole explode + keep-join + rank-window pipeline
+    # executed once per side (two ~5-9s-CPU stages at sf0.1, measured);
+    # the cache bounds it to one compute and the join reads the tiny
+    # prefix frame twice (guide §5 — reuse beats recompute here).
+    p = persist_tracked(
         ex.select(
             "id",
             "h",

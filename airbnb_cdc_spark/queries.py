@@ -29,7 +29,7 @@ from airbnb_cdc_spark.operators.lookup import latest_per_key, lookup_latest
 from airbnb_cdc_spark.operators.merge import merge_dataframes
 from airbnb_cdc_spark.operators.project import cast_to_contract, select_columns
 from airbnb_cdc_spark.operators.split import conditional_split
-from airbnb_cdc_spark.session import load_table
+from airbnb_cdc_spark.session import ensure_parallelism, load_table, persist_tracked
 from airbnb_cdc_spark.oracles import *  # noqa: F401,F403
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3001,16 +3001,31 @@ def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipment graph — the iterative-algorithm representative whose
     integer quantization makes it the rare PageRank a DuckDB oracle can
     check bit-for-bit (operators/graph.py pagerank_quantized; the
-    oracle unrolls the same three iterations as CTEs)."""
+    oracle unrolls the same three iterations as CTEs).
+
+    r17 (guide §2.3, narrower types): node ids ride the three
+    iterations' joins/aggregations as BIGINTs — suppliers encode as
+    2·suppkey, customers as 2·custkey+1 (disjoint by parity, a
+    bijection onto the oracle's 's<k>'/'c<k>' strings) — and the
+    string form is reconstructed only in the final projection. The
+    edge distinct + 3 iterations shuffle ints instead of strings
+    (~2.5x fewer bytes, no per-row string hashing); ranks are
+    integer-exact per node, so the bijection provably preserves every
+    value (oracle-verified)."""
     from airbnb_cdc_spark.operators.graph import pagerank_quantized
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
     )
-    return pagerank_quantized(edges)
+    pr = pagerank_quantized(edges)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("c"), F.expr("node div 2").cast("string")))
+    return pr.select(node_str.alias("node"), "pr")
 
 
 @query("value_outliers_by_type", _VALUE_OUTLIER_ORACLE)
@@ -3574,14 +3589,21 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     double at the boundary); part dim broadcasts into the final
     enrich. DECIMAL(32,4) keeps the sum's native scale — the cast never
     rounds — while staying inside DuckDB's p1+p2 <= 38 multiply cap."""
+    # persist (r17): the group aggregate is consumed by BOTH the
+    # total and the HAVING branch — unpersisted, the lineitem scan +
+    # aggregate ran twice (two identical 780 ms single-core stages,
+    # measured); persisting the partkey-sized frame makes the total a
+    # cache read (guide §5 — reuse beats recompute here)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     )
-    g = li.groupBy("l_partkey").agg(
-        F.sum(rev).cast("decimal(32,4)").alias("__rev")
+    g = persist_tracked(
+        li.groupBy("l_partkey").agg(
+            F.sum(rev).cast("decimal(32,4)").alias("__rev")
+        )
     )
     tot = g.agg(F.sum("__rev").cast("decimal(32,4)").alias("__tot"))
     return (
@@ -3853,8 +3875,15 @@ def q_incremental_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
     )
     with_cut = docs.join(F.broadcast(cut))
-    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
-        "doc_id", "text"
+    # widen (r17): lm_select's tokenize + bigram explode + scoring ran
+    # as ONE 1.08s task on the single-file batch scan (measured); the
+    # fan-out shuffles only (doc_id, text) of the arriving half and is
+    # a no-op on many-file inputs — the standard text-operator pattern
+    # (_hashed_base, corpus_prep_summary).
+    batch = ensure_parallelism(
+        with_cut.filter(F.col("doc_id") > F.col("cut")).select(
+            "doc_id", "text"
+        )
     )
 
     def _derive(p: str) -> None:
