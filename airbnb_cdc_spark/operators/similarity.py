@@ -338,6 +338,76 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int, full: bool = False) -> Non
         )
 
 
+# Store-artifact read cache (r17, guide §1/§6): every stored-ANN query
+# run re-paid spark.read.parquet's ~90 ms footer re-analysis per
+# artifact (centroids/, scale/, codebook/, meta/, codes/) plus a
+# collect job for meta rows and geometry/width probes — fixed driver
+# overhead ∝ artifacts, not data. Entries are keyed on (session, path,
+# DIRECTORY MTIME): a rebuild (overwrite recreates the dir) or an
+# append (new part files touch the dir) changes the mtime, so a stale
+# plan or row can never be served; partitioned layouts (lists/cid=N)
+# stay UNcached because writes land in subdirectories the parent mtime
+# does not reflect (_read_lists handles those). Data is still scanned
+# from parquet on every action — this caches analysis and bounded
+# metadata, never rows of a query result.
+_STORE_PART_CACHE: dict = {}
+
+
+def _store_part_mtime(spark, path: str):
+    try:
+        from airbnb_cdc_spark.operators.merge import _fs
+
+        fs, _ = _fs(spark, path)
+        return fs.getFileStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(path)
+        ).getModificationTime()
+    except Exception:
+        return None
+
+
+def _cached_part(spark, path: str, kind: str, build):
+    mtime = _store_part_mtime(spark, path)
+    if mtime is None:
+        return build()
+    key = (kind, id(spark), path, mtime)
+    hit = _STORE_PART_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    val = build()
+    _STORE_PART_CACHE[key] = (spark, val)
+    return val
+
+
+def _read_store_part(spark, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` memoized per (session, path, dir
+    mtime) — for flat store artifacts only (module comment above)."""
+    return _cached_part(spark, path, "df", lambda: spark.read.parquet(path))
+
+
+def _store_part_row(spark, path: str):
+    """First row of a 1-row store artifact (``meta/``), memoized."""
+    return _cached_part(
+        spark, path, "row", lambda: _read_store_part(spark, path).collect()[0]
+    )
+
+
+def _stored_width_cached(spark, path: str, code_col: str) -> int | None:
+    """The limit-1 stored-width probe of ``_check_stored_width``,
+    memoized per (session, path, dir mtime). Returns None on an empty
+    store. The incoming-frame side of the guard stays per-call."""
+
+    def _probe():
+        row = (
+            _read_store_part(spark, path)
+            .select(F.size(F.col(code_col)).alias("d"))
+            .limit(1)
+            .collect()
+        )
+        return row[0].d if row else None
+
+    return _cached_part(spark, path, f"width:{code_col}", _probe)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -483,7 +553,7 @@ def append_lsh_index(
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
-    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    meta = _store_part_row(spark, os.path.join(path, "meta"))
     bits, dim = meta.bits, meta.dim
     _check_dim(new_vectors, vec_col, dim, full=True)
     planes = [hyperplane(j, dim) for j in range(bits)]
@@ -533,7 +603,7 @@ def query_lsh_index(
     same logical corpus and (bits, nprobe)."""
     import os
 
-    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    meta = _store_part_row(spark, os.path.join(path, "meta"))
     bits, dim = meta.bits, meta.dim
     nprobe = max(1, min(nprobe, bits + 1))
     _check_dim(queries, vec_col, dim, full=True)
@@ -708,7 +778,7 @@ def append_sq8_index(
     contract every incremental store in this repo follows)."""
     import os
 
-    scale = spark.read.parquet(os.path.join(path, "scale"))
+    scale = _read_store_part(spark, os.path.join(path, "scale"))
     stored_d = _check_stored_width(
         spark.read.parquet(os.path.join(path, "codes")),
         new_vectors,
@@ -747,13 +817,16 @@ def query_sq8_index(
     asserted), so in-session results carry over to the stored form."""
     import os
 
-    scale = spark.read.parquet(os.path.join(path, "scale"))
-    stored_codes = spark.read.parquet(os.path.join(path, "codes"))
+    scale = _read_store_part(spark, os.path.join(path, "scale"))
+    stored_codes = _read_store_part(spark, os.path.join(path, "codes"))
     # the scale is a scalar (max_abs), so the stored WIDTH lives in the
     # code table: one limit-1 probe guards the query frame — zip_with
     # silently truncates a wider query into plausible-but-wrong scores
-    # (the _stored_pq_geometry class of drift)
-    _check_stored_width(stored_codes, queries, vec_col)
+    # (the _stored_pq_geometry class of drift). Stored side memoized
+    # (r17); the query-frame check stays per-call.
+    d = _stored_width_cached(spark, os.path.join(path, "codes"), "c8")
+    if d is not None:
+        _check_dim(queries, vec_col, d, full=True)
     c = stored_codes.select(
         F.col(id_col).alias("neighbor_id"), F.col("c8").alias("__cc")
     )
@@ -1154,7 +1227,7 @@ def append_ivf_index(
     # probe, or a replayed id double-writes and the next recovery
     # deletes the parked original (row loss)
     _recover_parked_lists(spark, os.path.join(path, "lists"))
-    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    stored_cents = _read_store_part(spark, os.path.join(path, "centroids"))
     # width guard (the _stored_pq_geometry class): a wrong-width batch
     # would assign via silently-truncated cosines and poison the lists
     stored_d = _check_stored_width(
@@ -1211,10 +1284,12 @@ def query_ivf_index(
     from pyspark.sql import Window
     import os
 
-    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    stored_cents = _read_store_part(spark, os.path.join(path, "centroids"))
     # width guard (the _stored_pq_geometry class): the probe cosine's
     # zip_with silently truncates a wider query frame
-    _check_stored_width(stored_cents, queries, vec_col, code_col="__qc")
+    d = _stored_width_cached(spark, os.path.join(path, "centroids"), "__qc")
+    if d is not None:
+        _check_dim(queries, vec_col, d, full=True)
     cents = F.broadcast(stored_cents)
     # widen kept: the probe scoring below (crossJoin + window) runs on
     # this frame's partitioning — see ivf_topk's probes note.
@@ -1328,11 +1403,11 @@ def append_ivf_sq8_index(
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
-    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    stored_cents = _read_store_part(spark, os.path.join(path, "centroids"))
     stored_d = _check_stored_width(
         stored_cents, new_vectors, vec_col, code_col="__qc", full=False
     )
-    scale = spark.read.parquet(os.path.join(path, "scale"))
+    scale = _read_store_part(spark, os.path.join(path, "scale"))
     cents = F.broadcast(stored_cents)
     base = _with_quant(new_vectors, id_col, vec_col)
     assigned = persist_tracked(
@@ -1382,9 +1457,11 @@ def query_ivf_sq8_index(
 
     from pyspark.sql import Window
 
-    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
-    _check_stored_width(stored_cents, queries, vec_col, code_col="__qc")
-    scale = spark.read.parquet(os.path.join(path, "scale"))
+    stored_cents = _read_store_part(spark, os.path.join(path, "centroids"))
+    d = _stored_width_cached(spark, os.path.join(path, "centroids"), "__qc")
+    if d is not None:
+        _check_dim(queries, vec_col, d, full=True)
+    scale = _read_store_part(spark, os.path.join(path, "scale"))
     cents = F.broadcast(stored_cents)
     qs = _with_quant(queries, id_col, vec_col, widen=False)
     scored = qs.crossJoin(cents).withColumn(
@@ -1715,12 +1792,20 @@ def _stored_pq_geometry(
     fails loud (the SQ8 ``scale/`` persistence contract, without
     needing a separate meta file). One 1-row collect over the
     broadcast-sized codebook — control-plane, like the centroid
-    lists."""
-    row = codebook.select(
-        (F.max("j") + F.lit(1)).alias("m"),
-        F.max(F.size("__csub")).alias("d"),
-        F.min(F.size("__csub")).alias("d_min"),
-    ).first()
+    lists. The collect is memoized per codebook DataFrame OBJECT
+    (r17): ``_read_store_part`` returns the same object per (session,
+    path, mtime), so repeated queries of one store skip the probe job;
+    a fresh DataFrame (appends, direct reads) probes as before."""
+    hit = _STORE_PART_CACHE.get(("geom", id(codebook)))
+    row = hit[1] if hit is not None and hit[0] is codebook else None
+    if row is None:
+        row = codebook.select(
+            (F.max("j") + F.lit(1)).alias("m"),
+            F.max(F.size("__csub")).alias("d"),
+            F.min(F.size("__csub")).alias("d_min"),
+        ).first()
+        if row is not None:
+            _STORE_PART_CACHE[("geom", id(codebook))] = (codebook, row)
     if row is None or row.m is None:
         raise ValueError("persisted PQ codebook is empty")
     stored_m, stored_dim = int(row.m), int(row.m) * int(row.d)
@@ -2182,7 +2267,7 @@ def append_pq_index(
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
-    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    stored_cb = _read_store_part(spark, os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
     # full=True (not the limit-1 probe): PQ encodes via F.slice, which
     # silently truncates a WIDER row into plausible-but-wrong codes —
@@ -2230,14 +2315,14 @@ def query_pq_index(
 
     from pyspark.sql import Window
 
-    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    stored_cb = _read_store_part(spark, os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
     # the query frame must match the stored width too: F.slice never
     # errors on longer arrays, so a 128-dim query against a 64-dim
     # index would otherwise score the first 64 components silently
     _check_dim(queries, vec_col, dim, full=True)
     cb = F.broadcast(stored_cb)
-    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+    codes = _read_store_part(spark, os.path.join(path, "codes")).select(
         F.col(id_col).alias("neighbor_id"), "j", "cid"
     )
     lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
@@ -2362,8 +2447,8 @@ def append_ivf_pq_index(
     want = spark.sparkContext.defaultParallelism
     if new_vectors.rdd.getNumPartitions() < want:
         new_vectors = new_vectors.repartition(want)
-    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
-    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    cents = F.broadcast(_read_store_part(spark, os.path.join(path, "centroids")))
+    stored_cb = _read_store_part(spark, os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
     # full=True for the same reason as append_pq_index: the F.slice
     # encode silently truncates wider rows, so only a pre-encode
@@ -2534,10 +2619,10 @@ def query_ivf_pq_index(
 
     from pyspark.sql import Window
 
-    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    cents = F.broadcast(_read_store_part(spark, os.path.join(path, "centroids")))
     # geometry first (before probe selection): the probe-side cosine
     # zip_with would silently truncate a wrong-width query frame too
-    stored_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    stored_cb = _read_store_part(spark, os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
     _check_dim(queries, vec_col, dim, full=True)
     # widen=False: the query frame is tiny and feeds a broadcast —
