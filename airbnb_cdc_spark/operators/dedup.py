@@ -892,6 +892,7 @@ def chunk_dedup(
     text_col: str = "text",
     window: int = 64,
     stride: int = 48,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Paragraph/substring-level exact dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): mark
@@ -925,16 +926,23 @@ def chunk_dedup(
     ``exact_dedup`` one granularity down."""
     from airbnb_cdc_spark.operators.text import chunk_documents
 
-    # persist: the keeper aggregate and the mark-back probe both consume
-    # the chunk frame — uncached, BOTH join sides re-run the tokenize +
-    # slice + md5 pipeline from the scan (the plan showed the chunking
-    # subtree twice). Chunk rows are tiny (hash + three ints, no token
-    # arrays), so the cache is cheap at any corpus size.
-    chunks = persist_tracked(
-        chunk_documents(
-            df, id_col=id_col, text_col=text_col, window=window, stride=stride
+    # ``chunks`` (r17): a caller holding a precomputed chunk table
+    # (e.g. the registry's derive-once chunk store, shared by the
+    # spans/summary/intervals family) passes it here and the
+    # tokenize + slice + md5 pipeline is skipped entirely — the
+    # keeper/mark-back tail reads the store on both join sides.
+    if chunks is None:
+        # persist: the keeper aggregate and the mark-back probe both
+        # consume the chunk frame — uncached, BOTH join sides re-run
+        # the tokenize + slice + md5 pipeline from the scan (the plan
+        # showed the chunking subtree twice). Chunk rows are tiny
+        # (hash + three ints, no token arrays), so the cache is cheap
+        # at any corpus size.
+        chunks = persist_tracked(
+            chunk_documents(
+                df, id_col=id_col, text_col=text_col, window=window, stride=stride
+            )
         )
-    )
     return _mark_chunk_keepers(chunks, id_col)
 
 
@@ -995,6 +1003,7 @@ def chunk_dedup_summary(
     text_col: str = "text",
     window: int = 64,
     stride: int = 48,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document chunk-duplication profile: total chunks, droppable
     (non-keeper) chunks, and the duplication ratio — the corpus-prep
@@ -1012,11 +1021,12 @@ def chunk_dedup_summary(
     to)."""
     from airbnb_cdc_spark.operators.text import chunk_documents
 
-    chunks = persist_tracked(
-        chunk_documents(
-            df, id_col=id_col, text_col=text_col, window=window, stride=stride
+    if chunks is None:
+        chunks = persist_tracked(
+            chunk_documents(
+                df, id_col=id_col, text_col=text_col, window=window, stride=stride
+            )
         )
-    )
     per_doc = chunks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks")
     )
@@ -1041,6 +1051,7 @@ def chunk_dedup_intervals(
     text_col: str = "text",
     window: int = 64,
     stride: int = 48,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """The actionable output of chunk-level dedup: per document, the
     MERGED token intervals to cut — droppable chunk occurrences
@@ -1062,7 +1073,8 @@ def chunk_dedup_intervals(
     result engine-deterministic."""
     spans = (
         chunk_dedup(
-            df, id_col=id_col, text_col=text_col, window=window, stride=stride
+            df, id_col=id_col, text_col=text_col, window=window,
+            stride=stride, chunks=chunks,
         )
         .filter(F.col("is_dup"))
         .select(

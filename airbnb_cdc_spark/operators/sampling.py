@@ -428,9 +428,18 @@ def pack_concat_split(
 
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    counts = df.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("__n")
-    ).filter(F.col("__n") > 0)
+    from airbnb_cdc_spark.session import persist_tracked
+
+    # persisted (r17): the scan's approxQuantile action, its totals
+    # collect, and the final windowed pass each consume this frame —
+    # unpersisted, every action re-TOKENIZED the corpus (the expensive
+    # projection; three full passes measured). The cached frame is two
+    # ints per doc (guide §5 — recompute here is the expensive side).
+    counts = persist_tracked(
+        df.select(
+            F.col(id_col), token_count(F.col(text_col)).alias("__n")
+        ).filter(F.col("__n") > 0)
+    )
     scanned = global_running_sum(
         counts, order_col=id_col, value_col="__n", tie_breaks=[], out_col="__ge"
     )
