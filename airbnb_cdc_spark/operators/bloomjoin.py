@@ -31,12 +31,17 @@ is likewise built, collected, and replanned as a scan-side filter);
 the driver cost is the bitset itself, ``num_bits/8`` bytes
 (1 MiB at the 2^23 default), a deliberate metadata-sized collect.
 
-Determinism: positions are md5-h60 of ``"<i>:<key>"`` mod
-``num_bits`` — exact integers, reproducible in DuckDB with the shared
-``('0x' || substring(md5(..), 1, 15))`` convention, so even the
-pre-verify survivor set (false positives included) is oracle-checkable
-cross-engine (the bitset word test is equivalent to position-set
-membership).
+Determinism: ``bloom_mark``/``bloom_prune`` positions are md5-h60 of
+``"<i>:<key>"`` mod ``num_bits`` — exact integers, reproducible in
+DuckDB with the shared ``('0x' || substring(md5(..), 1, 15))``
+convention, so even the pre-verify survivor set (false positives
+included) is oracle-checkable cross-engine (the bitset word test is
+equivalent to position-set membership). ``bloom_semi_join`` instead
+probes with native ``xxhash64`` positions (r17): its exact verify
+makes the END RESULT identical for any position hash, and the md5
+expression chain was the measured bottleneck of the probe scan — only
+callers whose contract is the survivor set itself need the
+oracle-replayable md5 form.
 
 Sizing: with ``n`` dim keys, ``m = num_bits``, ``k = num_hashes``,
 false-positive rate ≈ ``(1 - e^(-kn/m))^k`` — 1 byte per key

@@ -84,10 +84,11 @@ SNAPS = [
     ),
     (
         "chunk_dedup_spans",
-        "chunk-level dedup: narrow projection+explode chunking, ONE hash "
-        "groupBy on chunk_hash for the keeper (map-side partial min-"
-        "struct), mark-back join on the same key (AQE broadcast at this "
-        "scale, co-partitioned shuffle join beyond) — no all-pairs",
+        "r17 store re-lead: the keeper groupBy and mark-back join read "
+        "the shared derive-once chunk table (zero bytes of "
+        "documents.parquet in the plan — one tokenize+slice+md5 pass "
+        "serves spans/summary/intervals); same keeper semantics, no "
+        "all-pairs",
     ),
     (
         "pii_scrub",
@@ -112,10 +113,9 @@ SNAPS = [
         "bloom_semi_join_orders",
         "Bloom runtime filter: the bitset is an ARRAY LITERAL in a "
         "scan-side Filter BELOW the fact's Exchange (survivors-only "
-        "shuffle into the verify semi join) — the broadcast-bitmap-join "
-        "form was reordered behind the verify by "
-        "PushDownLeftSemiAntiJoin and rejected (see operators/"
-        "bloomjoin.py docstring)",
+        "shuffle into the verify semi join); r17 — the probe hashes "
+        "with native xxhash64 (the verify join makes the result "
+        "hash-independent; bloom_mark keeps the oracle-replayable md5)",
     ),
     (
         "zorder_events_layout",
@@ -199,8 +199,9 @@ SNAPS = [
     ),
     (
         "important_parts_share",
-        "global total as a 1-row broadcast into the HAVING; the share "
-        "boundary compares exact decimals; part dim broadcast into the "
+        "global total as a 1-row broadcast into the HAVING; r17 — the "
+        "partkey aggregate is persisted so the total and the HAVING "
+        "branch share ONE lineitem scan; part dim broadcast into the "
         "final enrich",
     ),
     (
