@@ -135,6 +135,7 @@ def bloom_bitset_words(
     num_bits: int,
     num_hashes: int,
     hash_fn: str = "md5",
+    key_cast: str | None = None,
 ) -> list[int]:
     """The dim key set as a DENSE word array (``num_bits/64`` longs;
     word = position >> 6, bit = position & 63). Built with one explode
@@ -144,12 +145,11 @@ def bloom_bitset_words(
     longs at the 2^23-bit default), never the keys."""
     if num_bits < 64 or num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    bkey = F.col(key_col).cast(key_cast) if key_cast else F.col(key_col)
     rows = (
         keys_df.select(
             F.explode(
-                F.array(
-                    *bloom_positions(F.col(key_col), num_bits, num_hashes, hash_fn)
-                )
+                F.array(*bloom_positions(bkey, num_bits, num_hashes, hash_fn))
             ).alias("pos")
         )
         .distinct()
@@ -176,6 +176,7 @@ def bloom_mark(
     num_hashes: int = 3,
     out_col: str = "bloom_hit",
     hash_fn: str = "md5",
+    key_cast: str | None = None,
 ) -> DataFrame:
     """``fact`` + boolean ``out_col``: does the row's key PASS the
     dim's Bloom bitset (true matches plus false positives)? The bitset
@@ -189,9 +190,12 @@ def bloom_mark(
     dim_key = dim_key or fact_key
     if num_bits is None:
         num_bits, _ = _auto_num_bits(keys_df, dim_key)
-    words = F.lit(bloom_bitset_words(keys_df, dim_key, num_bits, num_hashes, hash_fn))
+    words = F.lit(
+        bloom_bitset_words(keys_df, dim_key, num_bits, num_hashes, hash_fn, key_cast)
+    )
+    probe = F.col(fact_key).cast(key_cast) if key_cast else F.col(fact_key)
     cond = None
-    for p in bloom_positions(F.col(fact_key), num_bits, num_hashes, hash_fn):
+    for p in bloom_positions(probe, num_bits, num_hashes, hash_fn):
         # element_at is 1-based on arrays; the array is dense, so no
         # missing-word coalesce is needed.
         hit = (
@@ -212,11 +216,12 @@ def bloom_prune(
     num_bits: int | None = None,
     num_hashes: int = 3,
     hash_fn: str = "md5",
+    key_cast: str | None = None,
 ) -> DataFrame:
     """``fact`` filtered to its Bloom survivors — NO exact verify (use
     ``bloom_semi_join`` for the exact result)."""
     marked = bloom_mark(
-        fact, keys_df, fact_key, dim_key, num_bits, num_hashes, "__bh", hash_fn
+        fact, keys_df, fact_key, dim_key, num_bits, num_hashes, "__bh", hash_fn, key_cast
     )
     return marked.filter(F.col("__bh")).drop("__bh")
 
@@ -250,8 +255,30 @@ def bloom_semi_join(
     # xxh64 positions (r17): the verify join makes the result identical
     # for ANY position hash, so the probe uses the ~10x-cheaper native
     # xxhash64 instead of the oracle-replayable md5 chain (which only
-    # bloom_mark/bloom_prune — whose OUTPUT is the survivor set — need)
+    # bloom_mark/bloom_prune — whose OUTPUT is the survivor set — need).
+    # xxhash64 is TYPE-sensitive (int 7 and bigint 7 hash differently),
+    # so mismatched key dtypes would make build and probe position sets
+    # disjoint and silently prune TRUE matches before the verify (r17
+    # ADVICE). Normalize: same dtype hashes natively; differing integral
+    # dtypes widen both sides to bigint (value-preserving); anything
+    # else normalizes through the md5 string path.
+    ftype = dict(fact.dtypes).get(fact_key)
+    dtype = dict(dim.dtypes).get(dim_key)
+    key_cast, hash_fn = None, "xxh64"
+    if ftype != dtype:
+        _ints = {"tinyint", "smallint", "int", "bigint"}
+        if ftype in _ints and dtype in _ints:
+            key_cast = "bigint"
+        else:
+            hash_fn = "md5"
     pruned = bloom_prune(
-        fact, dim, fact_key, dim_key, num_bits, num_hashes, hash_fn="xxh64"
+        fact,
+        dim,
+        fact_key,
+        dim_key,
+        num_bits,
+        num_hashes,
+        hash_fn=hash_fn,
+        key_cast=key_cast,
     )
     return pruned.join(keys, on=fact_key, how="left_semi")

@@ -886,6 +886,33 @@ def streaming_incremental_dedup(
     return writer.start()
 
 
+def _check_chunk_params(
+    chunks: DataFrame, id_col: str, window: int, stride: int
+) -> None:
+    """Guard for precomputed-``chunks=`` callers (r17 ADVICE): a chunk
+    table built with different (window, stride, id_col) than the call
+    names would yield plausible-but-wrong keeper marks with no error.
+    ``chunk_documents`` stamps its parameters on the returned frame
+    (``_chunk_params``); store readers re-attach it. A frame without
+    the stamp is only checked for the id column (hand-built test
+    frames stay accepted — the stamp covers the store-reuse path the
+    guard exists for)."""
+    if id_col not in chunks.columns:
+        raise ValueError(
+            f"precomputed chunks frame lacks id column {id_col!r} "
+            f"(has {chunks.columns})"
+        )
+    got = getattr(chunks, "_chunk_params", None)
+    if got is None:
+        return
+    want = {"id_col": id_col, "window": window, "stride": stride}
+    if dict(got) != want:
+        raise ValueError(
+            f"precomputed chunks frame was built with {dict(got)} but the "
+            f"call names {want}; pass a matching chunk table"
+        )
+
+
 def chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -931,6 +958,8 @@ def chunk_dedup(
     # spans/summary/intervals family) passes it here and the
     # tokenize + slice + md5 pipeline is skipped entirely — the
     # keeper/mark-back tail reads the store on both join sides.
+    if chunks is not None:
+        _check_chunk_params(chunks, id_col, window, stride)
     if chunks is None:
         # persist: the keeper aggregate and the mark-back probe both
         # consume the chunk frame — uncached, BOTH join sides re-run
@@ -1021,6 +1050,8 @@ def chunk_dedup_summary(
     to)."""
     from airbnb_cdc_spark.operators.text import chunk_documents
 
+    if chunks is not None:
+        _check_chunk_params(chunks, id_col, window, stride)
     if chunks is None:
         chunks = persist_tracked(
             chunk_documents(

@@ -19,6 +19,8 @@ integer-valued pseudo-random projections, so bucket ids are exact too.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -351,29 +353,69 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int, full: bool = False) -> Non
 # from parquet on every action — this caches analysis and bounded
 # metadata, never rows of a query result.
 _STORE_PART_CACHE: dict = {}
+# Bound (r17 ADVICE): rebuilds/appends insert new-signature entries while
+# superseded ones would otherwise stay alive (and geometry entries pin a
+# DataFrame each) — unbounded driver growth in long sessions. Same-
+# (kind, session, path) predecessors are dropped on insert; the FIFO cap
+# backstops keys with no path component (the geometry probe).
+_STORE_PART_CACHE_MAX = 1024
 
 
-def _store_part_mtime(spark, path: str):
+def _store_part_sig(spark, path: str):
+    """Content signature of a FLAT store artifact dir. Local posix dirs
+    (every _derive_once/store layout we produce) hash the child listing
+    — (name, mtime_ns, size) per entry — so a same-tick overwrite or a
+    sub-second append-after-read always changes the key (part-file
+    names are fresh UUIDs on every write; mtime_ns beats 1 s dir-mtime
+    granularity). Non-local paths fall back to the Hadoop dir mtime; an
+    object store that reports no usable mtime returns None, which
+    DISABLES caching for that path (r17 ADVICE) rather than risking a
+    stale plan."""
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                return hash(
+                    tuple(
+                        sorted(
+                            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                            for e in it
+                        )
+                    )
+                )
+        except OSError:
+            return None
     try:
         from airbnb_cdc_spark.operators.merge import _fs
 
         fs, _ = _fs(spark, path)
-        return fs.getFileStatus(
+        mtime = fs.getFileStatus(
             spark._jvm.org.apache.hadoop.fs.Path(path)
         ).getModificationTime()
+        return mtime or None
     except Exception:
         return None
 
 
 def _cached_part(spark, path: str, kind: str, build):
-    mtime = _store_part_mtime(spark, path)
-    if mtime is None:
+    sig = _store_part_sig(spark, path)
+    if sig is None:
         return build()
-    key = (kind, id(spark), path, mtime)
+    key = (kind, id(spark), path, sig)
     hit = _STORE_PART_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
     val = build()
+    # evict superseded signatures for the same artifact, then backstop
+    # total size (plain FIFO — the cache is tiny relative to the cap)
+    stale = [
+        k
+        for k in _STORE_PART_CACHE
+        if len(k) == 4 and k[:3] == (kind, id(spark), path)
+    ]
+    for k in stale:
+        _STORE_PART_CACHE.pop(k, None)
+    while len(_STORE_PART_CACHE) >= _STORE_PART_CACHE_MAX:
+        _STORE_PART_CACHE.pop(next(iter(_STORE_PART_CACHE)), None)
     _STORE_PART_CACHE[key] = (spark, val)
     return val
 

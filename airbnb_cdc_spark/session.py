@@ -84,12 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to UTC here too — the driver may run these queries in its own
     session, and window/date_trunc boundaries must line up with the
     (TZ-naive) DuckDB oracles."""
+    # Conf pins run on EVERY call, before the memo lookup: the session
+    # timezone affects execution (not the cached logical plan), so a
+    # caller that mutated it between loads must still get UTC semantics
+    # on a cache hit (r17 ADVICE).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), str(sf_dir), name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F

@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("mode", choices=["plans", "time"])
     ap.add_argument("names", nargs="*", help="query names; empty = all")
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", default="r18", help="plans/<round>/ output dir")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sink", choices=["noop", "count"], default="noop")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -52,7 +53,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.mode == "plans":
-        outdir = REPO / "plans" / "r17"
+        outdir = REPO / "plans" / args.round
         outdir.mkdir(parents=True, exist_ok=True)
         for name in names:
             df = q.QUERIES[name](spark, args.sf_dir)
@@ -61,7 +62,7 @@ def main() -> None:
                 df.explain("formatted")
             release_cached()
             (outdir / f"{name}_{args.tag}.txt").write_text(buf.getvalue())
-            print(f"wrote plans/r17/{name}_{args.tag}.txt")
+            print(f"wrote plans/{args.round}/{name}_{args.tag}.txt")
         return
 
     # time mode
