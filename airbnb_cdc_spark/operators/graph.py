@@ -209,9 +209,13 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
     schema = edges.schema["src"].dataType.simpleString()
-    return spark.createDataFrame(
-        rows, f"node {schema}, component {schema}"
-    )
+    # pure-JVM local relation (r18): every downstream broadcast of the
+    # component table used to re-run the parallelized Python RDD this
+    # createDataFrame would build — one Python-worker round-trip per
+    # partition per consuming action
+    from airbnb_cdc_spark.session import local_rows_df
+
+    return local_rows_df(spark, rows, f"node {schema}, component {schema}")
 
 
 def pagerank_quantized(

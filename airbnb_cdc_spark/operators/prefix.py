@@ -53,6 +53,44 @@ def global_running_sum(
     the sequential scan. NULL ``order_col`` rows are excluded (a global
     order over NULLs is caller policy, not ours).
     """
+    return _running_sum_scan(
+        df, order_col, value_col, tie_breaks, descending, out_col, num_buckets
+    )[0]
+
+
+def global_running_sum_with_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tie_breaks: Sequence[str],
+    descending: bool = False,
+    out_col: str = "running_total",
+    num_buckets: int = 32,
+) -> tuple[DataFrame, Column]:
+    """``global_running_sum`` plus the exact GRAND TOTAL of
+    ``value_col``, as a ready-to-use literal Column of the same sum
+    dtype (r18, guide §1.2/§5): the scan's pass 2 already collects
+    every bucket's exact sum to build the offsets — their inclusive
+    accumulation IS the grand total (exact types, so addition order
+    cannot change it; the all-NULL input yields a NULL total, exactly
+    like ``F.sum`` over it). Callers that previously ran a second
+    aggregate branch over the input for the total (Pareto share,
+    decile boundary ranks) read it from here instead — one fewer
+    subtree recomputing the input per action."""
+    return _running_sum_scan(
+        df, order_col, value_col, tie_breaks, descending, out_col, num_buckets
+    )
+
+
+def _running_sum_scan(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tie_breaks: Sequence[str],
+    descending: bool,
+    out_col: str,
+    num_buckets: int,
+) -> tuple[DataFrame, Column]:
     df = df.filter(F.col(order_col).isNotNull())
     # Pass 1 — bucket boundaries, collected once and frozen as literals.
     # approxQuantile is itself a bounded-metadata aggregation; boundary
@@ -100,4 +138,8 @@ def global_running_sum(
     running = F.when(
         local.isNull() & offset_expr.isNull(), F.lit(None).cast(sum_type)
     ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(offset_expr, F.lit(0)))
-    return bucketed.withColumn(out_col, running.cast(sum_type)).drop("__pid")
+    out = bucketed.withColumn(out_col, running.cast(sum_type)).drop("__pid")
+    # inclusive accumulation over ALL buckets = the exact grand total
+    # (``acc`` after the offsets loop); NULL when every bucket was NULL
+    total_col = F.lit(acc).cast(sum_type)
+    return out, total_col

@@ -450,6 +450,30 @@ def _stored_width_cached(spark, path: str, code_col: str) -> int | None:
     return _cached_part(spark, path, f"width:{code_col}", _probe)
 
 
+def _collected_probes(probes_sel: DataFrame):
+    """One bounded collect of a (query_id, list-id) probe assignment,
+    returned as (rows, local relation). |queries|·nprobe two-scalar
+    rows — the same driver-side-metadata trade the static partition
+    filter already makes. Replaces the r17 persist + distinct-collect +
+    cached-broadcast chain (3 driver jobs and a persist lifecycle) with
+    ONE action: the distinct list ids come from the collected rows, and
+    the local relation broadcasts without a scan (r18, guide §1/§5 —
+    fewer sequential driver jobs, nothing corpus-sized ever collected).
+
+    The rebuild is a pure-JVM local relation (``local_rows_df``), never
+    a ``createDataFrame`` — the parallelized Python local frame would
+    cost one Python-worker round-trip PER CORE inside every broadcast
+    build over it (measured ~230 ms/task of pure wait)."""
+    from airbnb_cdc_spark.session import local_rows_df
+
+    rows = probes_sel.collect()
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in probes_sel.schema.fields
+    )
+    local = local_rows_df(probes_sel.sparkSession, rows, schema)
+    return rows, local
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -656,13 +680,16 @@ def query_lsh_index(
         F.col("__norm").alias("__nq"),
         lsh_probe_buckets(F.col("__q"), planes, nprobe).alias("__probes"),
     )
-    q = persist_tracked(
-        qbase.select(
-            "query_id", "__qq", "__nq",
-            F.explode(F.col("__probes")).alias("bucket"),
-        )
+    probe_sel = qbase.select(
+        "query_id", F.explode(F.col("__probes")).alias("bucket")
     )
-    probe_buckets = [r.bucket for r in q.select("bucket").distinct().collect()]
+    # one bounded collect replaces the r17 persist + distinct-collect
+    # chain; the query vectors re-attach from a fresh projection
+    pairs, pairs_local = _collected_probes(probe_sel)
+    probe_buckets = sorted({r.bucket for r in pairs})
+    q = qbase.select("query_id", "__qq", "__nq").join(
+        F.broadcast(pairs_local), "query_id"
+    )
     lists = _read_lists(
         spark, os.path.join(path, "lists"), probe_buckets, part_col="bucket"
     )
@@ -1333,29 +1360,35 @@ def query_ivf_index(
     if d is not None:
         _check_dim(queries, vec_col, d, full=True)
     cents = F.broadcast(stored_cents)
-    # widen kept: the probe scoring below (crossJoin + window) runs on
-    # this frame's partitioning — see ivf_topk's probes note.
-    qs = _with_quant(queries, id_col, vec_col)
+    # widen=False (r18): the probe scoring (|queries| x |centroids|
+    # cosines) is collected as bounded metadata below — fanning the tiny
+    # query frame out first cost a round-robin exchange + an extra AQE
+    # job per run, the same trade the other store query paths make.
+    qs = _with_quant(queries, id_col, vec_col, widen=False)
     scored = qs.crossJoin(cents).withColumn(
         "__cos",
         _pair_cosine(F.col("__q"), F.col("__qc"), F.col("__norm"), F.col("__nc")),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
-    probes = (
+    probe_sel = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            "cid",
-            F.col("__q").alias("__qq"),
-            F.col("__norm").alias("__nq"),
-        )
+        .select(F.col(id_col).alias("query_id"), "cid")
     )
-    # persist: the cid collect below and the broadcast join both consume
-    # this frame — unpersisted, the |queries|x|centroids| scoring pass
-    # (the expensive query-side stage) would execute twice
-    probes = persist_tracked(probes)
-    probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
+    # one bounded collect replaces the r17 persist + distinct-collect
+    # chain; the query vectors are re-attached from a fresh projection
+    # of the (tiny) query frame instead of riding the collected rows
+    pairs, pairs_local = _collected_probes(probe_sel)
+    probe_cids = sorted({r.cid for r in pairs})
+    qvec = _with_quant(queries, id_col, vec_col, widen=False).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__nq"),
+    )
+    # broadcast the LOCAL pairs inside the re-attach join: the probes
+    # broadcast then builds from one query-frame scan stage (a shuffle
+    # join here would re-exchange the query side per run)
+    probes = qvec.join(F.broadcast(pairs_local), "query_id")
     lists = _read_lists(spark, os.path.join(path, "lists"), probe_cids)
     if lists is None:
         # every probed list mid-swap/absent: empty top-k, right schema
@@ -1513,20 +1546,18 @@ def query_ivf_sq8_index(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__cos").desc(), F.col("cid").asc()
     )
-    probes = (
+    probe_sel = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cid")
     )
-    qcodes = persist_tracked(
-        probes.join(
-            sq8_codes(queries, scale, id_col, vec_col, widen=False).select(
-                F.col(id_col).alias("query_id"), F.col("c8").alias("__cq")
-            ),
-            "query_id",
-        )
-    )
-    probe_cids = [r.cid for r in qcodes.select("cid").distinct().collect()]
+    # one bounded collect replaces the r17 persist + distinct-collect
+    # chain; the query codes re-attach from a fresh projection
+    pairs, pairs_local = _collected_probes(probe_sel)
+    probe_cids = sorted({r.cid for r in pairs})
+    qcodes = sq8_codes(queries, scale, id_col, vec_col, widen=False).select(
+        F.col(id_col).alias("query_id"), F.col("c8").alias("__cq")
+    ).join(F.broadcast(pairs_local), "query_id")
     lists = _read_lists(spark, os.path.join(path, "lists"), probe_cids)
     if lists is None:
         empty = (
@@ -2678,12 +2709,13 @@ def query_ivf_pq_index(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__cos").desc(), F.col("cid").asc()
     )
-    probes = persist_tracked(
+    probe_sel = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cid")
     )
-    probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
+    pairs, probes = _collected_probes(probe_sel)
+    probe_cids = sorted({r.cid for r in pairs})
     cb = F.broadcast(stored_cb)
     lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
     lists = _read_lists(spark, os.path.join(path, "lists"), probe_cids)

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airbnb_cdc_spark.session import ensure_parallelism, persist_tracked
+from airbnb_cdc_spark.session import (
+    ensure_parallelism,
+    local_rows_df,
+    persist_tracked,
+)
 from airbnb_cdc_spark.functions.textfns import (
     LANG_PRIORITY,
     LANG_STOPWORDS,
@@ -1101,8 +1105,10 @@ def vocab_coverage(
         F.count(F.lit(1)).alias("n_distinct"),
     )
     spark = df.sparkSession
-    sizes = spark.createDataFrame(
-        [(v,) for v in sizes_list], "vocab_size bigint"
+    # pure-JVM local relation (r18): the createDataFrame form spawned
+    # Python workers inside the two broadcast joins below on every run
+    sizes = local_rows_df(
+        spark, [(v,) for v in sizes_list], "vocab_size bigint"
     )
     return (
         sizes.join(F.broadcast(stats))

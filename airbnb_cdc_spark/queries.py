@@ -364,6 +364,21 @@ def _store_df(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def _half_cut(docs: DataFrame):
+    """The incremental family's half-split boundary floor(max(doc_id)/2)
+    as a LITERAL Column, collected per run (one bounded aggregate; never
+    memoized). r18, guide §6: the old 1-row broadcast-join form kept the
+    half filters ABOVE a nested-loop join, so they could not reach the
+    parquet scan — as a literal they land in PushedFilters (row-group
+    skipping at scale) and the per-run broadcast build jobs disappear.
+    NULL (empty corpus) behaves exactly like the join form: both halves
+    filter to empty."""
+    row = docs.agg(
+        (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
+    ).collect()
+    return F.lit(row[0].cut if row else None).cast("long")
+
+
 def _derive_once(memo: dict, key, prefix: str, derive) -> str:
     """Memoized derive-and-persist: on first use under ``key``, call
     ``derive(path)`` to write a parquet store into a fresh temp dir
@@ -505,10 +520,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("incremental_dedup_new_docs", _INCREMENTAL_ORACLE)
 def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
-    with_cut = docs.join(F.broadcast(cut))
-    seen = with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text")
-    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+    cut = _half_cut(docs)
+    seen = docs.filter(F.col("doc_id") <= cut).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
     return _dedup.incremental_exact_dedup(batch, seen)
 
 
@@ -1897,16 +1911,11 @@ def q_incremental_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_incremental_winnow_rehearsal.py), the r16
     shard_pack_export template."""
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
-    with_cut = docs.join(F.broadcast(cut))
-    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
-        "doc_id", "text"
-    )
+    cut = _half_cut(docs)
+    batch = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
 
     def _derive(p: str) -> None:
-        corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
-            "doc_id", "text"
-        )
+        corpus = docs.filter(F.col("doc_id") <= cut).select("doc_id", "text")
         posts = _dedup.winnowed_fingerprints(corpus)
         total = corpus.select(F.count(F.lit(1)).alias("__n"))
         _dedup.capped_winnow_posts(posts, total).select(
@@ -1933,12 +1942,11 @@ def q_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_cdc_spark.operators.text import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
-    with_cut = docs.join(F.broadcast(cut))
-    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+    cut = _half_cut(docs)
+    batch = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
 
     def _derive(p: str) -> None:
-        seen = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+        seen = docs.filter(F.col("doc_id") <= cut).select(
             "doc_id", "text"
         )
         chunk_documents(
@@ -3029,22 +3037,24 @@ def q_price_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) is matched to the one row whose cumulative span covers
     it — a filter, not a sort-and-index. Second consumer of
     operators/prefix.py; N arrives as a one-row broadcast."""
-    from airbnb_cdc_spark.operators.prefix import global_running_sum
+    from airbnb_cdc_spark.operators.prefix import global_running_sum_with_total
 
     c = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_totalprice").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    s = global_running_sum(
+    # r18 (guide §1.2/§5): the grand total comes from the scan's own
+    # per-bucket totals (exact longs — bucket-sum == direct aggregate
+    # bit-for-bit), dropping the second orders scan+agg branch the old
+    # crossJoin(broadcast(total)) recomputed inside the final action
+    s, total = global_running_sum_with_total(
         c, order_col="v", value_col="n", tie_breaks=[], out_col="r"
     )
-    t = c.agg(F.sum("n").alias("total"))
-    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    qs = spark.range(1, 10).select(F.col("id").alias("q"), total.alias("total"))
     k = F.expr("(q * total + 9) div 10")
     return (
-        qs.crossJoin(F.broadcast(t))
-        .join(s, ((F.col("r") - F.col("n")) < k) & (k <= F.col("r")))
+        qs.join(s, ((F.col("r") - F.col("n")) < k) & (k <= F.col("r")))
         .select(F.col("q").cast("int").alias("decile"), F.col("v").alias("value"))
     )
 
@@ -3106,14 +3116,18 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimals make it bit-identical to the sequential window while
     every phase parallelizes; the corpus total is a scalar aggregate
     broadcast back, not an unpartitioned window."""
-    from airbnb_cdc_spark.operators.prefix import global_running_sum
+    from airbnb_cdc_spark.operators.prefix import global_running_sum_with_total
 
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("customer_id"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend"))
     )
-    scanned = global_running_sum(
+    # r18 (guide §1.2/§5): the corpus total comes from the scan's own
+    # per-bucket exact-decimal totals (addition order cannot change an
+    # exact sum), dropping the second orders scan+agg branch the old
+    # join(broadcast(total)) recomputed inside the final action
+    scanned, total = global_running_sum_with_total(
         spend,
         order_col="__spend",
         value_col="__spend",
@@ -3121,12 +3135,11 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
         out_col="__running",
     )
-    total = spend.agg(F.sum("__spend").alias("__total"))
     # all-zero corpus → NULL share (both engines; ANSI division guard)
     share = F.col("__running").cast("double") / F.nullif(
-        F.col("__total").cast("double"), F.lit(0.0)
+        total.cast("double"), F.lit(0.0)
     )
-    return scanned.join(F.broadcast(total)).select(
+    return scanned.select(
         "customer_id",
         F.col("__spend").cast("double").alias("spend"),
         F.col("__running").cast("double").alias("running_spend"),
@@ -3242,16 +3255,11 @@ def q_incremental_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     is value-identical to a recompute); per run only the ARRIVING half
     is hashed and banded, the true production arrival cost."""
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
-    with_cut = docs.join(F.broadcast(cut))
-    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
-        "doc_id", "text"
-    )
+    cut = _half_cut(docs)
+    batch = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
 
     def _derive(p: str) -> None:
-        corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
-            "doc_id", "text"
-        )
+        corpus = docs.filter(F.col("doc_id") <= cut).select("doc_id", "text")
         _dedup.minhash_signatures(corpus, max_doc_freq=None).write.mode(
             "overwrite"
         ).parquet(p)
@@ -3747,16 +3755,11 @@ def q_incremental_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg(
-        (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
-    )
-    with_cut = docs.join(F.broadcast(cut))
-    batch = with_cut.filter(F.col("doc_id") > F.col("cut")).select(
-        "doc_id", "text"
-    )
+    cut = _half_cut(docs)
+    batch = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
 
     def _derive(p: str) -> None:
-        corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+        corpus = docs.filter(F.col("doc_id") <= cut).select(
             "doc_id", "source", "text"
         )
         tok = token_buckets(corpus, "text", _DSIR_BUCKETS)
@@ -3925,23 +3928,18 @@ def q_incremental_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg(
-        (F.max("doc_id").cast("long") / 2).cast("long").alias("cut")
-    )
-    with_cut = docs.join(F.broadcast(cut))
+    cut = _half_cut(docs)
     # widen (r17): lm_select's tokenize + bigram explode + scoring ran
     # as ONE 1.08s task on the single-file batch scan (measured); the
     # fan-out shuffles only (doc_id, text) of the arriving half and is
     # a no-op on many-file inputs — the standard text-operator pattern
     # (_hashed_base, corpus_prep_summary).
     batch = ensure_parallelism(
-        with_cut.filter(F.col("doc_id") > F.col("cut")).select(
-            "doc_id", "text"
-        )
+        docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
     )
 
     def _derive(p: str) -> None:
-        corpus = with_cut.filter(F.col("doc_id") <= F.col("cut")).select(
+        corpus = docs.filter(F.col("doc_id") <= cut).select(
             "doc_id", "source", "text"
         )
         tr = transition_buckets(corpus, "text", _LM_BUCKETS)
@@ -4888,8 +4886,13 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broader rule must block nothing (operators/web.py)."""
     from airbnb_cdc_spark.operators.web import blocklist_filter
 
-    rules = spark.createDataFrame(
-        [(r,) for r in _BLOCKLIST_RULES], "rule string"
+    # pure-JVM local relation, not createDataFrame (r18): the
+    # parallelized Python local frame cost Python-worker round-trips
+    # inside the rules broadcast build (~0.9 s/run measured)
+    from airbnb_cdc_spark.session import local_rows_df
+
+    rules = local_rows_df(
+        spark, [(r,) for r in _BLOCKLIST_RULES], "rule string"
     )
     return blocklist_filter(
         _raw_doc_urls(spark, sf_dir), "url", rules
@@ -5096,10 +5099,9 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
-    with_cut = docs.join(F.broadcast(cut))
-    ref = with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text")
-    new = with_cut.filter(F.col("doc_id") > F.col("cut")).select("doc_id", "text")
+    cut = _half_cut(docs)
+    ref = docs.filter(F.col("doc_id") <= cut).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
     return distribution_drift(
         token_buckets(ref, "text", _DRIFT_B),
         token_buckets(new, "text", _DRIFT_B),

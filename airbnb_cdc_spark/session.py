@@ -203,6 +203,40 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         return len(files)
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small driver-side row set as a PURE-JVM local relation:
+    lit-struct + inline over ``range(1)`` instead of
+    ``createDataFrame`` (r18, guide §4). The parallelized Python local
+    frame ``createDataFrame`` builds costs one Python-worker round-trip
+    PER PARTITION every time the relation is computed — measured
+    ~230 ms/task inside broadcast builds, paid per run. The inline form
+    executes as one trivial JVM task, no Python anywhere.
+
+    ``schema`` is a DDL string; values must be plain scalars ``F.lit``
+    accepts. Empty ``rows`` fall back to an empty local relation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    empty = spark.createDataFrame([], st)  # JVM-local when rows == []
+    if not rows:
+        return empty
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, st.fields)
+            ]
+        )
+        for row in rows
+    ]
+    inlined = spark.range(1).select(F.inline(F.array(*structs)))
+    # literals fold to data-derived (non-)nullability; the union with
+    # the empty, declared-schema relation ORs nullability back to the
+    # schema's, so the result is schema-identical to createDataFrame
+    return empty.union(inlined)
+
+
 # Persisted-DataFrame registry: operators that cache a shared index
 # (dedup inverted indexes, quantized embedding tables) register it here
 # so a long-lived engine session can release the cached partitions after

@@ -151,6 +151,64 @@ def test_chunk_params_guard_checks_id_col_presence(spark):
         )
 
 
+def test_running_sum_exposed_total_equals_direct_aggregate(spark):
+    """global_running_sum_with_total's grand total (built from the
+    scan's own per-bucket exact sums) must equal F.sum over the input
+    bit-for-bit — the identity that lets Pareto/deciles drop their
+    second aggregate branch (r18)."""
+    from decimal import Decimal
+
+    from airbnb_cdc_spark.operators.prefix import (
+        global_running_sum,
+        global_running_sum_with_total,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37 % 101).cast("decimal(18,2)") / 7).alias("v"),
+    )
+    scanned, total = global_running_sum_with_total(
+        df, order_col="k", value_col="v", tie_breaks=[], out_col="r"
+    )
+    direct = df.agg(F.sum("v").alias("t")).collect()[0].t
+    got = spark.range(1).select(total.alias("t")).collect()[0].t
+    assert got == direct and isinstance(got, Decimal)
+    # and the scan itself is unchanged vs the total-less entry point
+    old = global_running_sum(
+        df, order_col="k", value_col="v", tie_breaks=[], out_col="r"
+    )
+    assert scanned.exceptAll(old).count() == 0
+    assert old.exceptAll(scanned).count() == 0
+    # max running == total
+    assert scanned.agg(F.max("r")).collect()[0][0] == direct
+    # all-NULL input → NULL total, like F.sum
+    nul = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    _, tnull = global_running_sum_with_total(
+        nul, order_col="k", value_col="v", tie_breaks=[], out_col="r"
+    )
+    assert spark.range(1).select(tnull.alias("t")).collect()[0].t is None
+
+
+def test_local_rows_df_matches_createdataframe(spark):
+    """local_rows_df (the pure-JVM local relation) must be value- and
+    schema-identical to createDataFrame over the same rows — including
+    NULLs, strings, and the empty set (r18)."""
+    rows = [(1, "a"), (2, None), (3, "c")]
+    schema = "k bigint, v string"
+    a = spark.createDataFrame(rows, schema)
+    from airbnb_cdc_spark.session import local_rows_df
+
+    b = local_rows_df(spark, rows, schema)
+    assert b.schema == a.schema
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
+    empty = local_rows_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == a.schema
+    # and no Python-evaluation node anywhere in its plan
+    assert "Python" not in b._jdf.queryExecution().executedPlan().toString()
+
+
 def test_load_table_repins_timezone_on_memo_hit(spark):
     load_table(spark, SF, "events")  # populate the memo
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
