@@ -474,6 +474,21 @@ def _collected_probes(probes_sel: DataFrame):
     return rows, local
 
 
+def _check_collected_dims(pairs, size_col: str, dim: int, vec_col: str) -> None:
+    """The ``_check_dim(full=True)`` guard evaluated from the probe
+    collect instead of a separate 2-job aggregate action (r18): every
+    query row contributes its top-nprobe probe rows, so the collected
+    ``size(vec)`` column covers the whole query frame — same fail-loud
+    ValueError, two fewer driver jobs per run. An empty query frame
+    passes, exactly like the aggregate form."""
+    sizes = {r[size_col] for r in pairs}
+    if sizes and sizes != {dim}:
+        raise ValueError(
+            f"hyperplane dim={dim} but {vec_col!r} vectors have "
+            f"{min(sizes)}..{max(sizes)} components"
+        )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -672,7 +687,7 @@ def query_lsh_index(
     meta = _store_part_row(spark, os.path.join(path, "meta"))
     bits, dim = meta.bits, meta.dim
     nprobe = max(1, min(nprobe, bits + 1))
-    _check_dim(queries, vec_col, dim, full=True)
+    # width guard evaluated from the probe collect below (r18)
     planes = [hyperplane(j, dim) for j in range(bits)]
     qbase = _with_quant(queries, id_col, vec_col, widen=False).select(
         F.col(id_col).alias("query_id"),
@@ -681,11 +696,15 @@ def query_lsh_index(
         lsh_probe_buckets(F.col("__q"), planes, nprobe).alias("__probes"),
     )
     probe_sel = qbase.select(
-        "query_id", F.explode(F.col("__probes")).alias("bucket")
+        "query_id",
+        F.explode(F.col("__probes")).alias("bucket"),
+        F.size(F.col("__qq")).alias("__d"),
     )
     # one bounded collect replaces the r17 persist + distinct-collect
     # chain; the query vectors re-attach from a fresh projection
     pairs, pairs_local = _collected_probes(probe_sel)
+    _check_collected_dims(pairs, "__d", dim, vec_col)
+    pairs_local = pairs_local.drop("__d")
     probe_buckets = sorted({r.bucket for r in pairs})
     q = qbase.select("query_id", "__qq", "__nq").join(
         F.broadcast(pairs_local), "query_id"
@@ -1355,10 +1374,9 @@ def query_ivf_index(
 
     stored_cents = _read_store_part(spark, os.path.join(path, "centroids"))
     # width guard (the _stored_pq_geometry class): the probe cosine's
-    # zip_with silently truncates a wider query frame
+    # zip_with silently truncates a wider query frame. Evaluated from
+    # the probe collect below (r18) — two fewer driver jobs per run.
     d = _stored_width_cached(spark, os.path.join(path, "centroids"), "__qc")
-    if d is not None:
-        _check_dim(queries, vec_col, d, full=True)
     cents = F.broadcast(stored_cents)
     # widen=False (r18): the probe scoring (|queries| x |centroids|
     # cosines) is collected as bounded metadata below — fanning the tiny
@@ -1373,12 +1391,19 @@ def query_ivf_index(
     probe_sel = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), "cid")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cid",
+            F.size(F.col("__q")).alias("__d"),
+        )
     )
     # one bounded collect replaces the r17 persist + distinct-collect
     # chain; the query vectors are re-attached from a fresh projection
     # of the (tiny) query frame instead of riding the collected rows
     pairs, pairs_local = _collected_probes(probe_sel)
+    if d is not None:
+        _check_collected_dims(pairs, "__d", d, vec_col)
+    pairs_local = pairs_local.drop("__d")
     probe_cids = sorted({r.cid for r in pairs})
     qvec = _with_quant(queries, id_col, vec_col, widen=False).select(
         F.col(id_col).alias("query_id"),
@@ -1533,9 +1558,8 @@ def query_ivf_sq8_index(
     from pyspark.sql import Window
 
     stored_cents = _read_store_part(spark, os.path.join(path, "centroids"))
+    # width guard evaluated from the probe collect below (r18)
     d = _stored_width_cached(spark, os.path.join(path, "centroids"), "__qc")
-    if d is not None:
-        _check_dim(queries, vec_col, d, full=True)
     scale = _read_store_part(spark, os.path.join(path, "scale"))
     cents = F.broadcast(stored_cents)
     qs = _with_quant(queries, id_col, vec_col, widen=False)
@@ -1549,11 +1573,18 @@ def query_ivf_sq8_index(
     probe_sel = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), "cid")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cid",
+            F.size(F.col("__q")).alias("__d"),
+        )
     )
     # one bounded collect replaces the r17 persist + distinct-collect
     # chain; the query codes re-attach from a fresh projection
     pairs, pairs_local = _collected_probes(probe_sel)
+    if d is not None:
+        _check_collected_dims(pairs, "__d", d, vec_col)
+    pairs_local = pairs_local.drop("__d")
     probe_cids = sorted({r.cid for r in pairs})
     qcodes = sq8_codes(queries, scale, id_col, vec_col, widen=False).select(
         F.col(id_col).alias("query_id"), F.col("c8").alias("__cq")
@@ -2697,7 +2728,7 @@ def query_ivf_pq_index(
     # zip_with would silently truncate a wrong-width query frame too
     stored_cb = _read_store_part(spark, os.path.join(path, "codebook"))
     m, dim = _stored_pq_geometry(stored_cb, m, dim)
-    _check_dim(queries, vec_col, dim, full=True)
+    # width guard evaluated from the probe collect below (r18)
     # widen=False: the query frame is tiny and feeds a broadcast —
     # repartitioning it first is pure fixed overhead (the query-side
     # convention ivf_pq_topk / pq_refine_topk / _pq_lut follow).
@@ -2712,9 +2743,15 @@ def query_ivf_pq_index(
     probe_sel = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), "cid")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cid",
+            F.size(F.col("__q")).alias("__d"),
+        )
     )
     pairs, probes = _collected_probes(probe_sel)
+    _check_collected_dims(pairs, "__d", dim, vec_col)
+    probes = probes.drop("__d")
     probe_cids = sorted({r.cid for r in pairs})
     cb = F.broadcast(stored_cb)
     lut = _pq_lut(queries, cb, id_col, vec_col, m, dim)
