@@ -5228,14 +5228,17 @@ def q_shard_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY = [
-    # r17 rotation — the r16-written plan, swapped in per the r16
-    # verdict's #1. The 27 r13-tier must-records head the cut (they
-    # hit MAX_AGE this round; events_windowed_agg leads, having ceded
-    # its r16 slot to the shard_pack_export registration), and the
-    # backfills are the 23 oldest r14-tier names (alphabetical).
+    # r18 rotation — the r17-written plan, swapped in per the standing
+    # per-round protocol (the r17 pytest failure that fires when the
+    # swap is due is the alarm this executes). The 28 r14-tier
+    # must-records head the cut (they hit MAX_AGE this round;
+    # kneser_ney_lm_score leads, having ceded its r17 slot to the
+    # incremental_winnow_neardup registration), and the backfills are
+    # the 22 oldest r15-tier names (alphabetical;
+    # dedup_ngram_jaccard_prefix ceded to the r19 backbone).
     #
     # REGISTRY CEILING DISCIPLINE (r12 verdict #6, restated every
-    # round): 177 names x 50 slots x MAX_AGE 3 ==> the hard ceiling
+    # round): 178 names x 50 slots x MAX_AGE 3 ==> the hard ceiling
     # is 200; steady-state slot demand is ~44/round against 50. At
     # most ~2 net new queries per round are sustainable forever, each
     # displacing a backfill slot; prefer re-leading existing queries
@@ -5243,82 +5246,7 @@ _DRIVER_PRIORITY = [
     # genuinely needs a slot, retire a redundant near-duplicate query
     # in the same commit.
     #
-    # (a) the 27 r13-tier must-records:
-    "events_windowed_agg",
-    "forecast_revenue_change",
-    "fuzzy_link_part_names",
-    "important_parts_share",
-    "incremental_dedup_new_docs",
-    "incremental_dsir_select",
-    "incremental_minhash_neardup",
-    "interval_join_attribution",
-    "json_extract_agg",
-    "kmv_range_rollup",
-    "knn_label_vote",
-    "language_id",
-    "length_bucket_stats",
-    "local_supplier_revenue",
-    "mm_frame_sample",
-    "orders_by_month",
-    "pii_report",
-    "quality_classifier_topk",
-    "running_customer_spend",
-    "semi_join_buyers",
-    "shipping_priority",
-    "text_stats",
-    "token_count_cms",
-    "token_counts",
-    "top_terms_per_doc",
-    "user_sessions",
-    "winnow_components",
-    # (b) 22 oldest r14-tier backfills (alphabetical; see (c)):
-    "ann_topk_ivf_recall",
-    "ann_topk_ivf_sq8",
-    "ann_topk_pq",
-    "ann_topk_sq8",
-    "ann_topk_sq8_recall",
-    "bilateral_trade_volume",
-    "bracket_revenue",
-    "cdc_merge_upsert",
-    "cheapest_supplier_per_part",
-    "components_store_apply",
-    "content_chunk_dedup",
-    "corpus_prep_summary",
-    "customer_order_distribution",
-    "dedup_pair_sources",
-    "doc_sentiment",
-    "event_gaps_leadlag",
-    "event_transitions",
-    "events_ohlc",
-    "idle_customers_balance",
-    "incremental_lm_quality",
-    "interpolated_lm_score",
-    "keep_best_quality",
-    # (c) the query REGISTERED in r17 from its pinned rehearsal
-    # oracle (must take a slot the round it lands — the audit refuses
-    # never-recorded names outside the cut). It takes the slot of the
-    # alphabetically-last r14-tier backfill (kneser_ney_lm_score),
-    # which is r14-tier, so deferring it one round puts it exactly at
-    # MAX_AGE in r18, where the plan below guarantees its slot:
-    "incremental_winnow_neardup",
-]
-
-# Planned r18 cut, written now per the r12-established discipline so
-# r18 never hits a saturation squeeze. After r17 records the list
-# above, the 28 r14-tier names below age to 4 in r18 (27 never made
-# the r17 cut + kneser_ney_lm_score, which ceded its r17 slot to the
-# incremental_winnow_neardup registration) — they MUST all be in the
-# r18 cut — and the 22 free slots go to the oldest r15-tier names
-# (alphabetical; dedup_ngram_jaccard_prefix cedes to the r19 backlog,
-# where it hits exactly MAX_AGE and heads the r19 backbone; the
-# remaining r15-tier queries age to 3 after r18 alongside it).
-# scripts/rotation_audit.py --simulate-next checks this list.
-# r18 NEW-QUERY BUDGET: each new registry query must take a slot the
-# round it lands, ceding one r15-tier backfill below to the r19
-# backlog. Prefer re-leads (cost no slot).
-_NEXT_ROUND_PLAN = [
-    # the 28 r14-tier must-records (kneser_ney_lm_score deferred from
-    # the r17 cut by the incremental_winnow_neardup registration):
+    # (a) the 28 r14-tier must-records:
     "kneser_ney_lm_score",
     "leakage_safe_split",
     "length_quartiles_by_lang",
@@ -5347,7 +5275,7 @@ _NEXT_ROUND_PLAN = [
     "windowed_kmv_distinct",
     "winnow_keep_canonical",
     "zorder_events_layout",
-    # 22 oldest r15-tier backfills (alphabetical;
+    # (b) 22 oldest r15-tier backfills (alphabetical;
     # dedup_ngram_jaccard_prefix ceded to the r19 backbone):
     "ann_topk_bruteforce",
     "ann_topk_ivf_kmeans",
@@ -5371,6 +5299,72 @@ _NEXT_ROUND_PLAN = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+]
+
+# Planned r19 cut, written now per the r12-established discipline so
+# r19 never hits a saturation squeeze. After r18 records the list
+# above, the 28 r15-tier names below age to 4 in r19 (27 never made
+# the r18 cut + dedup_ngram_jaccard_prefix, which ceded its r18 slot)
+# — they MUST all be in the r19 cut — and the 22 free slots go to the
+# oldest r16-tier names (alphabetical; the 28 remaining r16-tier
+# queries age to exactly MAX_AGE after r19 and form the r20 backbone).
+# scripts/rotation_audit.py (simulate_next) checks this list.
+# r19 NEW-QUERY BUDGET: each new registry query must take a slot the
+# round it lands, ceding one r16-tier backfill below to the r20
+# backlog. Prefer re-leads (cost no slot).
+_NEXT_ROUND_PLAN = [
+    # the 28 r15-tier must-records:
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "dedup_simhash_cluster",
+    "doc_chunks",
+    "market_share_by_year",
+    "neardup_cluster_sizes",
+    "oov_rate",
+    "orders_expectations",
+    "outsized_supplier_share",
+    "pack_sequences",
+    "ppl_bucket_assign",
+    "price_deciles_distributed",
+    "repetition_filter",
+    "scd2_user_state_history",
+    "semdedup_keep_canonical",
+    "small_quantity_revenue",
+    "soft_dedup_weights",
+    "supplier_customer_pagerank",
+    "supplier_variety_by_part",
+    "supplier_wait_chain",
+    "target_fluency_gate",
+    "trailing_hour_activity",
+    "ts_profile_similarity",
+    "url_blocklist_filter",
+    "user_funnel",
+    "value_histogram",
+    "value_outliers_by_type",
+    "weighted_sample_by_length",
+    # 22 oldest r16-tier backfills (alphabetical):
+    "alter_row_flags",
+    "ann_topk_ivf",
+    "ann_topk_ivf_nprobe",
+    "anti_join_never_bought",
+    "asof_next_purchase_after_view",
+    "asof_view_within_tolerance",
+    "bloom_prune_effect",
+    "bloom_semi_join_orders",
+    "bm25_topk",
+    "boilerplate_strip",
+    "bpe_apply",
+    "cohort_retention",
+    "conditional_split_accepted",
+    "contrastive_negatives",
+    "cube_status_priority",
+    "dedup_containment",
+    "dedup_keep_canonical",
+    "distinct_users_kmv",
+    "diversity_sample_by_cluster",
+    "doc_fingerprint",
+    "domain_capped_sample",
+    "dsir_select",
 ]
 
 
