@@ -203,38 +203,68 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         return len(files)
 
 
-def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
-    """A small driver-side row set as a PURE-JVM local relation:
-    lit-struct + inline over ``range(1)`` instead of
-    ``createDataFrame`` (r18, guide §4). The parallelized Python local
-    frame ``createDataFrame`` builds costs one Python-worker round-trip
-    PER PARTITION every time the relation is computed — measured
-    ~230 ms/task inside broadcast builds, paid per run. The inline form
-    executes as one trivial JVM task, no Python anywhere.
+def _sql_lit(v) -> str:
+    """One scalar as Spark-SQL literal text (for local_rows_df)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        import math
 
-    ``schema`` is a DDL string; values must be plain scalars ``F.lit``
-    accepts. Empty ``rows`` fall back to an empty local relation."""
-    from pyspark.sql import functions as F
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small driver-side row set as a PURE-JVM local relation: ONE
+    ``spark.sql`` call over a VALUES literal instead of
+    ``createDataFrame`` (r18, guide §4/§5). Two costs die:
+
+    - the parallelized Python local frame ``createDataFrame`` builds
+      pays one Python-worker round-trip PER PARTITION every time the
+      relation is computed — measured ~230 ms/task inside broadcast
+      builds, per run;
+    - building the relation from per-row ``F.lit``/``F.struct`` Column
+      objects pays ~10 py4j round-trips PER ROW on the driver — the
+      first r18 attempt did exactly that and put a 30 s construction
+      tax on a ~3000-row component table. One SQL string parses in the
+      JVM in milliseconds at any row count this is used for.
+
+    ``schema`` is a DDL string; scalar values only (int/float/str/
+    bool/None) — anything else, or very large row sets, falls back to
+    ``createDataFrame``. The union with the empty, declared-schema
+    relation restores the schema's nullability (VALUES columns derive
+    nullability from the data), so the result is schema-identical to
+    ``createDataFrame``."""
     from pyspark.sql.types import _parse_datatype_string
 
     st = _parse_datatype_string(schema)
     empty = spark.createDataFrame([], st)  # JVM-local when rows == []
     if not rows:
         return empty
-    structs = [
-        F.struct(
-            *[
-                F.lit(v).cast(f.dataType).alias(f.name)
-                for v, f in zip(row, st.fields)
-            ]
-        )
-        for row in rows
-    ]
-    inlined = spark.range(1).select(F.inline(F.array(*structs)))
-    # literals fold to data-derived (non-)nullability; the union with
-    # the empty, declared-schema relation ORs nullability back to the
-    # schema's, so the result is schema-identical to createDataFrame
-    return empty.union(inlined)
+    simple = len(rows) <= 100_000 and all(
+        v is None or isinstance(v, (bool, int, float, str))
+        for r in rows
+        for v in r
+    )
+    if not simple:
+        return spark.createDataFrame([tuple(r) for r in rows], st)
+    cols = ", ".join(
+        f"CAST(col{i + 1} AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for i, f in enumerate(st.fields)
+    )
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    return empty.union(spark.sql(f"SELECT {cols} FROM (VALUES {vals})"))
 
 
 # Persisted-DataFrame registry: operators that cache a shared index
